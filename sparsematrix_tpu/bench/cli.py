@@ -1,0 +1,33 @@
+"""Benchmark CLI mirroring blas_test's ergonomics
+(/root/reference/src/test/blas_test.cc:32-37):
+
+    python -m sparsematrix_tpu.bench [m] [n] [k] [check] [filter]
+
+``m/n/k`` accept ``begin:end`` doubling sweeps; ``check`` toggles oracle
+verification; ``filter`` is a comma-separated regex list, ``-pat`` excludes.
+"""
+from __future__ import annotations
+
+import sys
+
+from .harness import BenchFilter, StepList
+from .suite import REF_K, REF_M, REF_N, registry
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    m = StepList(argv[0]) if len(argv) > 0 else StepList(REF_M)
+    n = StepList(argv[1]) if len(argv) > 1 else StepList(REF_N)
+    k = StepList(argv[2]) if len(argv) > 2 else StepList(REF_K)
+    check = bool(int(argv[3])) if len(argv) > 3 else True
+    filt = BenchFilter(argv[4] if len(argv) > 4 else None)
+
+    for mi in m:
+        for ni in n:
+            for ki in k:
+                registry.run(filt, check=check, m=mi, n=ni, k=ki)
+    registry.print_table()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,179 @@
+"""Benchmark suite covering the BASELINE.json configs.
+
+1. csr_spmv        — CSR SpMV sweep (random + banded, nnz/row 4–128)
+2. spmm_csr        — CSR × dense RHS, k = 32/128/512 (jnp + densify paths)
+3. spmm_bell       — blocked-ELL MXU Pallas path
+4. bsr             — BSR SpMV/SpMM
+5. codebook_gemm   — the reference's own headline workload:
+                     C = A(117×2047) @ B(2047×1023), B codebook-sparse 25%
+                     (m,n,k defaults from blas_test.cc:32; baseline 7.5 ms
+                     on AVX2, kernel.cc:381)
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats import BSR, CSR, CodebookCSR, csr_to_blocked_ell, csr_to_bsr
+from ..ops import add_mat_mat, spmm, spmm_densify, spmm_reference, spmv
+from ..utils.roofline import V5E, speed_of_light_nnz_s, spmm_bytes, spmv_csr_bytes
+from ..utils.testutils import (
+    gen_matrix_random,
+    gen_random_dense_sparse,
+    gen_sparse_index_matrix,
+    relative_check,
+)
+from ..utils.timer import bench_fn
+from .harness import BenchRegistry, Row
+
+registry = BenchRegistry()
+
+REF_M, REF_N, REF_K = 117, 1023, 2047  # blas_test.cc:32 defaults
+REF_BASELINE_MS = 7.5  # kernel.cc:381 (x86 AVX2 path)
+
+
+def _banded(rng, n, bandwidth):
+    dense = np.zeros((n, n), dtype=np.float32)
+    for off in range(-bandwidth // 2, bandwidth // 2 + 1):
+        idx = np.arange(max(0, -off), min(n, n - off))
+        dense[idx, idx + off] = rng.uniform(-1, 1, idx.shape[0])
+    return dense
+
+
+@registry.register("csr_spmv")
+def bench_csr_spmv(check=True, sizes=(4096,), **kw):
+    rng = np.random.default_rng(0)
+    rows = []
+    for n in sizes:
+        for nnz_row in (4, 16, 64, 128):
+            density = nnz_row / n
+            dense = gen_random_dense_sparse(rng, n, n, density=density)
+            A = CSR.fromdense(dense)
+            x = jnp.asarray(gen_matrix_random(rng, n, 1)[:, 0])
+            f = jax.jit(lambda a, v: spmv(a, v))
+            res = bench_fn(f, A, x)
+            checked = None
+            if check:
+                checked = relative_check(np.asarray(f(A, x)), dense @ np.asarray(x))
+            sol = speed_of_light_nnz_s(A.nnz, spmv_csr_bytes(A.nnz, n, n))
+            r = Row("csr_spmv/random", f"n={n},nnz/row={nnz_row}", res,
+                    nnz=A.nnz, checked=checked)
+            r.sol_frac = r.nnz_per_s / sol
+            rows.append(r)
+    return rows
+
+
+@registry.register("spmm_csr")
+def bench_spmm_csr(check=True, n=2048, density=0.05, ks=(32, 128, 512), **kw):
+    rng = np.random.default_rng(1)
+    dense = gen_random_dense_sparse(rng, n, n, density=density)
+    A = CSR.fromdense(dense)
+    rows = []
+    for k in ks:
+        X = jnp.asarray(gen_matrix_random(rng, n, k))
+        for label, f in (
+            ("spmm_csr/segsum", jax.jit(functools.partial(spmm_reference))),
+            ("spmm_csr/densify", jax.jit(functools.partial(spmm_densify))),
+        ):
+            res = bench_fn(f, A, X)
+            checked = None
+            if check:
+                checked = relative_check(np.asarray(f(A, X)),
+                                         dense.astype(np.float64) @ np.asarray(X))
+            sol = speed_of_light_nnz_s(A.nnz, spmm_bytes(A.nnz, n, n, k))
+            r = Row(label, f"n={n},k={k},d={density}", res, nnz=A.nnz,
+                    checked=checked)
+            r.sol_frac = r.nnz_per_s / sol
+            rows.append(r)
+    return rows
+
+
+@registry.register("spmm_bell")
+def bench_spmm_bell(check=True, n=2048, density=0.05, ks=(128, 512), **kw):
+    from ..kernels.spmm_pallas import spmm_blocked_ell
+
+    rng = np.random.default_rng(2)
+    dense = gen_random_dense_sparse(rng, n, n, density=density)
+    A = CSR.fromdense(dense)
+    bell = csr_to_blocked_ell(A, block_shape=(8, 128))
+    waste = 1.0 / max(bell.stored_density, 1e-9)
+    rows = []
+    for k in ks:
+        X = jnp.asarray(gen_matrix_random(rng, n, k))
+        f = jax.jit(spmm_blocked_ell)
+        res = bench_fn(f, bell, X)
+        checked = None
+        if check:
+            checked = relative_check(np.asarray(f(bell, X)),
+                                     dense.astype(np.float64) @ np.asarray(X))
+        # roofline accounts the padded blocks actually streamed
+        eff_nnz = bell.num_block_rows * bell.max_blocks_per_row * 8 * 128
+        sol = speed_of_light_nnz_s(
+            A.nnz, spmm_bytes(eff_nnz, n, n, k, idx_bytes=0))
+        r = Row("spmm_bell/pallas", f"n={n},k={k},d={density}", res,
+                nnz=A.nnz, checked=checked)
+        r.sol_frac = r.nnz_per_s / sol
+        rows.append(r)
+    return rows
+
+
+@registry.register("bsr")
+def bench_bsr(check=True, n=2048, block=(8, 8), density=0.05, k=128, **kw):
+    rng = np.random.default_rng(3)
+    # block-structured sparsity: dense blocks at `density` of block slots
+    nb = n // block[0]
+    mask = rng.random((nb, n // block[1])) < density
+    dense = (
+        np.kron(mask, np.ones(block)).astype(np.float32)
+        * gen_matrix_random(rng, n, n)
+    )
+    A = csr_to_bsr(CSR.fromdense(dense), block_shape=block)
+    x = jnp.asarray(gen_matrix_random(rng, n, 1)[:, 0])
+    X = jnp.asarray(gen_matrix_random(rng, n, k))
+    rows = []
+    f1 = jax.jit(lambda a, v: spmv(a, v))
+    res = bench_fn(f1, A, x)
+    chk = relative_check(np.asarray(f1(A, x)), dense @ np.asarray(x)) if check else None
+    sol = speed_of_light_nnz_s(A.nnz, spmv_csr_bytes(A.nnz, n, n, idx_bytes=4 / (block[0] * block[1])))
+    r = Row("bsr/spmv", f"n={n},b={block},d={density}", res, nnz=A.nnz, checked=chk)
+    r.sol_frac = r.nnz_per_s / sol
+    rows.append(r)
+    f2 = jax.jit(lambda a, m: spmm(a, m, method="sparse"))
+    res = bench_fn(f2, A, X)
+    chk = (
+        relative_check(np.asarray(f2(A, X)), dense.astype(np.float64) @ np.asarray(X))
+        if check
+        else None
+    )
+    sol = speed_of_light_nnz_s(A.nnz, spmm_bytes(A.nnz, n, n, k, idx_bytes=0))
+    r = Row("bsr/spmm", f"n={n},b={block},k={k}", res, nnz=A.nnz, checked=chk)
+    r.sol_frac = r.nnz_per_s / sol
+    rows.append(r)
+    return rows
+
+
+@registry.register("codebook_gemm")
+def bench_codebook_gemm(check=True, m=REF_M, n=REF_N, k=REF_K, density=0.25,
+                        **kw):
+    """The reference's own benchmark: sparse AddMatMat at its default shape
+    (blas_test.cc:32, blas_test.h:216-252)."""
+    rng = np.random.default_rng(4)
+    a = jnp.asarray(gen_matrix_random(rng, m, k))
+    c = jnp.asarray(gen_matrix_random(rng, m, n))
+    idx_mtx, table = gen_sparse_index_matrix(rng, k, n, density=density,
+                                             table_size=255)
+    b_t = CodebookCSR.from_index_matrix(idx_mtx, table, trans=True)
+    f = jax.jit(lambda aa, bb, cc: add_mat_mat(aa, bb, cc, 1.0, 1.0))
+    res = bench_fn(f, a, b_t, c)
+    checked = None
+    if check:
+        b_dense = np.asarray(b_t.todense()).T.astype(np.float64)
+        oracle = np.asarray(c) + np.asarray(a).astype(np.float64) @ b_dense
+        checked = relative_check(np.asarray(f(a, b_t, c)), oracle)
+    r = Row("codebook_gemm/ref-shape", f"m={m},n={n},k={k},d={density}", res,
+            nnz=b_t.nnz, checked=checked)
+    r.extras = {"vs_baseline": REF_BASELINE_MS / res.min_ms}
+    return [r]

@@ -1,0 +1,102 @@
+"""Pallas SpMM kernels.
+
+The flagship MXU path: BlockedELL × dense RHS.  Each grid step owns one
+block-row of the sparse matrix and accumulates ``sum_m blocks[i,m] @
+X[block_cols[i,m]]`` on the systolic array.  This is the TPU-native
+replacement for the reference's per-nonzero AXPY hot loop
+(/root/reference/src/sparse/kernel.cc:771-800): instead of streaming scalar
+(delta, idx) pairs, indices select (bk × k) RHS tiles and the MXU contracts
+whole (bm × bk) blocks.
+
+Padding block slots carry ``block_col = 0`` and zero values, so they
+contribute exactly 0 (sentinel-zero design, sparse-matrix.cc:29-31) —
+no masking in the inner loop.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import config
+from ..formats import BSR, BlockedELL
+
+__all__ = ["spmm_blocked_ell", "PALLAS_IMPLS"]
+
+
+def _bell_kernel(bc_ref, blocks_ref, x_ref, o_ref, *, bk: int, n_blocks: int,
+                 precision):
+    i = pl.program_id(0)
+
+    def body(m, acc):
+        bc = bc_ref[i, m]
+        xt = x_ref[pl.ds(bc * bk, bk), :]
+        blk = blocks_ref[0, m]
+        return acc + jnp.dot(
+            blk, xt, preferred_element_type=jnp.float32, precision=precision
+        )
+
+    acc0 = jnp.zeros(o_ref.shape, jnp.float32)
+    acc = jax.lax.fori_loop(0, n_blocks, body, acc0)
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+def _matmul_precision(dtype):
+    # v5e MXU natively multiplies bf16; fp32 operands need the multi-pass
+    # HIGHEST precision to deliver fp32-grade results (the reference is an
+    # fp32 library — its oracle tolerance assumes fp32 arithmetic).
+    return (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _spmm_bell_call(block_cols, blocks, Xp, *, interpret=False):
+    nbr, M, bm, bk = blocks.shape
+    k = Xp.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # block_cols
+        grid=(nbr,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, M, bm, bk),
+                lambda i, bc: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # full X
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, k), lambda i, bc: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _bell_kernel,
+            bk=bk,
+            n_blocks=M,
+            precision=_matmul_precision(Xp.dtype),
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nbr * bm, k), Xp.dtype),
+        interpret=interpret,
+    )(block_cols, blocks, Xp)
+
+
+def spmm_blocked_ell(A: BlockedELL, X):
+    """``Y = A @ X`` on the MXU via the blocked-ELL layout."""
+    bm, bk = A.block_shape
+    nbc = -(-A.shape[1] // bk)
+    k = X.shape[1]
+    Xp = jnp.zeros((nbc * bk, k), X.dtype).at[: A.shape[1]].set(X)
+    out = _spmm_bell_call(A.block_cols, A.blocks, Xp, interpret=config.interpret())
+    return out[: A.shape[0]]
+
+
+PALLAS_IMPLS = {
+    BlockedELL: spmm_blocked_ell,
+}

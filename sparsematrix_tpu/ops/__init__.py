@@ -1,0 +1,27 @@
+from .spmv import spmv, spmv_reference
+from .spmm import spmm, spmm_reference, spmm_right, spmm_densify
+from .addmatmat import add_mat_mat
+from .spgemm import SpGEMMPlan, spgemm, spgemm_apply, spgemm_plan
+from .trisolve import TriSolvePlan, trisolve, trisolve_apply, trisolve_plan
+from .ilu import ilu0, ilu0_plans, ilu_apply
+
+__all__ = [
+    "spmv",
+    "spmv_reference",
+    "spmm",
+    "spmm_reference",
+    "spmm_right",
+    "spmm_densify",
+    "add_mat_mat",
+    "SpGEMMPlan",
+    "spgemm",
+    "spgemm_apply",
+    "spgemm_plan",
+    "TriSolvePlan",
+    "trisolve",
+    "trisolve_apply",
+    "trisolve_plan",
+    "ilu0",
+    "ilu0_plans",
+    "ilu_apply",
+]

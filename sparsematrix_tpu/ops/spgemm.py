@@ -1,0 +1,139 @@
+"""SpGEMM: ``C = A @ B`` with both operands sparse.
+
+TPU-native design — **symbolic / numeric split** (the sparse-library
+classic, adapted to XLA's static-shape rule): the output structure and the
+multiply "program" are computed once on the host (symbolic phase); the
+numeric phase is a pure, jittable gather-multiply-segment_sum over static
+shapes, reusable for any values with the same sparsity pattern
+(encode-once / multiply-many — the same design stance as the reference's
+``CopyForm``-then-``AddMatMat`` split, sparse-matrix.cc:21,140).
+
+The symbolic phase enumerates all (a_entry, b_entry) contraction pairs
+(k-matches) and the output slot each pair accumulates into:
+
+    C.data[slot] = Σ_{pairs p: target(p)=slot} A.data[pa[p]] * B.data[pb[p]]
+
+No reference analogue exists (SURVEY §7 phase C) — verified against scipy.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats import CSR
+from ..formats.base import default_index_dtype, register_sparse_pytree
+
+__all__ = ["SpGEMMPlan", "spgemm_plan", "spgemm_apply", "spgemm"]
+
+
+@register_sparse_pytree
+@dataclasses.dataclass(frozen=True)
+class SpGEMMPlan:
+    """Precomputed multiply program for a fixed (A, B) sparsity pattern."""
+
+    pa: jnp.ndarray  # (n_pairs_cap,) index into A.data
+    pb: jnp.ndarray  # (n_pairs_cap,) index into B.data
+    target: jnp.ndarray  # (n_pairs_cap,) index into C.data (out-of-range pad)
+    c_indptr: jnp.ndarray  # (m+1,)
+    c_indices: jnp.ndarray  # (c_nnz_cap,)
+    c_row_ids: jnp.ndarray  # (c_nnz_cap,)
+    shape: Tuple[int, int] = dataclasses.field(metadata={"static": True})
+    n_pairs: int = dataclasses.field(metadata={"static": True})
+    c_nnz: int = dataclasses.field(metadata={"static": True})
+
+    @property
+    def nnz(self) -> int:
+        return self.c_nnz
+
+
+def spgemm_plan(A: CSR, B: CSR, pair_capacity: int | None = None,
+                c_capacity: int | None = None) -> SpGEMMPlan:
+    """Symbolic phase (host).  O(flops) enumeration via scipy structure."""
+    sa = A.to_scipy().tocsr()
+    sb = B.to_scipy().tocsr()
+    m, ka = sa.shape
+    kb, n = sb.shape
+    if ka != kb:
+        raise ValueError(f"spgemm: inner dims {ka} != {kb}")
+
+    # output structure from boolean product
+    import scipy.sparse as sp
+
+    pattern = ((sa != 0) @ (sb != 0)).tocsr()
+    pattern.sort_indices()
+    c_nnz = int(pattern.nnz)
+
+    # map (row, col) -> C slot
+    # enumerate pairs: for each A entry (i, k, pa_idx), for each B entry in
+    # row k: (k, j, pb_idx) -> target slot of (i, j)
+    pa_list = []
+    pb_list = []
+    tgt_list = []
+    b_indptr, b_indices = sb.indptr, sb.indices
+    c_indptr, c_indices = pattern.indptr, pattern.indices
+    for i in range(m):
+        row_slots = {}
+        cs, ce = c_indptr[i], c_indptr[i + 1]
+        for s in range(cs, ce):
+            row_slots[int(c_indices[s])] = s
+        for ai in range(sa.indptr[i], sa.indptr[i + 1]):
+            k = int(sa.indices[ai])
+            for bi in range(b_indptr[k], b_indptr[k + 1]):
+                j = int(b_indices[bi])
+                pa_list.append(ai)
+                pb_list.append(bi)
+                tgt_list.append(row_slots[j])
+    n_pairs = len(pa_list)
+    pcap = max(n_pairs, 1) if pair_capacity is None else int(pair_capacity)
+    ccap = max(c_nnz, 1) if c_capacity is None else int(c_capacity)
+
+    pa = np.zeros(pcap, dtype=np.int64)
+    pb = np.zeros(pcap, dtype=np.int64)
+    tgt = np.full(pcap, ccap, dtype=np.int64)  # pad targets out of range
+    pa[:n_pairs] = pa_list
+    pb[:n_pairs] = pb_list
+    tgt[:n_pairs] = tgt_list
+
+    ci = np.zeros(ccap, dtype=np.int64)
+    ci[:c_nnz] = c_indices
+    crow = np.full(ccap, m, dtype=np.int64)
+    crow[:c_nnz] = np.repeat(np.arange(m), np.diff(c_indptr))
+
+    idt = default_index_dtype
+    return SpGEMMPlan(
+        pa=jnp.asarray(pa, idt),
+        pb=jnp.asarray(pb, idt),
+        target=jnp.asarray(tgt, idt),
+        c_indptr=jnp.asarray(c_indptr, idt),
+        c_indices=jnp.asarray(ci, idt),
+        c_row_ids=jnp.asarray(crow, idt),
+        shape=(m, n),
+        n_pairs=n_pairs,
+        c_nnz=c_nnz,
+    )
+
+
+def spgemm_apply(plan: SpGEMMPlan, a_data, b_data) -> CSR:
+    """Numeric phase (device, jittable): gather-multiply-segment_sum."""
+    prod = a_data[plan.pa] * b_data[plan.pb]
+    # padding pairs gather real values but scatter to the drop slot
+    c_data = jax.ops.segment_sum(prod, plan.target,
+                                 num_segments=plan.c_indices.shape[0] + 1)[:-1]
+    return CSR(
+        indptr=plan.c_indptr,
+        indices=plan.c_indices,
+        data=c_data,
+        row_ids=plan.c_row_ids,
+        shape=plan.shape,
+        nnz=plan.c_nnz,
+    )
+
+
+def spgemm(A: CSR, B: CSR) -> CSR:
+    """One-shot SpGEMM (symbolic on host + numeric on device)."""
+    plan = spgemm_plan(A, B)
+    return spgemm_apply(plan, A.data, B.data)

@@ -1,0 +1,107 @@
+"""SpMV: ``y = A @ x`` for every sparse format.
+
+Each format gets a pure-jnp reference implementation (the ``_naive`` analogue
+of the reference, /root/reference/src/sparse/kernel.cc:322-338, used both as
+oracle and CPU fallback) and, where profitable, a Pallas fast path selected
+by ``config``.
+
+The reference's per-nonzero scalar accumulation is replaced by vectorized
+gathers + ``segment_sum`` (CSR/COO) or 2-D gather/reduce (ELL) or block
+matvecs (BSR/BlockedELL) — the idiomatic XLA/TPU formulations.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import config
+from ..formats import BSR, COO, CSR, ELL, BlockedELL, CodebookCSR
+
+__all__ = ["spmv", "spmv_reference"]
+
+
+# ---------------------------------------------------------------------------
+# jnp reference implementations
+# ---------------------------------------------------------------------------
+
+def _spmv_csr_jnp(A: CSR, x):
+    rid = A._row_ids_or_compute()
+    prod = A.data * x[A.indices]
+    # padding entries have data == 0; out-of-range rid (== rows) are dropped
+    return jax.ops.segment_sum(prod, rid, num_segments=A.shape[0])
+
+
+def _spmv_coo_jnp(A: COO, x):
+    prod = A.data * x[A.col]
+    return jax.ops.segment_sum(prod, A.row, num_segments=A.shape[0])
+
+
+def _spmv_ell_jnp(A: ELL, x):
+    # (rows, R) gather; padding has data == 0 so no mask needed
+    return jnp.sum(A.data * x[A.cols], axis=1)
+
+
+def _spmv_bsr_jnp(A: BSR, x):
+    bm, bn = A.block_shape
+    nbr = A.num_block_rows
+    nbc = -(-A.shape[1] // bn)
+    xp = jnp.zeros((nbc * bn,), x.dtype).at[: A.shape[1]].set(x)
+    xb = xp.reshape(nbc, bn)
+    gathered = xb[A.indices]  # (block_capacity, bn)
+    # block matvec on each stored block: (cap, bm, bn) @ (cap, bn) -> (cap, bm)
+    prod = jnp.einsum("kij,kj->ki", A.data, gathered)
+    brow = (
+        A.block_row_ids
+        if A.block_row_ids is not None
+        else A._block_row_ids_or_compute()
+    )
+    acc = jax.ops.segment_sum(prod, brow, num_segments=nbr)  # (nbr, bm)
+    return acc.reshape(nbr * bm)[: A.shape[0]]
+
+
+def _spmv_bell_jnp(A: BlockedELL, x):
+    bm, bk = A.block_shape
+    nbr, M = A.block_cols.shape
+    nbc = -(-A.shape[1] // bk)
+    xp = jnp.zeros((nbc * bk,), x.dtype).at[: A.shape[1]].set(x)
+    xb = xp.reshape(nbc, bk)
+    gathered = xb[A.block_cols]  # (nbr, M, bk) — padded blocks are zero-valued
+    acc = jnp.einsum("rmij,rmj->ri", A.blocks, gathered)  # (nbr, bm)
+    return acc.reshape(nbr * bm)[: A.shape[0]]
+
+
+def _spmv_codebook_jnp(A: CodebookCSR, x):
+    return _spmv_csr_jnp(A.to_csr(), x)
+
+
+_JNP_IMPLS = {
+    CSR: _spmv_csr_jnp,
+    COO: _spmv_coo_jnp,
+    ELL: _spmv_ell_jnp,
+    BSR: _spmv_bsr_jnp,
+    BlockedELL: _spmv_bell_jnp,
+    CodebookCSR: _spmv_codebook_jnp,
+}
+
+
+def spmv_reference(A, x):
+    """Pure-jnp SpMV (oracle / CPU fallback)."""
+    impl = _JNP_IMPLS.get(type(A))
+    if impl is None:
+        raise TypeError(f"spmv: unsupported format {type(A).__name__}")
+    return impl(A, x)
+
+
+def spmv(A, x):
+    """``y = A @ x``.  Dispatches to Pallas on TPU where beneficial."""
+    if x.ndim != 1 or x.shape[0] != A.shape[1]:
+        raise ValueError(
+            f"spmv: x shape {x.shape} incompatible with matrix {A.shape}"
+        )
+    if config.use_pallas():
+        from ..kernels import spmv_pallas
+
+        impl = spmv_pallas.PALLAS_IMPLS.get(type(A))
+        if impl is not None:
+            return impl(A, x)
+    return spmv_reference(A, x)

@@ -1,0 +1,25 @@
+"""Pallas kernels vs jnp reference (interpret mode on CPU).
+
+Kernel-vs-naive property testing, odd shapes included — the strategy of the
+reference's kernel_test (/root/reference/src/sparse/kernel_test.cc:27-57).
+Compiled-mode equivalence on real TPU is covered by the bench harness.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparsematrix_tpu.formats import CSR, csr_to_blocked_ell
+from sparsematrix_tpu.ops import spmm_reference
+from sparsematrix_tpu.utils.testutils import gen_random_dense_sparse
+
+
+@pytest.mark.parametrize("shape,k", [((64, 256), 128), ((120, 300), 64)])
+def test_blocked_ell_spmm_kernel_interpret(rng, shape, k):
+    from sparsematrix_tpu.kernels.spmm_pallas import spmm_blocked_ell
+
+    dense = gen_random_dense_sparse(rng, *shape, density=0.1)
+    bell = csr_to_blocked_ell(CSR.fromdense(dense), block_shape=(8, 128))
+    X = jnp.asarray(rng.uniform(-1, 1, size=(shape[1], k)).astype(np.float32))
+    got = np.asarray(spmm_blocked_ell(bell, X))
+    want = np.asarray(spmm_reference(bell, X))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-2)

@@ -1,0 +1,54 @@
+"""SpGEMM vs scipy oracle; plan reuse across value changes."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparsematrix_tpu.formats import CSR
+from sparsematrix_tpu.ops import spgemm, spgemm_apply, spgemm_plan
+from sparsematrix_tpu.utils.testutils import gen_random_dense_sparse
+
+
+@pytest.mark.parametrize("shapes", [((20, 30), (30, 25)), ((64, 64), (64, 64))])
+@pytest.mark.parametrize("density", [0.05, 0.2])
+def test_spgemm_vs_scipy(rng, shapes, density):
+    (m, k), (k2, n) = shapes
+    a = gen_random_dense_sparse(rng, m, k, density=density)
+    b = gen_random_dense_sparse(rng, k2, n, density=density)
+    A, B = CSR.fromdense(a), CSR.fromdense(b)
+    C = spgemm(A, B)
+    oracle = a.astype(np.float64) @ b.astype(np.float64)
+    np.testing.assert_allclose(np.asarray(C.todense()), oracle,
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_spgemm_plan_reuse_jit(rng):
+    """Numeric phase is jittable and reusable for new values on the same
+    pattern (encode-once / multiply-many)."""
+    a = gen_random_dense_sparse(rng, 32, 40, density=0.15)
+    b = gen_random_dense_sparse(rng, 40, 24, density=0.15)
+    A, B = CSR.fromdense(a), CSR.fromdense(b)
+    plan = spgemm_plan(A, B)
+    f = jax.jit(lambda p, da, db: spgemm_apply(p, da, db).data)
+
+    d1 = np.asarray(f(plan, A.data, B.data))
+    # same pattern, new values
+    A2 = CSR.fromdense(a * 3.0)
+    d2 = np.asarray(f(plan, A2.data, B.data))
+    np.testing.assert_allclose(d2, 3.0 * d1, rtol=1e-5, atol=1e-4)
+
+
+def test_spgemm_empty_product(rng):
+    a = np.zeros((8, 8), np.float32)
+    a[0, 1] = 2.0
+    b = np.zeros((8, 8), np.float32)
+    b[2, 3] = 5.0  # no k-match with a
+    C = spgemm(CSR.fromdense(a), CSR.fromdense(b))
+    np.testing.assert_array_equal(np.asarray(C.todense()), np.zeros((8, 8)))
+
+
+def test_spgemm_shape_mismatch(rng):
+    A = CSR.fromdense(np.eye(4, dtype=np.float32))
+    B = CSR.fromdense(np.eye(5, dtype=np.float32))
+    with pytest.raises(ValueError):
+        spgemm(A, B)
