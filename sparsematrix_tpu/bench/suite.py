@@ -26,7 +26,7 @@ from ..utils.testutils import (
     gen_sparse_index_matrix,
     relative_check,
 )
-from ..utils.timer import bench_fn
+from ..utils.timer import bench_fn, bench_fn_slope
 from .harness import BenchRegistry, Row
 
 registry = BenchRegistry()
@@ -54,13 +54,29 @@ def bench_csr_spmv(check=True, sizes=(4096,), **kw):
             A = CSR.fromdense(dense)
             x = jnp.asarray(gen_matrix_random(rng, n, 1)[:, 0])
             f = jax.jit(lambda a, v: spmv(a, v))
-            res = bench_fn(f, A, x)
+            res = bench_fn_slope(f, A, x, iters=6)
             checked = None
             if check:
                 checked = relative_check(np.asarray(f(A, x)), dense @ np.asarray(x))
             sol = speed_of_light_nnz_s(A.nnz, spmv_csr_bytes(A.nnz, n, n))
             r = Row("csr_spmv/random", f"n={n},nnz/row={nnz_row}", res,
                     nnz=A.nnz, checked=checked)
+            r.sol_frac = r.nnz_per_s / sol
+            rows.append(r)
+        for bw in (9, 65):
+            dense = _banded(rng, n, bw)
+            A = CSR.fromdense(dense)
+            x = jnp.asarray(gen_matrix_random(rng, n, 1)[:, 0])
+            f = jax.jit(lambda a, v: spmv(a, v))
+            res = bench_fn_slope(f, A, x, iters=6)
+            checked = (
+                relative_check(np.asarray(f(A, x)), dense @ np.asarray(x))
+                if check
+                else None
+            )
+            sol = speed_of_light_nnz_s(A.nnz, spmv_csr_bytes(A.nnz, n, n))
+            r = Row("csr_spmv/banded", f"n={n},band={bw}", res, nnz=A.nnz,
+                    checked=checked)
             r.sol_frac = r.nnz_per_s / sol
             rows.append(r)
     return rows
@@ -78,7 +94,7 @@ def bench_spmm_csr(check=True, n=2048, density=0.05, ks=(32, 128, 512), **kw):
             ("spmm_csr/segsum", jax.jit(functools.partial(spmm_reference))),
             ("spmm_csr/densify", jax.jit(functools.partial(spmm_densify))),
         ):
-            res = bench_fn(f, A, X)
+            res = bench_fn_slope(f, A, X, iters=6)
             checked = None
             if check:
                 checked = relative_check(np.asarray(f(A, X)),
@@ -104,7 +120,7 @@ def bench_spmm_bell(check=True, n=2048, density=0.05, ks=(128, 512), **kw):
     for k in ks:
         X = jnp.asarray(gen_matrix_random(rng, n, k))
         f = jax.jit(spmm_blocked_ell)
-        res = bench_fn(f, bell, X)
+        res = bench_fn_slope(f, bell, X, iters=6)
         checked = None
         if check:
             checked = relative_check(np.asarray(f(bell, X)),
@@ -135,14 +151,14 @@ def bench_bsr(check=True, n=2048, block=(8, 8), density=0.05, k=128, **kw):
     X = jnp.asarray(gen_matrix_random(rng, n, k))
     rows = []
     f1 = jax.jit(lambda a, v: spmv(a, v))
-    res = bench_fn(f1, A, x)
+    res = bench_fn_slope(f1, A, x, iters=6)
     chk = relative_check(np.asarray(f1(A, x)), dense @ np.asarray(x)) if check else None
     sol = speed_of_light_nnz_s(A.nnz, spmv_csr_bytes(A.nnz, n, n, idx_bytes=4 / (block[0] * block[1])))
     r = Row("bsr/spmv", f"n={n},b={block},d={density}", res, nnz=A.nnz, checked=chk)
     r.sol_frac = r.nnz_per_s / sol
     rows.append(r)
     f2 = jax.jit(lambda a, m: spmm(a, m, method="sparse"))
-    res = bench_fn(f2, A, X)
+    res = bench_fn_slope(f2, A, X, iters=6)
     chk = (
         relative_check(np.asarray(f2(A, X)), dense.astype(np.float64) @ np.asarray(X))
         if check
@@ -159,21 +175,45 @@ def bench_bsr(check=True, n=2048, block=(8, 8), density=0.05, k=128, **kw):
 def bench_codebook_gemm(check=True, m=REF_M, n=REF_N, k=REF_K, density=0.25,
                         **kw):
     """The reference's own benchmark: sparse AddMatMat at its default shape
-    (blas_test.cc:32, blas_test.h:216-252)."""
+    (blas_test.cc:32, blas_test.h:216-252).  Three framework paths:
+    CodebookCSR auto (density-adaptive densify), CodebookCSR forced sparse
+    (segment-sum), and CodebookDense (dequant LUT → MXU)."""
+    from ..formats import CodebookDense
+    from ..ops import spmm
+
     rng = np.random.default_rng(4)
     a = jnp.asarray(gen_matrix_random(rng, m, k))
     c = jnp.asarray(gen_matrix_random(rng, m, n))
     idx_mtx, table = gen_sparse_index_matrix(rng, k, n, density=density,
                                              table_size=255)
-    b_t = CodebookCSR.from_index_matrix(idx_mtx, table, trans=True)
-    f = jax.jit(lambda aa, bb, cc: add_mat_mat(aa, bb, cc, 1.0, 1.0))
-    res = bench_fn(f, a, b_t, c)
-    checked = None
-    if check:
-        b_dense = np.asarray(b_t.todense()).T.astype(np.float64)
-        oracle = np.asarray(c) + np.asarray(a).astype(np.float64) @ b_dense
-        checked = relative_check(np.asarray(f(a, b_t, c)), oracle)
-    r = Row("codebook_gemm/ref-shape", f"m={m},n={n},k={k},d={density}", res,
-            nnz=b_t.nnz, checked=checked)
-    r.extras = {"vs_baseline": REF_BASELINE_MS / res.min_ms}
-    return [r]
+    b_csr = CodebookCSR.from_index_matrix(idx_mtx, table, trans=True)
+    b_dns = CodebookDense.from_index_matrix(idx_mtx, table, trans=True)
+    b_dense_np = np.asarray(b_csr.todense()).T.astype(np.float64)
+    oracle = np.asarray(c) + np.asarray(a).astype(np.float64) @ b_dense_np
+
+    from ..kernels.codebook_pallas import codebook_matmul
+
+    rows = []
+    all_variants = {
+        "csr-auto": (b_csr,
+                     jax.jit(lambda aa, bb, cc: add_mat_mat(aa, bb, cc, 1.0, 1.0))),
+        "csr-segsum": (b_csr,
+                       jax.jit(lambda aa, bb, cc: cc + spmm(bb, aa.T, method="sparse").T)),
+        "dense-dequant": (b_dns,
+                          jax.jit(lambda aa, bb, cc: cc + spmm_densify(bb, aa.T).T)),
+        "fused-pallas": (b_dns,
+                         jax.jit(lambda aa, bb, cc: cc + codebook_matmul(aa, bb))),
+    }
+    names = kw.get("variants") or ("csr-auto", "fused-pallas")
+    for vname in names:
+        b, f = all_variants[vname]
+        name = f"codebook_gemm/{vname}"
+        res = bench_fn_slope(f, a, b, c, iters=6)
+        checked = (
+            relative_check(np.asarray(f(a, b, c)), oracle) if check else None
+        )
+        r = Row(name, f"m={m},n={n},k={k},d={density}", res, nnz=b_csr.nnz,
+                checked=checked)
+        r.extras = {"vs_baseline": REF_BASELINE_MS / res.min_ms}
+        rows.append(r)
+    return rows

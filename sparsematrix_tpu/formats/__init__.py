@@ -3,6 +3,7 @@ from .coo import COO
 from .csr import CSR, CSC
 from .ell import ELL, BlockedELL
 from .bsr import BSR
+from .codebook_dense import CodebookDense
 from .codebook import (
     CodebookCSR,
     CodebookStream,
@@ -29,6 +30,7 @@ __all__ = [
     "BlockedELL",
     "BSR",
     "CodebookCSR",
+    "CodebookDense",
     "CodebookStream",
     "encode_stream",
     "decode_stream",

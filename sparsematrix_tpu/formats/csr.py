@@ -107,8 +107,11 @@ class CSR(SparseFormat):
     def todense(self):
         rid = self._row_ids_or_compute()
         out = jnp.zeros(self.shape, dtype=self.data.dtype)
+        # each stored slot is a distinct (row, col); padding rows land at
+        # rid == rows and are dropped — so the scatter is unique-indexed,
+        # which XLA can vectorize instead of serializing.
         return out.at[rid, self.indices].add(
-            self.data, mode="drop"
+            self.data, mode="drop", unique_indices=True
         )
 
     def to_scipy(self):

@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import config
-from ..formats import BSR, COO, CSR, ELL, BlockedELL, CodebookCSR
+from ..formats import BSR, COO, CSR, ELL, BlockedELL, CodebookCSR, CodebookDense
 
 __all__ = ["spmm", "spmm_reference", "spmm_right"]
 
@@ -67,6 +67,17 @@ def _spmm_codebook_jnp(A: CodebookCSR, X):
     return _spmm_csr_jnp(A.to_csr(), X)
 
 
+def _spmm_codebook_dense_jnp(A: CodebookDense, X):
+    # dequant (vectorized 256-entry LUT) straight into the MXU
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if X.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    return jnp.dot(A.todense(), X, preferred_element_type=X.dtype,
+                   precision=precision)
+
+
 _JNP_IMPLS = {
     CSR: _spmm_csr_jnp,
     COO: _spmm_coo_jnp,
@@ -74,6 +85,7 @@ _JNP_IMPLS = {
     BSR: _spmm_bsr_jnp,
     BlockedELL: _spmm_bell_jnp,
     CodebookCSR: _spmm_codebook_jnp,
+    CodebookDense: _spmm_codebook_dense_jnp,
 }
 
 
@@ -124,15 +136,26 @@ def spmm(A, X, method: str = "auto"):
         raise ValueError(
             f"spmm: X shape {X.shape} incompatible with matrix {A.shape}"
         )
-    if method == "densify" or (method == "auto" and _should_densify(A)):
+    if method == "densify":
         return spmm_densify(A, X)
-    if config.use_pallas():
-        from ..kernels import spmm_pallas
-
-        impl = spmm_pallas.PALLAS_IMPLS.get(type(A))
+    if method != "jnp" and config.use_pallas():
+        impl = _pallas_impl(type(A))
         if impl is not None:
             return impl(A, X)
+    if method == "auto" and _should_densify(A):
+        return spmm_densify(A, X)
     return spmm_reference(A, X)
+
+
+def _pallas_impl(cls):
+    from ..kernels import bsr_pallas, spmm_pallas
+
+    impl = spmm_pallas.PALLAS_IMPLS.get(cls) or bsr_pallas.PALLAS_IMPLS.get(cls)
+    if impl is None and cls is CodebookDense:
+        from ..kernels.codebook_pallas import codebook_matmul
+
+        impl = lambda A, X: codebook_matmul(X.T, A).T
+    return impl
 
 
 def spmm_right(X, A_transposed):

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import config
-from ..formats import BSR, COO, CSR, ELL, BlockedELL, CodebookCSR
+from ..formats import BSR, COO, CSR, ELL, BlockedELL, CodebookCSR, CodebookDense
 
 __all__ = ["spmv", "spmv_reference"]
 
@@ -74,6 +74,10 @@ def _spmv_codebook_jnp(A: CodebookCSR, x):
     return _spmv_csr_jnp(A.to_csr(), x)
 
 
+def _spmv_codebook_dense_jnp(A: CodebookDense, x):
+    return A.todense() @ x
+
+
 _JNP_IMPLS = {
     CSR: _spmv_csr_jnp,
     COO: _spmv_coo_jnp,
@@ -81,6 +85,7 @@ _JNP_IMPLS = {
     BSR: _spmv_bsr_jnp,
     BlockedELL: _spmv_bell_jnp,
     CodebookCSR: _spmv_codebook_jnp,
+    CodebookDense: _spmv_codebook_dense_jnp,
 }
 
 

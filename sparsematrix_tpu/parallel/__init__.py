@@ -1,5 +1,11 @@
 from .partition import PartitionedCSR, partition_csr_rows, partition_csr_cols
 from .dist_ops import dist_spmv, dist_spmm, shard_partitioned, make_mesh
+from .dist_spgemm import (
+    DistSpGEMMPlan,
+    dist_spgemm_plan,
+    dist_spgemm_apply,
+    shard_dist_spgemm,
+)
 
 __all__ = [
     "PartitionedCSR",
@@ -9,4 +15,8 @@ __all__ = [
     "dist_spmm",
     "shard_partitioned",
     "make_mesh",
+    "DistSpGEMMPlan",
+    "dist_spgemm_plan",
+    "dist_spgemm_apply",
+    "shard_dist_spgemm",
 ]

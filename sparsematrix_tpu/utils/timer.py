@@ -80,3 +80,73 @@ def bench_fn(fn: Callable, *args, iters: int = 20, warmup: int = 3) -> BenchResu
         compile_ms=compile_ms,
         iters=iters,
     )
+
+
+def _looped(fn: Callable, n_args: int, inner: int):
+    """Build a jitted wrapper running ``fn`` ``inner`` times in one device
+    computation.  The loop counter perturbs **every** float leaf of every
+    argument by a denormal-scale epsilon so XLA cannot hoist any part of
+    the body out of the loop (an unperturbed operand makes its whole
+    dataflow cone loop-invariant); a scalar probe of each output forces
+    full evaluation."""
+    import jax
+    import jax.numpy as jnp
+
+    def probe(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return jnp.asarray(leaf).ravel()[0].astype(jnp.float32)
+
+    @jax.jit
+    def run(*args):
+        def body(i, acc):
+            eps = jnp.asarray(i, jnp.float32) * jnp.float32(1e-30)
+            perturbed = jax.tree_util.tree_map(
+                lambda a: a + eps.astype(a.dtype)
+                if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+                else a,
+                args,
+            )
+            out = fn(*perturbed)
+            return acc + probe(out)
+
+        return jax.lax.fori_loop(0, inner, body, jnp.float32(0.0))
+
+    return run
+
+
+def bench_fn_slope(fn: Callable, *args, inner_lo: int = 8, inner_hi: int = 72,
+                   iters: int = 8, warmup: int = 1) -> BenchResult:
+    """Dispatch-latency-immune timing: run ``fn`` inner_lo and inner_hi
+    times inside single device computations; the per-op time is the slope
+    (T_hi - T_lo) / (inner_hi - inner_lo), which cancels any constant
+    host↔device round-trip cost (the axon relay adds tens of ms per call).
+    """
+    lo = _looped(fn, len(args), inner_lo)
+    hi = _looped(fn, len(args), inner_hi)
+    t0 = time.perf_counter()
+    lo(*args).block_until_ready()
+    hi(*args).block_until_ready()
+    compile_ms = (time.perf_counter() - t0) * 1e3
+    for _ in range(warmup):
+        lo(*args).block_until_ready()
+        hi(*args).block_until_ready()
+
+    def sample(g):
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            g(*args).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        return best * 1e3
+
+    t_lo = sample(lo)
+    t_hi = sample(hi)
+    per_op = max((t_hi - t_lo) / (inner_hi - inner_lo), 1e-6)
+    return BenchResult(
+        mean_ms=per_op,
+        min_ms=per_op,
+        compile_ms=compile_ms,
+        iters=iters,
+        extras={"t_lo_ms": t_lo, "t_hi_ms": t_hi,
+                "inner": (inner_lo, inner_hi)},
+    )

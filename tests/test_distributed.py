@@ -65,6 +65,24 @@ def test_dist_spmm_rows(rng, mesh, k):
     np.testing.assert_allclose(Y, oracle, rtol=1e-4, atol=0.5)
 
 
+def test_dist_spgemm(rng, mesh):
+    from sparsematrix_tpu.parallel import (
+        dist_spgemm_apply,
+        dist_spgemm_plan,
+        shard_dist_spgemm,
+    )
+
+    a = gen_random_dense_sparse(rng, 40, 64, density=0.15)
+    b = gen_random_dense_sparse(rng, 64, 36, density=0.15)
+    plan = shard_dist_spgemm(
+        dist_spgemm_plan(CSR.fromdense(a), CSR.fromdense(b), 8), mesh
+    )
+    C = dist_spgemm_apply(plan, mesh)
+    oracle = a.astype(np.float64) @ b.astype(np.float64)
+    np.testing.assert_allclose(np.asarray(C.todense()), oracle,
+                               rtol=1e-4, atol=1.0)
+
+
 def test_dist_spmv_jit_compiles(rng, mesh):
     """The whole distributed op must be jittable end-to-end."""
     dense = gen_random_dense_sparse(rng, 64, 64, density=0.3)

@@ -23,3 +23,36 @@ def test_blocked_ell_spmm_kernel_interpret(rng, shape, k):
     got = np.asarray(spmm_blocked_ell(bell, X))
     want = np.asarray(spmm_reference(bell, X))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-2)
+
+
+@pytest.mark.parametrize("shape,k", [((128, 256), 64), ((96, 300), 128)])
+def test_bsr_spmm_kernel_interpret(rng, shape, k):
+    from sparsematrix_tpu.formats import csr_to_bsr
+    from sparsematrix_tpu.kernels.bsr_pallas import spmm_bsr
+
+    dense = gen_random_dense_sparse(rng, *shape, density=0.05)
+    dense[8:16] = 0  # force an empty block row
+    A = csr_to_bsr(CSR.fromdense(dense), block_shape=(8, 128))
+    X = jnp.asarray(rng.uniform(-1, 1, size=(shape[1], k)).astype(np.float32))
+    got = np.asarray(spmm_bsr(A, X))
+    want = np.asarray(spmm_reference(A, X))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-2)
+
+
+@pytest.mark.parametrize("mnk", [(29, 200, 300), (8, 128, 256)])
+def test_codebook_matmul_kernel_interpret(rng, mnk):
+    from sparsematrix_tpu.formats import CodebookDense
+    from sparsematrix_tpu.kernels.codebook_pallas import codebook_matmul
+    from sparsematrix_tpu.utils.testutils import (
+        gen_matrix_random,
+        gen_sparse_index_matrix,
+    )
+
+    m, n, k = mnk
+    a = jnp.asarray(gen_matrix_random(rng, m, k))
+    idx, table = gen_sparse_index_matrix(rng, k, n, density=0.25,
+                                         table_size=255)
+    b_t = CodebookDense.from_index_matrix(idx, table, trans=True)
+    got = np.asarray(codebook_matmul(a, b_t))
+    want = np.asarray(a).astype(np.float64) @ np.asarray(b_t.todense()).T
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=0.5)
