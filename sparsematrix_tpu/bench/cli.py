@@ -28,6 +28,26 @@ def main(argv=None):
                 registry.run(filt, check=check, m=mi, n=ni, k=ki)
     registry.print_table()
 
+    json_path = argv[5] if len(argv) > 5 else None
+    if json_path:
+        import json
+
+        rows = [
+            {
+                "name": r.name,
+                "shape": r.shape,
+                "min_ms": r.result.min_ms,
+                "mean_ms": r.result.mean_ms,
+                "gnnz_per_s": r.nnz_per_s / 1e9,
+                "sol_frac": r.sol_frac,
+                "checked": r.checked,
+                "nnz": r.nnz,
+            }
+            for r in registry.rows
+        ]
+        with open(json_path, "w") as f:
+            json.dump(rows, f, indent=1)
+
 
 if __name__ == "__main__":
     main()

@@ -208,12 +208,21 @@ def bench_codebook_gemm(check=True, m=REF_M, n=REF_N, k=REF_K, density=0.25,
     for vname in names:
         b, f = all_variants[vname]
         name = f"codebook_gemm/{vname}"
-        res = bench_fn_slope(f, a, b, c, iters=6)
-        checked = (
-            relative_check(np.asarray(f(a, b, c)), oracle) if check else None
-        )
+        try:
+            res = bench_fn_slope(f, a, b, c, iters=6)
+            checked = (
+                relative_check(np.asarray(f(a, b, c)), oracle) if check else None
+            )
+        except Exception as e:  # a variant failing to compile must not
+            import sys          # take down the whole bench
+
+            print(f"[bench] variant {name} failed: {type(e).__name__}",
+                  file=sys.stderr)
+            continue
         r = Row(name, f"m={m},n={n},k={k},d={density}", res, nnz=b_csr.nnz,
                 checked=checked)
         r.extras = {"vs_baseline": REF_BASELINE_MS / res.min_ms}
         rows.append(r)
+    if not rows:
+        raise RuntimeError("all codebook_gemm variants failed")
     return rows

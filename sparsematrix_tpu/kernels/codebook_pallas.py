@@ -5,16 +5,16 @@ codebook-quantized (AddMatMat, /root/reference/src/sparse/sparse-matrix.cc:140).
 Its CPU kernel streams (delta, idx) pairs and does scalar AXPYs
 (kernel.cc:771-800).  The TPU-native formulation here:
 
-  * B is stored transposed as a dense uint8 index plane (``CodebookDense``,
-    1 byte/element) — HBM traffic is 4× below fp32 and there is no
-    delta-decode on the hot path.
-  * Dequantization happens **inside the kernel** via Mosaic's lane-wise
-    ``dynamic_gather``: the 256-entry table is broadcast to (TN, 256) and
-    each 256-column chunk of indices gathers its values with
-    ``take_along_axis(table_bcast, idx_chunk, axis=1)`` — a single VPU
-    gather per chunk, no scatter, no dense B materialized in HBM.
-  * Each dequantized (TN, 256) chunk feeds the MXU immediately:
-    ``acc += chunk @ A^T[chunk_range]``.
+  * B is stored transposed as a dense index plane (``CodebookDense``) —
+    no delta-decode on the hot path.
+  * Dequantization happens **inside the kernel** via Mosaic's
+    ``dynamic_gather`` (``take_along_axis`` along lanes).  Hardware
+    constraint discovered empirically: the gather only compiles at the
+    native (8, 128) vreg tile, so the 256-entry table is split into two
+    128-lane halves broadcast over 8 sublanes, and each (8, 128) index
+    tile does two gathers + a select.
+  * Each dequantized (8, 128) value tile feeds the MXU immediately:
+    ``acc += vals @ A^T[chunk]`` — dense B never exists in HBM.
 
 Computes C^T tiles (grid over n); the final transpose is an XLA layout
 choice, not a data movement.
@@ -34,41 +34,48 @@ from .spmm_pallas import _matmul_precision
 
 __all__ = ["codebook_matmul"]
 
-_CHUNK = 256  # table gather width (the full 256-slot codebook)
+_LANES = 128
+_TN = 8  # output rows (of C^T) per grid step = one vreg of sublanes
 
 
-def _cb_kernel(idx_ref, table_ref, at_ref, o_ref, *, k_chunks: int, precision):
-    tn = o_ref.shape[0]
-    table_b = jnp.broadcast_to(table_ref[0, :], (tn, _CHUNK))
+def _cb_kernel(idx_ref, tlo_ref, thi_ref, at_ref, o_ref, *, k_chunks: int,
+               precision):
     acc = jnp.zeros(o_ref.shape, jnp.float32)
     for c in range(k_chunks):
-        idx_c = idx_ref[:, c * _CHUNK : (c + 1) * _CHUNK].astype(jnp.int32)
-        vals = jnp.take_along_axis(table_b, idx_c, axis=1)  # (TN, 256)
+        idx8 = idx_ref[:, c * _LANES : (c + 1) * _LANES]  # (8, 128) int32
+        in_lo = idx8 < _LANES
+        lo = jnp.take_along_axis(tlo_ref[:], jnp.where(in_lo, idx8, 0), axis=1)
+        hi = jnp.take_along_axis(
+            thi_ref[:], jnp.where(in_lo, 0, idx8 - _LANES), axis=1
+        )
+        vals = jnp.where(in_lo, lo, hi)  # (8, 128) dequantized
         acc = acc + jnp.dot(
             vals,
-            at_ref[pl.ds(c * _CHUNK, _CHUNK), :],
+            at_ref[pl.ds(c * _LANES, _LANES), :],
             preferred_element_type=jnp.float32,
             precision=precision,
         )
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("tn", "interpret"))
-def _cb_call(idx_pad, table256, a_t_pad, *, tn: int, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _cb_call(idx_pad, table_lo, table_hi, a_t_pad, *, interpret: bool):
     n_pad, k_pad = idx_pad.shape
     m = a_t_pad.shape[1]
-    k_chunks = k_pad // _CHUNK
+    k_chunks = k_pad // _LANES
     grid_spec = pl.GridSpec(
-        grid=(n_pad // tn,),
+        grid=(n_pad // _TN,),
         in_specs=[
-            pl.BlockSpec((tn, k_pad), lambda i: (i, 0),
+            pl.BlockSpec((_TN, k_pad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _CHUNK), lambda i: (0, 0),
+            pl.BlockSpec((_TN, _LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TN, _LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k_pad, m), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tn, m), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((_TN, m), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
@@ -80,31 +87,33 @@ def _cb_call(idx_pad, table256, a_t_pad, *, tn: int, interpret: bool):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, m), a_t_pad.dtype),
         interpret=interpret,
-    )(idx_pad, table256, a_t_pad)
+    )(idx_pad, table_lo, table_hi, a_t_pad)
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def codebook_matmul(a, b_t: CodebookDense, tn: int = 128):
+def codebook_matmul(a, b_t: CodebookDense):
     """``A @ B`` with ``b_t`` storing B^T as a CodebookDense (n, k).
 
-    Padding: k to a multiple of 256 with sentinel indices (dequant → 0, and
-    A^T pad rows are zero anyway); n to a multiple of ``tn``; the table to
+    Padding: k to a multiple of 128 with sentinel indices (dequant → 0,
+    and A^T pad rows are zero anyway); n to a multiple of 8; the table to
     256 slots (extra slots are zero, so out-of-table indices stay zeros —
     the reference's own convention, sparse-matrix.cc:44).
     """
     n, k = b_t.shape
     m = a.shape[0]
-    k_pad = _round_up(k, _CHUNK)
-    n_pad = _round_up(n, tn)
+    k_pad = _round_up(k, _LANES)
+    n_pad = _round_up(n, _TN)
     ts = b_t.table_size
-    idx_pad = jnp.full((n_pad, k_pad), ts, dtype=jnp.uint8)
-    idx_pad = idx_pad.at[:n, :k].set(b_t.idx)
-    table256 = jnp.zeros((1, _CHUNK), b_t.val_table.dtype)
-    table256 = table256.at[0, : ts + 1].set(b_t.val_table)
+    idx_pad = jnp.full((n_pad, k_pad), ts, dtype=jnp.int32)
+    idx_pad = idx_pad.at[:n, :k].set(b_t.idx.astype(jnp.int32))
+    table256 = jnp.zeros((256,), b_t.val_table.dtype)
+    table256 = table256.at[: ts + 1].set(b_t.val_table)
+    table_lo = jnp.broadcast_to(table256[:_LANES], (_TN, _LANES))
+    table_hi = jnp.broadcast_to(table256[_LANES:], (_TN, _LANES))
     a_t_pad = jnp.zeros((k_pad, m), a.dtype).at[:k].set(a.T)
-    out = _cb_call(idx_pad, table256, a_t_pad, tn=tn,
+    out = _cb_call(idx_pad, table_lo, table_hi, a_t_pad,
                    interpret=config.interpret())
     return out[:n].T  # (m, n)
