@@ -25,7 +25,7 @@ def main(argv=None):
     for mi in m:
         for ni in n:
             for ki in k:
-                registry.run(filt, check=check, m=mi, n=ni, k=ki)
+                registry.run(filt, check=check, ref_m=mi, ref_n=ni, ref_k=ki)
     registry.print_table()
 
     json_path = argv[5] if len(argv) > 5 else None

@@ -93,11 +93,25 @@ class BenchRegistry:
         return deco
 
     def run(self, filt: BenchFilter, **kwargs) -> List[Row]:
+        import sys
+        import traceback
+
         for name, fn in self._benches.items():
             if not filt.accept(name):
                 continue
-            rows = fn(**kwargs)
-            self.rows.extend(rows if isinstance(rows, list) else [rows])
+            try:
+                rows = fn(**kwargs)
+            except Exception:
+                print(f"[bench] {name} FAILED:", file=sys.stderr)
+                traceback.print_exc()
+                continue
+            rows = rows if isinstance(rows, list) else [rows]
+            for r in rows:
+                sol = f"{100*r.sol_frac:.1f}%" if r.sol_frac is not None else "-"
+                print(f"[row] {r.name} {r.shape} min={r.result.min_ms:.4f}ms "
+                      f"gnnz/s={r.nnz_per_s/1e9:.2f} sol={sol} "
+                      f"check={r.checked}", flush=True)
+            self.rows.extend(rows)
         return self.rows
 
     def print_table(self):

@@ -172,12 +172,14 @@ def bench_bsr(check=True, n=2048, block=(8, 8), density=0.05, k=128, **kw):
 
 
 @registry.register("codebook_gemm")
-def bench_codebook_gemm(check=True, m=REF_M, n=REF_N, k=REF_K, density=0.25,
-                        **kw):
+def bench_codebook_gemm(check=True, density=0.25, **kw):
     """The reference's own benchmark: sparse AddMatMat at its default shape
-    (blas_test.cc:32, blas_test.h:216-252).  Three framework paths:
-    CodebookCSR auto (density-adaptive densify), CodebookCSR forced sparse
-    (segment-sum), and CodebookDense (dequant LUT → MXU)."""
+    (blas_test.cc:32, blas_test.h:216-252), at the CLI-provided ref_m/n/k.
+    Variants: CodebookCSR auto (density-adaptive densify), forced
+    segment-sum, XLA dequant, and the fused Pallas kernel."""
+    m = kw.get("ref_m", REF_M)
+    n = kw.get("ref_n", REF_N)
+    k = kw.get("ref_k", REF_K)
     from ..formats import CodebookDense
     from ..ops import spmm
 

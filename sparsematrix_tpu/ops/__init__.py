@@ -4,6 +4,8 @@ from .addmatmat import add_mat_mat
 from .spgemm import SpGEMMPlan, spgemm, spgemm_apply, spgemm_plan
 from .trisolve import TriSolvePlan, trisolve, trisolve_apply, trisolve_plan
 from .ilu import ilu0, ilu0_plans, ilu_apply
+from .transpose_ops import spmv_t, spmm_t
+from .elementwise import scale, axpy_same_pattern, diagonal, frobenius_norm, with_data
 
 __all__ = [
     "spmv",
@@ -24,4 +26,11 @@ __all__ = [
     "ilu0",
     "ilu0_plans",
     "ilu_apply",
+    "spmv_t",
+    "spmm_t",
+    "scale",
+    "axpy_same_pattern",
+    "diagonal",
+    "frobenius_norm",
+    "with_data",
 ]

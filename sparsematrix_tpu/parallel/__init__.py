@@ -1,5 +1,11 @@
 from .partition import PartitionedCSR, partition_csr_rows, partition_csr_cols
 from .dist_ops import dist_spmv, dist_spmm, shard_partitioned, make_mesh
+from .dist_block import (
+    PartitionedBlockedELL,
+    partition_bell_rows,
+    shard_bell,
+    dist_spmm_bell,
+)
 from .dist_spgemm import (
     DistSpGEMMPlan,
     dist_spgemm_plan,
@@ -19,4 +25,8 @@ __all__ = [
     "dist_spgemm_plan",
     "dist_spgemm_apply",
     "shard_dist_spgemm",
+    "PartitionedBlockedELL",
+    "partition_bell_rows",
+    "shard_bell",
+    "dist_spmm_bell",
 ]

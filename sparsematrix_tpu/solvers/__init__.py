@@ -1,3 +1,4 @@
 from .krylov import cg, bicgstab, SolveResult
+from .gmres import gmres
 
-__all__ = ["cg", "bicgstab", "SolveResult"]
+__all__ = ["cg", "bicgstab", "gmres", "SolveResult"]

@@ -94,3 +94,20 @@ def test_dist_spmv_jit_compiles(rng, mesh):
     y1 = np.asarray(f(part, x))
     y2 = np.asarray(f(part, 2 * x))
     np.testing.assert_allclose(y2, 2 * y1, rtol=1e-5, atol=1e-3)
+
+
+def test_dist_spmm_bell(rng, mesh):
+    from sparsematrix_tpu.formats import csr_to_blocked_ell
+    from sparsematrix_tpu.parallel import (
+        dist_spmm_bell,
+        partition_bell_rows,
+        shard_bell,
+    )
+
+    dense = gen_random_dense_sparse(rng, 128, 256, density=0.05)
+    bell = csr_to_blocked_ell(CSR.fromdense(dense), block_shape=(8, 64))
+    part = shard_bell(partition_bell_rows(bell, 8), mesh)
+    X = gen_matrix_random(rng, 256, 32)
+    Y = np.asarray(dist_spmm_bell(part, jnp.asarray(X), mesh))
+    oracle = dense.astype(np.float64) @ X
+    np.testing.assert_allclose(Y, oracle, rtol=1e-4, atol=0.5)
