@@ -11,6 +11,7 @@ from .codebook import (
     decode_stream,
     stream_to_codebook_csr,
 )
+from .validate import validate
 from .convert import (
     coo_to_csr,
     csr_to_coo,
@@ -42,4 +43,5 @@ __all__ = [
     "csr_to_bsr",
     "bsr_to_csr",
     "ell_to_csr",
+    "validate",
 ]

@@ -5,6 +5,7 @@ from .spgemm import SpGEMMPlan, spgemm, spgemm_apply, spgemm_plan
 from .trisolve import TriSolvePlan, trisolve, trisolve_apply, trisolve_plan
 from .ilu import ilu0, ilu0_plans, ilu_apply
 from .transpose_ops import spmv_t, spmm_t
+from .add import SparseAddPlan, sparse_add, sparse_add_apply, sparse_add_plan
 from .elementwise import scale, axpy_same_pattern, diagonal, frobenius_norm, with_data
 
 __all__ = [
@@ -33,4 +34,8 @@ __all__ = [
     "diagonal",
     "frobenius_norm",
     "with_data",
+    "SparseAddPlan",
+    "sparse_add",
+    "sparse_add_apply",
+    "sparse_add_plan",
 ]

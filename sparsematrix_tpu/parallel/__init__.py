@@ -6,6 +6,12 @@ from .dist_block import (
     shard_bell,
     dist_spmm_bell,
 )
+from .halo import (
+    HaloPartitionedCSR,
+    partition_csr_halo,
+    dist_spmv_halo,
+)
+from .halo import shard_halo
 from .dist_spgemm import (
     DistSpGEMMPlan,
     dist_spgemm_plan,
@@ -29,4 +35,8 @@ __all__ = [
     "partition_bell_rows",
     "shard_bell",
     "dist_spmm_bell",
+    "HaloPartitionedCSR",
+    "partition_csr_halo",
+    "shard_halo",
+    "dist_spmv_halo",
 ]

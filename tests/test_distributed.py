@@ -111,3 +111,31 @@ def test_dist_spmm_bell(rng, mesh):
     Y = np.asarray(dist_spmm_bell(part, jnp.asarray(X), mesh))
     oracle = dense.astype(np.float64) @ X
     np.testing.assert_allclose(Y, oracle, rtol=1e-4, atol=0.5)
+
+
+def test_dist_spmv_halo_banded(rng, mesh):
+    from sparsematrix_tpu.parallel import (
+        dist_spmv_halo,
+        partition_csr_halo,
+        shard_halo,
+    )
+
+    n = 256
+    bw = 9
+    dense = np.zeros((n, n), dtype=np.float32)
+    for off in range(-bw // 2, bw // 2 + 1):
+        i = np.arange(max(0, -off), min(n, n - off))
+        dense[i, i + off] = rng.uniform(-1, 1, i.shape[0])
+    csr = CSR.fromdense(dense)
+    part = shard_halo(partition_csr_halo(csr, 8, halo=8), mesh)
+    x = gen_matrix_random(rng, n, 1)[:, 0]
+    y = np.asarray(dist_spmv_halo(part, jnp.asarray(x), mesh))
+    np.testing.assert_allclose(y, dense @ x, rtol=1e-4, atol=0.5)
+
+
+def test_halo_partition_rejects_nonlocal(rng):
+    from sparsematrix_tpu.parallel import partition_csr_halo
+
+    dense = gen_random_dense_sparse(rng, 64, 64, density=0.3)  # global coupling
+    with pytest.raises(ValueError):
+        partition_csr_halo(CSR.fromdense(dense), 8, halo=2)

@@ -1,0 +1,58 @@
+"""SELL lane-bucketed SpMV kernel vs jnp reference (interpret mode)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparsematrix_tpu.formats import CSR
+from sparsematrix_tpu.kernels.spmv_pallas import pack_sell, spmv_sell
+from sparsematrix_tpu.utils.testutils import gen_random_dense_sparse
+
+
+@pytest.mark.parametrize("n,d,tr", [(512, 0.05, 32), (1000, 0.02, 16),
+                                    (300, 0.2, 8), (130, 0.1, 64)])
+def test_sell_spmv_random(rng, n, d, tr):
+    dense = gen_random_dense_sparse(rng, n, n, density=d)
+    A = CSR.fromdense(dense)
+    packed = pack_sell(A, tr=tr)
+    x = rng.uniform(-1, 1, n).astype(np.float32)
+    y = np.asarray(spmv_sell(packed, jnp.asarray(x)))
+    np.testing.assert_allclose(y, dense @ x, rtol=1e-4, atol=0.5)
+
+
+def test_sell_spmv_rectangular(rng):
+    dense = gen_random_dense_sparse(rng, 100, 2500, density=0.01)
+    A = CSR.fromdense(dense)
+    packed = pack_sell(A, tr=32)
+    x = rng.uniform(-1, 1, 2500).astype(np.float32)
+    y = np.asarray(spmv_sell(packed, jnp.asarray(x)))
+    np.testing.assert_allclose(y, dense @ x, rtol=1e-4, atol=0.5)
+
+
+def test_sell_spmv_empty_tiles(rng):
+    dense = np.zeros((200, 200), dtype=np.float32)
+    dense[5, 7] = 3.0
+    dense[150, 199] = -2.0  # tiles in between have no entries
+    A = CSR.fromdense(dense)
+    packed = pack_sell(A, tr=16)
+    x = np.arange(200, dtype=np.float32)
+    y = np.asarray(spmv_sell(packed, jnp.asarray(x)))
+    np.testing.assert_allclose(y, dense @ x, atol=1e-5)
+
+
+def test_sell_spmv_zero_matrix():
+    A = CSR.fromdense(np.zeros((32, 32), dtype=np.float32))
+    packed = pack_sell(A, tr=8)
+    y = np.asarray(spmv_sell(packed, jnp.ones(32, jnp.float32)))
+    np.testing.assert_array_equal(y, np.zeros(32))
+
+
+def test_sell_deep_lane_buckets(rng):
+    """Columns concentrated in one lane → multiple slabs per bucket."""
+    dense = np.zeros((16, 256), dtype=np.float32)
+    dense[:, 128] = rng.uniform(1, 2, 16)  # all in lane 0 of window 0... lane 0
+    dense[:, 0] = rng.uniform(1, 2, 16)
+    A = CSR.fromdense(dense)
+    packed = pack_sell(A, tr=16)
+    x = rng.uniform(-1, 1, 256).astype(np.float32)
+    y = np.asarray(spmv_sell(packed, jnp.asarray(x)))
+    np.testing.assert_allclose(y, dense @ x, rtol=1e-5, atol=1e-3)
