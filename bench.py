@@ -16,7 +16,9 @@ sys.path.insert(0, "/root/repo")
 def main():
     from sparsematrix_tpu.bench.suite import bench_codebook_gemm
 
-    rows = bench_codebook_gemm(check=True)
+    # the fused Pallas kernel is the framework's recommended path for this
+    # workload; the XLA comparison variants live in the full suite CLI
+    rows = bench_codebook_gemm(check=True, variants=("fused-pallas",))
     # headline = fastest path that passes the reference's oracle check
     ok = [r for r in rows if r.checked] or rows
     r = min(ok, key=lambda r: r.result.min_ms)

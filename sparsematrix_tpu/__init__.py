@@ -8,7 +8,7 @@ SpGEMM, triangular solve, ILU(0), and multi-device distribution via
 """
 from .version import __version__
 from .config import config
-from . import formats, ops
+from . import formats, ops, parallel, solvers, io
 from .formats import (
     COO,
     CSR,

@@ -63,6 +63,27 @@ def bench_csr_spmv(check=True, sizes=(4096,), **kw):
                     nnz=A.nnz, checked=checked)
             r.sol_frac = r.nnz_per_s / sol
             rows.append(r)
+        # SELL pallas kernel rows (the packed fast path)
+        from ..kernels.spmv_pallas import pack_sell, spmv_sell
+
+        for nnz_row, tr in ((64, 32), (128, 64)):
+            dense = gen_random_dense_sparse(rng, n, n, density=nnz_row / n)
+            A = CSR.fromdense(dense)
+            packed = pack_sell(A, tr=tr)
+            x = jnp.asarray(gen_matrix_random(rng, n, 1)[:, 0])
+            f = jax.jit(lambda p, v: spmv_sell(p, v))
+            res = bench_fn_slope(f, packed, x, iters=6)
+            checked = (
+                relative_check(np.asarray(f(packed, x)), dense @ np.asarray(x))
+                if check
+                else None
+            )
+            sol = speed_of_light_nnz_s(A.nnz, spmv_csr_bytes(A.nnz, n, n))
+            r = Row("csr_spmv/sell-pallas",
+                    f"n={n},nnz/row={nnz_row},tr={tr},fill={packed.fill_rate:.2f}",
+                    res, nnz=A.nnz, checked=checked)
+            r.sol_frac = r.nnz_per_s / sol
+            rows.append(r)
         for bw in (9, 65):
             dense = _banded(rng, n, bw)
             A = CSR.fromdense(dense)
@@ -210,8 +231,11 @@ def bench_codebook_gemm(check=True, density=0.25, **kw):
     for vname in names:
         b, f = all_variants[vname]
         name = f"codebook_gemm/{vname}"
+        # fast variants need more in-graph reps to rise above the ~28 ms
+        # relay-latency noise floor
+        lo, hi = (16, 144) if vname == "fused-pallas" else (8, 72)
         try:
-            res = bench_fn_slope(f, a, b, c, iters=6)
+            res = bench_fn_slope(f, a, b, c, iters=8, inner_lo=lo, inner_hi=hi)
             checked = (
                 relative_check(np.asarray(f(a, b, c)), oracle) if check else None
             )

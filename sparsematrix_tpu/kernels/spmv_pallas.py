@@ -213,4 +213,161 @@ def spmv_sell(packed: SellSpmv, x):
     return out.reshape(packed.n_tiles * packed.tr)[:rows]
 
 
+# ---------------------------------------------------------------------------
+# Row-pure variant: one matrix row per sublane.
+#
+# The masked-sum reduction above costs ~tr VPU passes per slab and measures
+# grid/compute-bound (~240 ns/slab vs ~10 ns of HBM traffic).  Here each
+# sublane of a slab holds entries of exactly ONE matrix row (tile row u),
+# so the whole reduction is a single ``sum(axis=1)``; lane collisions
+# within a row spill to additional slabs of the same (tile, window), and
+# ``group`` slabs are processed per grid step to amortize step overhead.
+# Best for ≥32 nnz/row; below that the masked-sum variant's tr knob wins.
+# ---------------------------------------------------------------------------
+
+
+@register_sparse_pytree
+@dataclasses.dataclass(frozen=True)
+class SellRowPure:
+    s_idx: jnp.ndarray  # (n_groups, group, 8, 128) int32 window sublanes
+    vals: jnp.ndarray  # (n_groups, group, 8, 128)
+    group_tile: jnp.ndarray  # (n_groups,) int32 — sorted ascending
+    slab_win: jnp.ndarray  # (n_groups, group) int32
+    tile_nonempty: jnp.ndarray  # (n_tiles,) bool
+    shape: Tuple[int, int] = dataclasses.field(metadata={"static": True})
+    n_tiles: int = dataclasses.field(metadata={"static": True})
+    n_win: int = dataclasses.field(metadata={"static": True})
+    group: int = dataclasses.field(metadata={"static": True})
+    nnz: int = dataclasses.field(metadata={"static": True})
+
+    @property
+    def fill_rate(self) -> float:
+        return self.nnz / max(self.vals.size, 1)
+
+
+def pack_sell_rowpure(csr: CSR, group: int = 8) -> SellRowPure:
+    """Pack CSR into row-pure slabs, ``group`` slabs per grid step."""
+    sp = csr.to_scipy().tocsr()
+    rows, cols = sp.shape
+    n_tiles = -(-rows // 8)
+    n_win = max(-(-cols // _W), 1)
+    per_tile_slabs: list = []  # list of (win, s_idx (8,128), vals (8,128))
+    tile_nonempty = np.zeros(n_tiles, dtype=bool)
+    all_groups_sidx = []
+    all_groups_vals = []
+    all_groups_win = []
+    group_tile = []
+    for t in range(n_tiles):
+        r0, r1 = t * 8, min((t + 1) * 8, rows)
+        # slabs keyed by (window, depth)
+        slabs: dict = {}
+        for r in range(r0, r1):
+            u = r - r0
+            cols_r = sp.indices[sp.indptr[r] : sp.indptr[r + 1]]
+            vals_r = sp.data[sp.indptr[r] : sp.indptr[r + 1]]
+            # per window, count lane occurrences to route collisions
+            lane_seen: dict = {}
+            for c, v in zip(cols_r, vals_r):
+                w = int(c) // _W
+                lane = int(c) % _LANES
+                subl = (int(c) % _W) // _LANES
+                depth = lane_seen.get((w, u, lane), 0)
+                lane_seen[(w, u, lane)] = depth + 1
+                key = (w, depth)
+                if key not in slabs:
+                    slabs[key] = (
+                        np.zeros((8, _LANES), np.int64),
+                        np.zeros((8, _LANES), sp.data.dtype),
+                    )
+                si, vv = slabs[key]
+                si[u, lane] = subl
+                vv[u, lane] = v
+        if slabs:
+            tile_nonempty[t] = True
+            items = [(w, si, vv) for (w, d), (si, vv) in sorted(slabs.items())]
+        else:
+            items = []
+        # pad tile's slab list to a multiple of `group`
+        while len(items) % group != 0 or len(items) == 0:
+            items.append((0, np.zeros((8, _LANES), np.int64),
+                          np.zeros((8, _LANES), sp.data.dtype)))
+        for g0 in range(0, len(items), group):
+            chunk = items[g0 : g0 + group]
+            all_groups_sidx.append(np.stack([c[1] for c in chunk]))
+            all_groups_vals.append(np.stack([c[2] for c in chunk]))
+            all_groups_win.append([c[0] for c in chunk])
+            group_tile.append(t)
+    return SellRowPure(
+        s_idx=jnp.asarray(np.stack(all_groups_sidx), jnp.int32),
+        vals=jnp.asarray(np.stack(all_groups_vals)),
+        group_tile=jnp.asarray(group_tile, jnp.int32),
+        slab_win=jnp.asarray(all_groups_win, jnp.int32),
+        tile_nonempty=jnp.asarray(tile_nonempty),
+        shape=(rows, cols),
+        n_tiles=n_tiles,
+        n_win=n_win,
+        group=group,
+        nnz=csr.nnz,
+    )
+
+
+def _rowpure_kernel(tile_ref, win_ref, sidx_ref, vals_ref, x_ref, o_ref, *,
+                    group: int):
+    g = pl.program_id(0)
+
+    @pl.when(jnp.logical_or(g == 0, tile_ref[g] != tile_ref[g - 1]))
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 1)
+    acc = jnp.zeros((8, 1), jnp.float32)
+    for b in range(group):
+        w = win_ref[g, b]
+        xw = x_ref[pl.ds(w * 8, 8), :]
+        gth = jnp.take_along_axis(xw, sidx_ref[0, b], axis=0)
+        contrib = vals_ref[0, b] * gth
+        acc = acc + jnp.sum(contrib, axis=1, keepdims=True)
+    o_ref[:] = o_ref[:] + jnp.where(lane == 0, acc, 0.0).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group", "n_tiles", "interpret"))
+def _rowpure_call(group_tile, slab_win, s_idx, vals, xp, *, group, n_tiles,
+                  interpret=False):
+    n_groups = s_idx.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_groups,),
+        in_specs=[
+            pl.BlockSpec((1, group, 8, _LANES), lambda g, t, w: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group, 8, _LANES), lambda g, t, w: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # full padded x
+        ],
+        out_specs=pl.BlockSpec((8, _LANES), lambda g, t, w: (t[g], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_rowpure_kernel, group=group),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * 8, _LANES), vals.dtype),
+        interpret=interpret,
+    )(group_tile, slab_win, s_idx, vals, xp)
+
+
+def spmv_sell_rowpure(packed: SellRowPure, x):
+    """``y = A @ x`` via the row-pure slab layout."""
+    rows, cols = packed.shape
+    S = packed.n_win * 8
+    xp = jnp.zeros((S * _LANES,), x.dtype).at[:cols].set(x).reshape(S, _LANES)
+    out = _rowpure_call(
+        packed.group_tile, packed.slab_win, packed.s_idx, packed.vals, xp,
+        group=packed.group, n_tiles=packed.n_tiles,
+        interpret=config.interpret(),
+    )
+    out = out.reshape(packed.n_tiles, 8, _LANES)[:, :, 0]
+    out = jnp.where(packed.tile_nonempty[:, None], out, 0)
+    return out.reshape(packed.n_tiles * 8)[:rows]
+
+
 PALLAS_IMPLS: dict = {}

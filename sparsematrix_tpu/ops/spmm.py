@@ -16,6 +16,19 @@ from ..formats import BSR, COO, CSR, ELL, BlockedELL, CodebookCSR, CodebookDense
 __all__ = ["spmm", "spmm_reference", "spmm_right"]
 
 
+def _mxu_precision(dtype):
+    """v5e MXU truncates fp32 to bf16 at default precision; fp32 data gets
+    the multi-pass HIGHEST path for fp32-grade accuracy."""
+    import jax
+
+    return (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
+
 def _spmm_csr_jnp(A: CSR, X):
     rid = A._row_ids_or_compute()
     gathered = X[A.indices]  # (cap, k)
@@ -30,7 +43,8 @@ def _spmm_coo_jnp(A: COO, X):
 
 def _spmm_ell_jnp(A: ELL, X):
     gathered = X[A.cols]  # (rows, R, k)
-    return jnp.einsum("rn,rnk->rk", A.data, gathered)
+    return jnp.einsum("rn,rnk->rk", A.data, gathered,
+                      precision=_mxu_precision(A.data.dtype))
 
 
 def _spmm_bsr_jnp(A: BSR, X):
@@ -41,7 +55,8 @@ def _spmm_bsr_jnp(A: BSR, X):
     Xp = jnp.zeros((nbc * bn, k), X.dtype).at[: A.shape[1]].set(X)
     Xb = Xp.reshape(nbc, bn, k)
     gathered = Xb[A.indices]  # (cap, bn, k)
-    prod = jnp.einsum("cij,cjk->cik", A.data, gathered)  # (cap, bm, k)
+    prod = jnp.einsum("cij,cjk->cik", A.data, gathered,
+                      precision=_mxu_precision(A.data.dtype))  # (cap, bm, k)
     brow = (
         A.block_row_ids
         if A.block_row_ids is not None
@@ -59,7 +74,8 @@ def _spmm_bell_jnp(A: BlockedELL, X):
     Xp = jnp.zeros((nbc * bk, k), X.dtype).at[: A.shape[1]].set(X)
     Xb = Xp.reshape(nbc, bk, k)
     gathered = Xb[A.block_cols]  # (nbr, M, bk, k)
-    acc = jnp.einsum("rmij,rmjk->rik", A.blocks, gathered)  # (nbr, bm, k)
+    acc = jnp.einsum("rmij,rmjk->rik", A.blocks, gathered,
+                     precision=_mxu_precision(A.blocks.dtype))  # (nbr, bm, k)
     return acc.reshape(nbr * bm, k)[: A.shape[0]]
 
 

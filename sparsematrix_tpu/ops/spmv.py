@@ -20,6 +20,19 @@ from ..formats import BSR, COO, CSR, ELL, BlockedELL, CodebookCSR, CodebookDense
 __all__ = ["spmv", "spmv_reference"]
 
 
+def _mxu_precision(dtype):
+    """v5e MXU truncates fp32 to bf16 at default precision; fp32 data gets
+    the multi-pass HIGHEST path for fp32-grade accuracy."""
+    import jax
+
+    return (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # jnp reference implementations
 # ---------------------------------------------------------------------------
@@ -49,7 +62,8 @@ def _spmv_bsr_jnp(A: BSR, x):
     xb = xp.reshape(nbc, bn)
     gathered = xb[A.indices]  # (block_capacity, bn)
     # block matvec on each stored block: (cap, bm, bn) @ (cap, bn) -> (cap, bm)
-    prod = jnp.einsum("kij,kj->ki", A.data, gathered)
+    prod = jnp.einsum("kij,kj->ki", A.data, gathered,
+                      precision=_mxu_precision(A.data.dtype))
     brow = (
         A.block_row_ids
         if A.block_row_ids is not None
@@ -66,7 +80,8 @@ def _spmv_bell_jnp(A: BlockedELL, x):
     xp = jnp.zeros((nbc * bk,), x.dtype).at[: A.shape[1]].set(x)
     xb = xp.reshape(nbc, bk)
     gathered = xb[A.block_cols]  # (nbr, M, bk) — padded blocks are zero-valued
-    acc = jnp.einsum("rmij,rmj->ri", A.blocks, gathered)  # (nbr, bm)
+    acc = jnp.einsum("rmij,rmj->ri", A.blocks, gathered,
+                     precision=_mxu_precision(A.blocks.dtype))  # (nbr, bm)
     return acc.reshape(nbr * bm)[: A.shape[0]]
 
 

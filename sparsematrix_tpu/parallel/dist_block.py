@@ -93,7 +93,10 @@ def dist_spmm_bell(part: PartitionedBlockedELL, X, mesh: Mesh,
         X_full = X_full[: nbc * bk]
         Xb = X_full.reshape(nbc, bk, k)
         gathered = Xb[bc_local[0]]  # (local_nbr, M, bk, k)
-        acc = jnp.einsum("rmij,rmjk->rik", bl_local[0], gathered)
+        from ..ops.spmm import _mxu_precision
+
+        acc = jnp.einsum("rmij,rmjk->rik", bl_local[0], gathered,
+                         precision=_mxu_precision(bl_local.dtype))
         return acc.reshape(part.local_nbr * bm, k)
 
     Y = run(part.block_cols, part.blocks, Xp)

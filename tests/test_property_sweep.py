@@ -1,0 +1,62 @@
+"""Randomized property sweeps: many seeds × shapes × densities.
+
+The reference relies on a single unseeded-rand run (SURVEY §4); here the
+same properties (roundtrip identity, op-vs-oracle) are swept across a
+seed/shape/density grid for stronger coverage.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparsematrix_tpu.formats import CSR, csr_to_bsr, csr_to_blocked_ell
+from sparsematrix_tpu.ops import spgemm, spmm_reference, spmv_reference
+from sparsematrix_tpu.utils.testutils import gen_random_dense_sparse
+
+GRID = [
+    (seed, shape, d)
+    for seed in (1, 7, 42)
+    for shape, d in [((17, 33), 0.3), ((64, 64), 0.1), ((128, 96), 0.02)]
+]
+
+
+@pytest.mark.parametrize("seed,shape,density", GRID)
+def test_roundtrip_and_ops_property(seed, shape, density):
+    rng = np.random.default_rng(seed)
+    dense = gen_random_dense_sparse(rng, *shape, density=density)
+    A = CSR.fromdense(dense)
+    # roundtrip exact
+    np.testing.assert_array_equal(np.asarray(A.todense()), dense)
+    # spmv + spmm vs fp64 oracle
+    x = rng.uniform(-1, 1, shape[1]).astype(np.float32)
+    X = rng.uniform(-1, 1, (shape[1], 9)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(spmv_reference(A, jnp.asarray(x))),
+        dense.astype(np.float64) @ x, rtol=1e-3, atol=0.5)
+    np.testing.assert_allclose(
+        np.asarray(spmm_reference(A, jnp.asarray(X))),
+        dense.astype(np.float64) @ X, rtol=1e-3, atol=0.5)
+    # block formats agree
+    for conv in (lambda: csr_to_bsr(A, block_shape=(4, 4)),
+                 lambda: csr_to_blocked_ell(A, block_shape=(8, 32))):
+        np.testing.assert_array_equal(np.asarray(conv().todense()), dense)
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_spgemm_property(seed):
+    rng = np.random.default_rng(seed)
+    a = gen_random_dense_sparse(rng, 31, 47, density=0.12)
+    b = gen_random_dense_sparse(rng, 47, 23, density=0.12)
+    C = spgemm(CSR.fromdense(a), CSR.fromdense(b))
+    np.testing.assert_allclose(
+        np.asarray(C.todense()),
+        a.astype(np.float64) @ b.astype(np.float64), rtol=1e-3, atol=1e-2)
+
+
+def test_bf16_roundtrip_and_spmv():
+    rng = np.random.default_rng(0)
+    dense = gen_random_dense_sparse(rng, 40, 40, density=0.2)
+    A = CSR.fromdense(dense).astype(jnp.bfloat16)
+    back = np.asarray(A.todense().astype(jnp.float32))
+    # bf16 quantization error only
+    np.testing.assert_allclose(back, dense, rtol=0.01, atol=4.0)

@@ -56,3 +56,47 @@ def test_sell_deep_lane_buckets(rng):
     x = rng.uniform(-1, 1, 256).astype(np.float32)
     y = np.asarray(spmv_sell(packed, jnp.asarray(x)))
     np.testing.assert_allclose(y, dense @ x, rtol=1e-5, atol=1e-3)
+
+
+@pytest.mark.parametrize("n,d,g", [(512, 0.05, 4), (1024, 0.02, 8),
+                                   (300, 0.3, 2)])
+def test_rowpure_spmv_random(rng, n, d, g):
+    from sparsematrix_tpu.kernels.spmv_pallas import (
+        pack_sell_rowpure,
+        spmv_sell_rowpure,
+    )
+
+    dense = gen_random_dense_sparse(rng, n, n, density=d)
+    A = CSR.fromdense(dense)
+    packed = pack_sell_rowpure(A, group=g)
+    x = rng.uniform(-1, 1, n).astype(np.float32)
+    y = np.asarray(spmv_sell_rowpure(packed, jnp.asarray(x)))
+    np.testing.assert_allclose(y, dense @ x, rtol=1e-4, atol=0.5)
+
+
+def test_rowpure_lane_collisions(rng):
+    from sparsematrix_tpu.kernels.spmv_pallas import (
+        pack_sell_rowpure,
+        spmv_sell_rowpure,
+    )
+
+    # many same-lane columns in one row → deep collision slabs
+    dense = np.zeros((8, 2048), dtype=np.float32)
+    dense[3, [0, 128, 256, 384, 1024, 1152]] = rng.uniform(1, 2, 6)  # lane 0
+    A = CSR.fromdense(dense)
+    packed = pack_sell_rowpure(A, group=2)
+    x = rng.uniform(-1, 1, 2048).astype(np.float32)
+    y = np.asarray(spmv_sell_rowpure(packed, jnp.asarray(x)))
+    np.testing.assert_allclose(y, dense @ x, rtol=1e-5, atol=1e-3)
+
+
+def test_rowpure_zero_matrix():
+    from sparsematrix_tpu.kernels.spmv_pallas import (
+        pack_sell_rowpure,
+        spmv_sell_rowpure,
+    )
+
+    A = CSR.fromdense(np.zeros((20, 20), dtype=np.float32))
+    packed = pack_sell_rowpure(A, group=2)
+    y = np.asarray(spmv_sell_rowpure(packed, jnp.ones(20, jnp.float32)))
+    np.testing.assert_array_equal(y, np.zeros(20))
