@@ -6,6 +6,7 @@ from .dist_block import (
     shard_bell,
     dist_spmm_bell,
 )
+from .dist2d import make_mesh_2d, dist_spmm_2d
 from .halo import (
     HaloPartitionedCSR,
     partition_csr_halo,
@@ -39,4 +40,6 @@ __all__ = [
     "partition_csr_halo",
     "shard_halo",
     "dist_spmv_halo",
+    "make_mesh_2d",
+    "dist_spmm_2d",
 ]

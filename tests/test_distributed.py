@@ -139,3 +139,21 @@ def test_halo_partition_rejects_nonlocal(rng):
     dense = gen_random_dense_sparse(rng, 64, 64, density=0.3)  # global coupling
     with pytest.raises(ValueError):
         partition_csr_halo(CSR.fromdense(dense), 8, halo=2)
+
+
+def test_dist_spmm_2d(rng):
+    from sparsematrix_tpu.parallel import dist_spmm_2d, make_mesh_2d
+
+    mesh2 = make_mesh_2d(4, 2)
+    dense = gen_random_dense_sparse(rng, 96, 120, density=0.2)
+    csr = CSR.fromdense(dense)
+    part = partition_csr_rows(csr, 4)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    part = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, NamedSharding(mesh2, P("row"))), part
+    )
+    X = gen_matrix_random(rng, 120, 10)
+    Y = np.asarray(dist_spmm_2d(part, jnp.asarray(X), mesh2))
+    oracle = np.asarray(spmm(csr, jnp.asarray(X)))
+    np.testing.assert_allclose(Y, oracle, rtol=1e-4, atol=0.5)
