@@ -42,6 +42,7 @@ def main(argv=None):
                 "sol_frac": r.sol_frac,
                 "checked": r.checked,
                 "nnz": r.nnz,
+                "unreliable": bool(r.result.extras.get("unreliable", False)),
             }
             for r in registry.rows
         ]

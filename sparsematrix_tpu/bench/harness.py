@@ -108,9 +108,10 @@ class BenchRegistry:
             rows = rows if isinstance(rows, list) else [rows]
             for r in rows:
                 sol = f"{100*r.sol_frac:.1f}%" if r.sol_frac is not None else "-"
+                unrel = " UNRELIABLE" if r.result.extras.get("unreliable") else ""
                 print(f"[row] {r.name} {r.shape} min={r.result.min_ms:.4f}ms "
                       f"gnnz/s={r.nnz_per_s/1e9:.2f} sol={sol} "
-                      f"check={r.checked}", flush=True)
+                      f"check={r.checked}{unrel}", flush=True)
             self.rows.extend(rows)
         return self.rows
 

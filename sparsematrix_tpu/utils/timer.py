@@ -141,12 +141,16 @@ def bench_fn_slope(fn: Callable, *args, inner_lo: int = 8, inner_hi: int = 72,
 
     t_lo = sample(lo)
     t_hi = sample(hi)
-    per_op = max((t_hi - t_lo) / (inner_hi - inner_lo), 1e-6)
+    delta = t_hi - t_lo
+    per_op = max(delta / (inner_hi - inner_lo), 1e-6)
     return BenchResult(
         mean_ms=per_op,
         min_ms=per_op,
         compile_ms=compile_ms,
         iters=iters,
         extras={"t_lo_ms": t_lo, "t_hi_ms": t_hi,
-                "inner": (inner_lo, inner_hi)},
+                "inner": (inner_lo, inner_hi),
+                # dispatch-latency jitter is ~ms-scale; a delta below that
+                # means the op is too fast for these inner counts to resolve
+                "unreliable": bool(delta < 0.5)},
     )
