@@ -105,20 +105,24 @@ def bench_csr_spmv(check=True, sizes=(4096,), **kw):
 
 @registry.register("spmm_csr")
 def bench_spmm_csr(check=True, n=2048, density=0.05, ks=(32, 128, 512), **kw):
+    from ..formats import Dense
+
     rng = np.random.default_rng(1)
     dense = gen_random_dense_sparse(rng, n, n, density=density)
     A = CSR.fromdense(dense)
+    D = Dense.from_sparse(A)  # build-time materialization (dense regime)
     rows = []
     for k in ks:
         X = jnp.asarray(gen_matrix_random(rng, n, k))
-        for label, f in (
-            ("spmm_csr/segsum", jax.jit(functools.partial(spmm_reference))),
-            ("spmm_csr/densify", jax.jit(functools.partial(spmm_densify))),
+        for label, f, op in (
+            ("spmm_csr/segsum", jax.jit(functools.partial(spmm_reference)), A),
+            ("spmm_csr/densify", jax.jit(functools.partial(spmm_densify)), A),
+            ("spmm_csr/pre-dense", jax.jit(lambda a, x: spmm(a, x)), D),
         ):
-            res = bench_fn_slope(f, A, X, iters=6)
+            res = bench_fn_slope(f, op, X, iters=6)
             checked = None
             if check:
-                checked = relative_check(np.asarray(f(A, X)),
+                checked = relative_check(np.asarray(f(op, X)),
                                          dense.astype(np.float64) @ np.asarray(X))
             sol = speed_of_light_nnz_s(A.nnz, spmm_bytes(A.nnz, n, n, k))
             r = Row(label, f"n={n},k={k},d={density}", res, nnz=A.nnz,

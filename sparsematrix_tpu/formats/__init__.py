@@ -3,6 +3,7 @@ from .coo import COO
 from .csr import CSR, CSC
 from .ell import ELL, BlockedELL
 from .bsr import BSR
+from .dense import Dense
 from .codebook_dense import CodebookDense
 from .codebook import (
     CodebookCSR,
@@ -32,6 +33,7 @@ __all__ = [
     "BSR",
     "CodebookCSR",
     "CodebookDense",
+    "Dense",
     "CodebookStream",
     "encode_stream",
     "decode_stream",

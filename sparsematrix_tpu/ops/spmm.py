@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import config
-from ..formats import BSR, COO, CSR, ELL, BlockedELL, CodebookCSR, CodebookDense
+from ..formats import BSR, COO, CSR, ELL, BlockedELL, CodebookCSR, CodebookDense, Dense
 
 __all__ = ["spmm", "spmm_reference", "spmm_right"]
 
@@ -94,6 +94,11 @@ def _spmm_codebook_dense_jnp(A: CodebookDense, X):
                    precision=precision)
 
 
+def _spmm_dense_jnp(A: Dense, X):
+    return jnp.dot(A.data, X, preferred_element_type=X.dtype,
+                   precision=_mxu_precision(A.data.dtype))
+
+
 _JNP_IMPLS = {
     CSR: _spmm_csr_jnp,
     COO: _spmm_coo_jnp,
@@ -102,6 +107,7 @@ _JNP_IMPLS = {
     BlockedELL: _spmm_bell_jnp,
     CodebookCSR: _spmm_codebook_jnp,
     CodebookDense: _spmm_codebook_dense_jnp,
+    Dense: _spmm_dense_jnp,
 }
 
 

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import config
-from ..formats import BSR, COO, CSR, ELL, BlockedELL, CodebookCSR, CodebookDense
+from ..formats import BSR, COO, CSR, ELL, BlockedELL, CodebookCSR, CodebookDense, Dense
 
 __all__ = ["spmv", "spmv_reference"]
 
@@ -93,6 +93,10 @@ def _spmv_codebook_dense_jnp(A: CodebookDense, x):
     return A.todense() @ x
 
 
+def _spmv_dense_jnp(A: Dense, x):
+    return jnp.dot(A.data, x, precision=_mxu_precision(A.data.dtype))
+
+
 _JNP_IMPLS = {
     CSR: _spmv_csr_jnp,
     COO: _spmv_coo_jnp,
@@ -101,6 +105,7 @@ _JNP_IMPLS = {
     BlockedELL: _spmv_bell_jnp,
     CodebookCSR: _spmv_codebook_jnp,
     CodebookDense: _spmv_codebook_dense_jnp,
+    Dense: _spmv_dense_jnp,
 }
 
 

@@ -115,42 +115,55 @@ def _looped(fn: Callable, n_args: int, inner: int):
 
 
 def bench_fn_slope(fn: Callable, *args, inner_lo: int = 8, inner_hi: int = 72,
-                   iters: int = 8, warmup: int = 1) -> BenchResult:
+                   iters: int = 8, warmup: int = 1,
+                   max_escalations: int = 2) -> BenchResult:
     """Dispatch-latency-immune timing: run ``fn`` inner_lo and inner_hi
     times inside single device computations; the per-op time is the slope
     (T_hi - T_lo) / (inner_hi - inner_lo), which cancels any constant
     host↔device round-trip cost (the axon relay adds tens of ms per call).
+
+    If the hi-lo delta lands below the ~ms dispatch-jitter floor (op too
+    fast for these inner counts to resolve), the inner counts escalate 8×
+    and the measurement repeats, up to ``max_escalations`` times.
     """
-    lo = _looped(fn, len(args), inner_lo)
-    hi = _looped(fn, len(args), inner_hi)
-    t0 = time.perf_counter()
-    lo(*args).block_until_ready()
-    hi(*args).block_until_ready()
-    compile_ms = (time.perf_counter() - t0) * 1e3
-    for _ in range(warmup):
+    total_compile = 0.0
+
+    def measure(n_lo, n_hi):
+        nonlocal total_compile
+        lo = _looped(fn, len(args), n_lo)
+        hi = _looped(fn, len(args), n_hi)
+        t0 = time.perf_counter()
         lo(*args).block_until_ready()
         hi(*args).block_until_ready()
+        total_compile += (time.perf_counter() - t0) * 1e3
+        for _ in range(warmup):
+            lo(*args).block_until_ready()
+            hi(*args).block_until_ready()
 
-    def sample(g):
-        best = float("inf")
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            g(*args).block_until_ready()
-            best = min(best, time.perf_counter() - t0)
-        return best * 1e3
+        def sample(g):
+            best = float("inf")
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                g(*args).block_until_ready()
+                best = min(best, time.perf_counter() - t0)
+            return best * 1e3
 
-    t_lo = sample(lo)
-    t_hi = sample(hi)
-    delta = t_hi - t_lo
-    per_op = max(delta / (inner_hi - inner_lo), 1e-6)
+        return sample(lo), sample(hi)
+
+    n_lo, n_hi = inner_lo, inner_hi
+    for attempt in range(max_escalations + 1):
+        t_lo, t_hi = measure(n_lo, n_hi)
+        delta = t_hi - t_lo
+        if delta >= 0.5 or attempt == max_escalations:
+            break
+        n_lo, n_hi = n_lo * 8, n_hi * 8
+
+    per_op = max(delta / (n_hi - n_lo), 1e-6)
     return BenchResult(
         mean_ms=per_op,
         min_ms=per_op,
-        compile_ms=compile_ms,
+        compile_ms=total_compile,
         iters=iters,
-        extras={"t_lo_ms": t_lo, "t_hi_ms": t_hi,
-                "inner": (inner_lo, inner_hi),
-                # dispatch-latency jitter is ~ms-scale; a delta below that
-                # means the op is too fast for these inner counts to resolve
+        extras={"t_lo_ms": t_lo, "t_hi_ms": t_hi, "inner": (n_lo, n_hi),
                 "unreliable": bool(delta < 0.5)},
     )

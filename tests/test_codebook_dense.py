@@ -50,3 +50,19 @@ def test_transpose(rng):
     A = CodebookDense.from_index_matrix(idx, table)
     np.testing.assert_array_equal(np.asarray(A.T.todense()),
                                   np.asarray(A.todense()).T)
+
+
+def test_dense_container(rng):
+    from sparsematrix_tpu.formats import CSR, Dense
+    from sparsematrix_tpu.utils.testutils import gen_random_dense_sparse
+
+    dense = gen_random_dense_sparse(rng, 48, 64, density=0.3)
+    D = Dense.from_sparse(CSR.fromdense(dense))
+    assert D.nnz == int((dense != 0).sum())
+    x = gen_matrix_random(rng, 64, 1)[:, 0]
+    X = gen_matrix_random(rng, 64, 12)
+    np.testing.assert_allclose(np.asarray(jax.jit(spmv)(D, jnp.asarray(x))),
+                               dense @ x, rtol=2e-3, atol=0.5)
+    np.testing.assert_allclose(np.asarray(jax.jit(spmm)(D, jnp.asarray(X))),
+                               dense.astype(np.float64) @ X, rtol=2e-3, atol=0.5)
+    np.testing.assert_array_equal(np.asarray(D.T.todense()), dense.T)
