@@ -155,7 +155,7 @@ def _sell_kernel(tile_ref, win_ref, meta_ref, vals_ref, x_ref, o_ref, *,
         o_ref[:] = jnp.zeros_like(o_ref)
 
     w = win_ref[s]
-    xw = x_ref[pl.ds(w * 8, 8), :]  # (8, 128) window tile
+    xw = x_ref[pl.ds(pl.multiple_of(w * 8, 8), 8), :]  # (8, 128) window tile
     meta = meta_ref[0]
     s_idx = meta & 7
     rloc = meta >> 3
@@ -229,8 +229,8 @@ def spmv_sell(packed: SellSpmv, x):
 @register_sparse_pytree
 @dataclasses.dataclass(frozen=True)
 class SellRowPure:
-    s_idx: jnp.ndarray  # (n_groups, group, 8, 128) int32 window sublanes
-    vals: jnp.ndarray  # (n_groups, group, 8, 128)
+    s_idx: jnp.ndarray  # (n_groups, group*8, 128) int8 window sublanes
+    vals: jnp.ndarray  # (n_groups, group*8, 128)
     group_tile: jnp.ndarray  # (n_groups,) int32 — sorted ascending
     slab_win: jnp.ndarray  # (n_groups, group) int32
     tile_nonempty: jnp.ndarray  # (n_tiles,) bool
@@ -245,64 +245,81 @@ class SellRowPure:
         return self.nnz / max(self.vals.size, 1)
 
 
-def pack_sell_rowpure(csr: CSR, group: int = 8) -> SellRowPure:
-    """Pack CSR into row-pure slabs, ``group`` slabs per grid step."""
-    sp = csr.to_scipy().tocsr()
+def pack_sell_rowpure(csr: CSR, group: int = 4) -> SellRowPure:
+    """Pack CSR into row-pure slabs, ``group`` slabs per grid step.
+
+    Fully vectorized (numpy) — like the reference, encode is a build-time
+    host operation, but it must not be a per-entry Python loop at
+    multi-million-nnz scale.
+    """
+    sp = csr.to_scipy().tocoo()
     rows, cols = sp.shape
     n_tiles = -(-rows // 8)
     n_win = max(-(-cols // _W), 1)
-    per_tile_slabs: list = []  # list of (win, s_idx (8,128), vals (8,128))
-    tile_nonempty = np.zeros(n_tiles, dtype=bool)
-    all_groups_sidx = []
-    all_groups_vals = []
-    all_groups_win = []
-    group_tile = []
-    for t in range(n_tiles):
-        r0, r1 = t * 8, min((t + 1) * 8, rows)
-        # slabs keyed by (window, depth)
-        slabs: dict = {}
-        for r in range(r0, r1):
-            u = r - r0
-            cols_r = sp.indices[sp.indptr[r] : sp.indptr[r + 1]]
-            vals_r = sp.data[sp.indptr[r] : sp.indptr[r + 1]]
-            # per window, count lane occurrences to route collisions
-            lane_seen: dict = {}
-            for c, v in zip(cols_r, vals_r):
-                w = int(c) // _W
-                lane = int(c) % _LANES
-                subl = (int(c) % _W) // _LANES
-                depth = lane_seen.get((w, u, lane), 0)
-                lane_seen[(w, u, lane)] = depth + 1
-                key = (w, depth)
-                if key not in slabs:
-                    slabs[key] = (
-                        np.zeros((8, _LANES), np.int64),
-                        np.zeros((8, _LANES), sp.data.dtype),
-                    )
-                si, vv = slabs[key]
-                si[u, lane] = subl
-                vv[u, lane] = v
-        if slabs:
-            tile_nonempty[t] = True
-            items = [(w, si, vv) for (w, d), (si, vv) in sorted(slabs.items())]
-        else:
-            items = []
-        # pad tile's slab list to a multiple of `group`
-        while len(items) % group != 0 or len(items) == 0:
-            items.append((0, np.zeros((8, _LANES), np.int64),
-                          np.zeros((8, _LANES), sp.data.dtype)))
-        for g0 in range(0, len(items), group):
-            chunk = items[g0 : g0 + group]
-            all_groups_sidx.append(np.stack([c[1] for c in chunk]))
-            all_groups_vals.append(np.stack([c[2] for c in chunk]))
-            all_groups_win.append([c[0] for c in chunk])
-            group_tile.append(t)
+    r = sp.row.astype(np.int64)
+    c = sp.col.astype(np.int64)
+    v = sp.data
+    if r.size == 0:
+        # all-zero matrix: one empty group
+        return SellRowPure(
+            s_idx=jnp.zeros((1, group * 8, _LANES), jnp.int8),
+            vals=jnp.zeros((1, group * 8, _LANES), sp.data.dtype),
+            group_tile=jnp.zeros((1,), jnp.int32),
+            slab_win=jnp.zeros((1, group), jnp.int32),
+            tile_nonempty=jnp.zeros((n_tiles,), bool),
+            shape=(rows, cols), n_tiles=n_tiles, n_win=n_win, group=group,
+            nnz=0,
+        )
+    t = r // 8
+    u = r % 8
+    w = c // _W
+    lane = c % _LANES
+    subl = (c % _W) // _LANES
+    # depth = occurrence index among duplicates of (t, w, u, lane)
+    order = np.lexsort((lane, u, w, t))
+    tt, ww, uu, ll = t[order], w[order], u[order], lane[order]
+    ss, vv = subl[order], v[order]
+    key = ((tt * n_win + ww) * 8 + uu) * _LANES + ll
+    new = np.empty(len(key), bool)
+    new[0] = True
+    new[1:] = key[1:] != key[:-1]
+    run_start = np.maximum.accumulate(np.where(new, np.arange(len(key)), 0))
+    d = np.arange(len(key)) - run_start
+    # slab identity = (t, w, d); unique keys sort t-major (w, d within) ✓
+    d_span = int(d.max()) + 1
+    skey = (tt * n_win + ww) * d_span + d
+    uskey, inv = np.unique(skey, return_inverse=True)
+    slab_t = uskey // (n_win * d_span)
+    slab_w = (uskey // d_span) % n_win
+    n_slabs = len(uskey)
+    # pad each non-empty tile's slab list to a multiple of `group`
+    counts = np.bincount(slab_t, minlength=n_tiles)
+    tile_groups = -(-counts // group)  # 0 for empty tiles
+    padded = tile_groups * group
+    tile_offset = np.concatenate([[0], np.cumsum(padded)])
+    # rank of each slab within its tile
+    first_of_tile = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    rank = np.arange(n_slabs) - first_of_tile[slab_t]
+    slab_slot = tile_offset[slab_t] + rank
+    total_slots = int(tile_offset[-1])
+    n_groups = total_slots // group
+
+    sidx = np.zeros((total_slots, 8, _LANES), np.int8)
+    vals = np.zeros((total_slots, 8, _LANES), v.dtype)
+    win = np.zeros(total_slots, np.int64)
+    entry_slot = slab_slot[inv]
+    sidx[entry_slot, uu, ll] = ss
+    vals[entry_slot, uu, ll] = vv
+    win[slab_slot] = slab_w
+    group_tile = np.repeat(np.arange(n_tiles), tile_groups)
     return SellRowPure(
-        s_idx=jnp.asarray(np.stack(all_groups_sidx), jnp.int32),
-        vals=jnp.asarray(np.stack(all_groups_vals)),
+        s_idx=jnp.asarray(
+            sidx.reshape(n_groups, group * 8, _LANES), jnp.int8
+        ),
+        vals=jnp.asarray(vals.reshape(n_groups, group * 8, _LANES)),
         group_tile=jnp.asarray(group_tile, jnp.int32),
-        slab_win=jnp.asarray(all_groups_win, jnp.int32),
-        tile_nonempty=jnp.asarray(tile_nonempty),
+        slab_win=jnp.asarray(win.reshape(n_groups, group), jnp.int32),
+        tile_nonempty=jnp.asarray(counts > 0),
         shape=(rows, cols),
         n_tiles=n_tiles,
         n_win=n_win,
@@ -322,10 +339,13 @@ def _rowpure_kernel(tile_ref, win_ref, sidx_ref, vals_ref, x_ref, o_ref, *,
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 1)
     acc = jnp.zeros((8, 1), jnp.float32)
     for b in range(group):
-        w = win_ref[g, b]
-        xw = x_ref[pl.ds(w * 8, 8), :]
-        gth = jnp.take_along_axis(xw, sidx_ref[0, b], axis=0)
-        contrib = vals_ref[0, b] * gth
+        # win_ref is flat (n_groups*group,): 2-D SMEM prefetch arrays get
+        # lane-padded to 128 (16x waste) — 1-D arrays don't
+        w = win_ref[g * group + b]
+        xw = x_ref[pl.ds(pl.multiple_of(w * 8, 8), 8), :]
+        sidx = sidx_ref[0, b * 8 : (b + 1) * 8, :].astype(jnp.int32)
+        gth = jnp.take_along_axis(xw, sidx, axis=0)
+        contrib = vals_ref[0, b * 8 : (b + 1) * 8, :] * gth
         acc = acc + jnp.sum(contrib, axis=1, keepdims=True)
     o_ref[:] = o_ref[:] + jnp.where(lane == 0, acc, 0.0).astype(o_ref.dtype)
 
@@ -338,9 +358,9 @@ def _rowpure_call(group_tile, slab_win, s_idx, vals, xp, *, group, n_tiles,
         num_scalar_prefetch=2,
         grid=(n_groups,),
         in_specs=[
-            pl.BlockSpec((1, group, 8, _LANES), lambda g, t, w: (g, 0, 0, 0),
+            pl.BlockSpec((1, group * 8, _LANES), lambda g, t, w: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, group, 8, _LANES), lambda g, t, w: (g, 0, 0, 0),
+            pl.BlockSpec((1, group * 8, _LANES), lambda g, t, w: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # full padded x
         ],
@@ -352,22 +372,46 @@ def _rowpure_call(group_tile, slab_win, s_idx, vals, xp, *, group, n_tiles,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles * 8, _LANES), vals.dtype),
         interpret=interpret,
-    )(group_tile, slab_win, s_idx, vals, xp)
+    )(group_tile, slab_win.reshape(-1), s_idx, vals, xp)
+
+
+# scalar-prefetch arrays live in SMEM (~1 MB); cap per-call group count so
+# group_tile + slab_win fit with headroom
+_MAX_GROUPS_PER_CALL = 24_000
 
 
 def spmv_sell_rowpure(packed: SellRowPure, x):
-    """``y = A @ x`` via the row-pure slab layout."""
+    """``y = A @ x`` via the row-pure slab layout.
+
+    Large matrices are processed in segments of ≤ _MAX_GROUPS_PER_CALL
+    groups (SMEM capacity for the prefetched metadata); segment outputs
+    are summed — safe because every kernel call zero-initializes the tiles
+    it touches and untouched tiles are masked to zero.
+    """
     rows, cols = packed.shape
     S = packed.n_win * 8
     xp = jnp.zeros((S * _LANES,), x.dtype).at[:cols].set(x).reshape(S, _LANES)
-    out = _rowpure_call(
-        packed.group_tile, packed.slab_win, packed.s_idx, packed.vals, xp,
-        group=packed.group, n_tiles=packed.n_tiles,
-        interpret=config.interpret(),
-    )
-    out = out.reshape(packed.n_tiles, 8, _LANES)[:, :, 0]
-    out = jnp.where(packed.tile_nonempty[:, None], out, 0)
-    return out.reshape(packed.n_tiles * 8)[:rows]
+    n_groups = packed.s_idx.shape[0]
+    y = jnp.zeros((packed.n_tiles * 8,), packed.vals.dtype)
+    for g0 in range(0, n_groups, _MAX_GROUPS_PER_CALL):
+        g1 = min(g0 + _MAX_GROUPS_PER_CALL, n_groups)
+        out = _rowpure_call(
+            packed.group_tile[g0:g1], packed.slab_win[g0:g1],
+            packed.s_idx[g0:g1], packed.vals[g0:g1], xp,
+            group=packed.group, n_tiles=packed.n_tiles,
+            interpret=config.interpret(),
+        )
+        out = out.reshape(packed.n_tiles, 8, _LANES)[:, :, 0]
+        # zero tiles this segment never visited (their output is garbage);
+        # jit-safe scatter (group_tile may be traced)
+        touched = (
+            jnp.zeros(packed.n_tiles, bool)
+            .at[packed.group_tile[g0:g1]]
+            .set(True)
+        )
+        out = jnp.where(touched[:, None], out, 0)
+        y = y + out.reshape(packed.n_tiles * 8)
+    return y[:rows]
 
 
 PALLAS_IMPLS: dict = {}

@@ -7,6 +7,7 @@ from .dist_block import (
     dist_spmm_bell,
 )
 from .dist2d import make_mesh_2d, dist_spmm_2d
+from .multihost import initialize_multihost, global_mesh
 from .halo import (
     HaloPartitionedCSR,
     partition_csr_halo,
@@ -42,4 +43,6 @@ __all__ = [
     "dist_spmv_halo",
     "make_mesh_2d",
     "dist_spmm_2d",
+    "initialize_multihost",
+    "global_mesh",
 ]

@@ -157,3 +157,12 @@ def test_dist_spmm_2d(rng):
     Y = np.asarray(dist_spmm_2d(part, jnp.asarray(X), mesh2))
     oracle = np.asarray(spmm(csr, jnp.asarray(X)))
     np.testing.assert_allclose(Y, oracle, rtol=1e-4, atol=0.5)
+
+
+def test_global_mesh_helper():
+    from sparsematrix_tpu.parallel.multihost import global_mesh
+
+    m1 = global_mesh()
+    assert m1.devices.size == jax.device_count()
+    m2 = global_mesh(("row", "col"), shape=(4, 2))
+    assert m2.shape == {"row": 4, "col": 2}
