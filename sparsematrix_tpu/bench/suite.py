@@ -63,10 +63,15 @@ def bench_csr_spmv(check=True, sizes=(4096,), **kw):
                     nnz=A.nnz, checked=checked)
             r.sol_frac = r.nnz_per_s / sol
             rows.append(r)
-        # SELL pallas kernel rows (the packed fast path)
-        from ..kernels.spmv_pallas import pack_sell, spmv_sell
+        # SELL pallas kernel rows (the packed fast paths)
+        from ..kernels.spmv_pallas import (
+            pack_sell,
+            pack_sell_rowpure,
+            spmv_sell,
+            spmv_sell_rowpure,
+        )
 
-        for nnz_row, tr in ((64, 32), (128, 64)):
+        for nnz_row, tr in ((128, 64),):
             dense = gen_random_dense_sparse(rng, n, n, density=nnz_row / n)
             A = CSR.fromdense(dense)
             packed = pack_sell(A, tr=tr)
@@ -81,6 +86,24 @@ def bench_csr_spmv(check=True, sizes=(4096,), **kw):
             sol = speed_of_light_nnz_s(A.nnz, spmv_csr_bytes(A.nnz, n, n))
             r = Row("csr_spmv/sell-pallas",
                     f"n={n},nnz/row={nnz_row},tr={tr},fill={packed.fill_rate:.2f}",
+                    res, nnz=A.nnz, checked=checked)
+            r.sol_frac = r.nnz_per_s / sol
+            rows.append(r)
+        for nnz_row, R in ((64, 16), (128, 8)):
+            dense = gen_random_dense_sparse(rng, n, n, density=nnz_row / n)
+            A = CSR.fromdense(dense)
+            packed = pack_sell_rowpure(A, group=4, rows_per_sublane=R)
+            x = jnp.asarray(gen_matrix_random(rng, n, 1)[:, 0])
+            f = jax.jit(lambda p, v: spmv_sell_rowpure(p, v))
+            res = bench_fn_slope(f, packed, x, iters=6)
+            checked = (
+                relative_check(np.asarray(f(packed, x)), dense @ np.asarray(x))
+                if check
+                else None
+            )
+            sol = speed_of_light_nnz_s(A.nnz, spmv_csr_bytes(A.nnz, n, n))
+            r = Row("csr_spmv/rowpure-pallas",
+                    f"n={n},nnz/row={nnz_row},R={R},fill={packed.fill_rate:.2f}",
                     res, nnz=A.nnz, checked=checked)
             r.sol_frac = r.nnz_per_s / sol
             rows.append(r)

@@ -239,22 +239,33 @@ class SellRowPure:
     n_win: int = dataclasses.field(metadata={"static": True})
     group: int = dataclasses.field(metadata={"static": True})
     nnz: int = dataclasses.field(metadata={"static": True})
+    rows_per_sublane: int = dataclasses.field(default=1,
+                                              metadata={"static": True})
 
     @property
     def fill_rate(self) -> float:
         return self.nnz / max(self.vals.size, 1)
 
 
-def pack_sell_rowpure(csr: CSR, group: int = 4) -> SellRowPure:
+def pack_sell_rowpure(csr: CSR, group: int = 4,
+                      rows_per_sublane: int = 1) -> SellRowPure:
     """Pack CSR into row-pure slabs, ``group`` slabs per grid step.
+
+    ``rows_per_sublane`` (R ∈ {1,2,4,8,16}): sublane u serves rows
+    u + 8j of an 8R-row tile, with j packed into spare s_idx bits —
+    R× better slab fill for ~2R extra VPU passes per slab.  Pick R so
+    that ``8R · nnz_per_row ≳ 2 · 1024 · n_windows``.
 
     Fully vectorized (numpy) — like the reference, encode is a build-time
     host operation, but it must not be a per-entry Python loop at
     multi-million-nnz scale.
     """
+    R = rows_per_sublane
+    if R not in (1, 2, 4, 8, 16):
+        raise ValueError("rows_per_sublane must be 1/2/4/8/16")
     sp = csr.to_scipy().tocoo()
     rows, cols = sp.shape
-    n_tiles = -(-rows // 8)
+    n_tiles = -(-rows // (8 * R))
     n_win = max(-(-cols // _W), 1)
     r = sp.row.astype(np.int64)
     c = sp.col.astype(np.int64)
@@ -268,17 +279,18 @@ def pack_sell_rowpure(csr: CSR, group: int = 4) -> SellRowPure:
             slab_win=jnp.zeros((1, group), jnp.int32),
             tile_nonempty=jnp.zeros((n_tiles,), bool),
             shape=(rows, cols), n_tiles=n_tiles, n_win=n_win, group=group,
-            nnz=0,
+            nnz=0, rows_per_sublane=R,
         )
-    t = r // 8
+    t = r // (8 * R)
     u = r % 8
+    j = (r % (8 * R)) // 8  # which of the R rows this sublane serves
     w = c // _W
     lane = c % _LANES
     subl = (c % _W) // _LANES
     # depth = occurrence index among duplicates of (t, w, u, lane)
     order = np.lexsort((lane, u, w, t))
     tt, ww, uu, ll = t[order], w[order], u[order], lane[order]
-    ss, vv = subl[order], v[order]
+    ss, vv, jj = subl[order], v[order], j[order]
     key = ((tt * n_win + ww) * 8 + uu) * _LANES + ll
     new = np.empty(len(key), bool)
     new[0] = True
@@ -308,7 +320,7 @@ def pack_sell_rowpure(csr: CSR, group: int = 4) -> SellRowPure:
     vals = np.zeros((total_slots, 8, _LANES), v.dtype)
     win = np.zeros(total_slots, np.int64)
     entry_slot = slab_slot[inv]
-    sidx[entry_slot, uu, ll] = ss
+    sidx[entry_slot, uu, ll] = ss | (jj << 3)  # j in spare bits
     vals[entry_slot, uu, ll] = vv
     win[slab_slot] = slab_w
     group_tile = np.repeat(np.arange(n_tiles), tile_groups)
@@ -325,34 +337,48 @@ def pack_sell_rowpure(csr: CSR, group: int = 4) -> SellRowPure:
         n_win=n_win,
         group=group,
         nnz=csr.nnz,
+        rows_per_sublane=R,
     )
 
 
 def _rowpure_kernel(tile_ref, win_ref, sidx_ref, vals_ref, x_ref, o_ref, *,
-                    group: int):
+                    group: int, rows_per_sublane: int):
     g = pl.program_id(0)
+    R = rows_per_sublane
 
     @pl.when(jnp.logical_or(g == 0, tile_ref[g] != tile_ref[g - 1]))
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 1)
-    acc = jnp.zeros((8, 1), jnp.float32)
+    # row sums accumulate directly into lanes [0, R) of an (8, 128) tile
+    # (no in-kernel scatter: Mosaic has no scatter-add — select instead)
+    sums = jnp.zeros((8, _LANES), jnp.float32)
     for b in range(group):
         # win_ref is flat (n_groups*group,): 2-D SMEM prefetch arrays get
         # lane-padded to 128 (16x waste) — 1-D arrays don't
         w = win_ref[g * group + b]
         xw = x_ref[pl.ds(pl.multiple_of(w * 8, 8), 8), :]
-        sidx = sidx_ref[0, b * 8 : (b + 1) * 8, :].astype(jnp.int32)
+        meta = sidx_ref[0, b * 8 : (b + 1) * 8, :].astype(jnp.int32)
+        sidx = meta & 7
+        jsel = meta >> 3
         gth = jnp.take_along_axis(xw, sidx, axis=0)
         contrib = vals_ref[0, b * 8 : (b + 1) * 8, :] * gth
-        acc = acc + jnp.sum(contrib, axis=1, keepdims=True)
-    o_ref[:] = o_ref[:] + jnp.where(lane == 0, acc, 0.0).astype(o_ref.dtype)
+        if R == 1:
+            s0 = jnp.sum(contrib, axis=1, keepdims=True)
+            sums = jnp.where(lane == 0, sums + s0, sums)
+        else:
+            for j_ in range(R):
+                s_j = jnp.sum(jnp.where(jsel == j_, contrib, 0.0), axis=1,
+                              keepdims=True)
+                sums = jnp.where(lane == j_, sums + s_j, sums)
+    o_ref[:] = o_ref[:] + sums.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("group", "n_tiles", "interpret"))
+@functools.partial(jax.jit, static_argnames=("group", "n_tiles",
+                                             "rows_per_sublane", "interpret"))
 def _rowpure_call(group_tile, slab_win, s_idx, vals, xp, *, group, n_tiles,
-                  interpret=False):
+                  rows_per_sublane=1, interpret=False):
     n_groups = s_idx.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -368,7 +394,8 @@ def _rowpure_call(group_tile, slab_win, s_idx, vals, xp, *, group, n_tiles,
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        functools.partial(_rowpure_kernel, group=group),
+        functools.partial(_rowpure_kernel, group=group,
+                          rows_per_sublane=rows_per_sublane),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles * 8, _LANES), vals.dtype),
         interpret=interpret,
@@ -389,19 +416,21 @@ def spmv_sell_rowpure(packed: SellRowPure, x):
     it touches and untouched tiles are masked to zero.
     """
     rows, cols = packed.shape
+    R = packed.rows_per_sublane
     S = packed.n_win * 8
     xp = jnp.zeros((S * _LANES,), x.dtype).at[:cols].set(x).reshape(S, _LANES)
     n_groups = packed.s_idx.shape[0]
-    y = jnp.zeros((packed.n_tiles * 8,), packed.vals.dtype)
+    y = jnp.zeros((packed.n_tiles * 8 * R,), packed.vals.dtype)
     for g0 in range(0, n_groups, _MAX_GROUPS_PER_CALL):
         g1 = min(g0 + _MAX_GROUPS_PER_CALL, n_groups)
         out = _rowpure_call(
             packed.group_tile[g0:g1], packed.slab_win[g0:g1],
             packed.s_idx[g0:g1], packed.vals[g0:g1], xp,
             group=packed.group, n_tiles=packed.n_tiles,
-            interpret=config.interpret(),
+            rows_per_sublane=R, interpret=config.interpret(),
         )
-        out = out.reshape(packed.n_tiles, 8, _LANES)[:, :, 0]
+        # lanes [0, R) of each (8,128) tile hold rows t*8R + j*8 + u
+        out = out.reshape(packed.n_tiles, 8, _LANES)[:, :, :R]
         # zero tiles this segment never visited (their output is garbage);
         # jit-safe scatter (group_tile may be traced)
         touched = (
@@ -409,8 +438,8 @@ def spmv_sell_rowpure(packed: SellRowPure, x):
             .at[packed.group_tile[g0:g1]]
             .set(True)
         )
-        out = jnp.where(touched[:, None], out, 0)
-        y = y + out.reshape(packed.n_tiles * 8)
+        out = jnp.where(touched[:, None, None], out, 0)
+        y = y + out.transpose(0, 2, 1).reshape(packed.n_tiles * 8 * R)
     return y[:rows]
 
 
