@@ -110,6 +110,7 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+@jax.custom_vjp
 def codebook_matmul(a, b_t: CodebookDense):
     """``A @ B`` with ``b_t`` storing B^T as a CodebookDense (n, k).
 
@@ -117,7 +118,15 @@ def codebook_matmul(a, b_t: CodebookDense):
     and A^T pad rows are zero anyway); n to a multiple of _TN; the table to
     256 slots (extra slots are zero, so out-of-table indices stay zeros —
     the reference's own convention, sparse-matrix.cc:44).
+
+    Differentiable w.r.t. ``a`` (custom VJP: the backward pass dequantizes
+    B once via the XLA LUT gather — a cold path — and contracts
+    ``dC @ B^T``); the integer codebook indices carry no gradient.
     """
+    return _codebook_matmul_impl(a, b_t)
+
+
+def _codebook_matmul_impl(a, b_t: CodebookDense):
     n, k = b_t.shape
     m = a.shape[0]
     k_pad = _round_up(k, _LANES)
@@ -133,3 +142,26 @@ def codebook_matmul(a, b_t: CodebookDense):
     out = _cb_call(idx_pad, table_lo, table_hi, a_t_pad,
                    interpret=config.interpret())
     return out[:n].T  # (m, n)
+
+
+def _cb_mm_fwd(a, b_t):
+    return _codebook_matmul_impl(a, b_t), b_t
+
+
+def _cb_mm_bwd(b_t, dC):
+    # dA = dC @ B^T; B^T = dequant(b_t) — one LUT gather on the cold path
+    import jax
+
+    bt_dense = b_t.todense()  # (n, k)
+    precision = _matmul_precision(dC.dtype)
+    dA = jnp.dot(dC, bt_dense, preferred_element_type=dC.dtype,
+                 precision=precision)
+    db = jax.tree_util.tree_map(
+        lambda x: jnp.zeros_like(x) if jnp.issubdtype(x.dtype, jnp.floating)
+        else None,
+        b_t,
+    )
+    return dA, db
+
+
+codebook_matmul.defvjp(_cb_mm_fwd, _cb_mm_bwd)

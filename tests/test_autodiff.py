@@ -59,3 +59,25 @@ def test_jvp_spmm(rng):
     _, tangent = jax.jvp(lambda X: spmm_reference(A, X), (X,), (dX,))
     np.testing.assert_allclose(np.asarray(tangent), dense @ np.asarray(dX),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_codebook_matmul_grad(rng):
+    import jax.numpy as jnp
+
+    from sparsematrix_tpu.formats import CodebookDense
+    from sparsematrix_tpu.kernels.codebook_pallas import codebook_matmul
+    from sparsematrix_tpu.utils.testutils import (
+        gen_matrix_random,
+        gen_sparse_index_matrix,
+    )
+
+    m, n, k = 8, 128, 256
+    a = jnp.asarray(gen_matrix_random(rng, m, k) / 1000)
+    idx, table = gen_sparse_index_matrix(rng, k, n, density=0.25,
+                                         table_size=31)
+    b_t = CodebookDense.from_index_matrix(idx, table, trans=True)
+    g = np.asarray(jax.grad(lambda a: jnp.sum(codebook_matmul(a, b_t) ** 2))(a))
+    B = np.asarray(b_t.todense()).T
+    want = 2 * (np.asarray(a) @ B) @ B.T
+    np.testing.assert_allclose(g, want, rtol=1e-4,
+                               atol=1e-4 * np.abs(want).max())
