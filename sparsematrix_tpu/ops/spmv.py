@@ -118,7 +118,23 @@ def spmv_reference(A, x):
 
 
 def spmv(A, x):
-    """``y = A @ x``.  Dispatches to Pallas on TPU where beneficial."""
+    """``y = A @ x``.  Dispatches to Pallas on TPU where beneficial.
+
+    Accepts any format container, plus the packed SpMV layouts
+    (``pack_sell`` / ``pack_sell_rowpure`` results) — pack once at build
+    time, then call ``spmv`` like for any other format.
+    """
+    from ..kernels.spmv_pallas import (
+        SellRowPure,
+        SellSpmv,
+        spmv_sell,
+        spmv_sell_rowpure,
+    )
+
+    if isinstance(A, SellRowPure):
+        return spmv_sell_rowpure(A, x)
+    if isinstance(A, SellSpmv):
+        return spmv_sell(A, x)
     if x.ndim != 1 or x.shape[0] != A.shape[1]:
         raise ValueError(
             f"spmv: x shape {x.shape} incompatible with matrix {A.shape}"

@@ -100,3 +100,19 @@ def test_rowpure_zero_matrix():
     packed = pack_sell_rowpure(A, group=2)
     y = np.asarray(spmv_sell_rowpure(packed, jnp.ones(20, jnp.float32)))
     np.testing.assert_array_equal(y, np.zeros(20))
+
+
+def test_spmv_dispatch_accepts_packed(rng):
+    from sparsematrix_tpu.kernels.spmv_pallas import (
+        pack_sell,
+        pack_sell_rowpure,
+    )
+    from sparsematrix_tpu.ops import spmv
+
+    dense = gen_random_dense_sparse(rng, 64, 96, density=0.1)
+    A = CSR.fromdense(dense)
+    x = rng.uniform(-1, 1, 96).astype(np.float32)
+    for packed in (pack_sell(A, tr=16),
+                   pack_sell_rowpure(A, group=2, rows_per_sublane=4)):
+        y = np.asarray(spmv(packed, jnp.asarray(x)))
+        np.testing.assert_allclose(y, dense @ x, rtol=1e-4, atol=0.5)

@@ -79,3 +79,16 @@ def test_cg_matvec_callable(rng):
     res = cg(lambda v: jnp.asarray(a) @ v, jnp.asarray(b), tol=1e-6,
              maxiter=200)
     assert np.linalg.norm(a @ np.asarray(res.x) - b) < 1e-3
+
+
+def test_cg_with_packed_spmv(rng):
+    """Solvers compose with the packed Pallas SpMV layouts."""
+    from sparsematrix_tpu.kernels.spmv_pallas import pack_sell_rowpure
+
+    n = 64
+    a = _spd(rng, n, density=0.2)
+    packed = pack_sell_rowpure(CSR.fromdense(a), group=2, rows_per_sublane=4)
+    b = rng.uniform(-1, 1, n).astype(np.float32)
+    res = cg(packed, jnp.asarray(b), tol=1e-6, maxiter=300)
+    x = np.asarray(res.x)
+    assert np.linalg.norm(a @ x - b) / np.linalg.norm(b) < 1e-4
