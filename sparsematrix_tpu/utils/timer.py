@@ -93,13 +93,25 @@ def _looped(fn: Callable, n_args: int, inner: int):
     import jax.numpy as jnp
 
     def probe(out):
+        # must demand EVERY output element AND be non-simplifiable:
+        #  * probing out[0] lets XLA slice pure matmuls to one output row
+        #  * a linear sum(out) distributes through scatter-add, deleting
+        #    the scatter entirely (sum∘segment_sum → direct reduce)
+        # sum(|out|) is nonlinear, so neither rewrite applies.
         leaf = jax.tree_util.tree_leaves(out)[0]
-        return jnp.asarray(leaf).ravel()[0].astype(jnp.float32)
+        return jnp.sum(jnp.abs(jnp.asarray(leaf).astype(jnp.float32)))
 
     @jax.jit
     def run(*args):
         def body(i, acc):
-            eps = jnp.asarray(i, jnp.float32) * jnp.float32(1e-30)
+            # chain each iteration's inputs on the previous output (the
+            # 1e-45 factor flushes to zero numerically but XLA cannot
+            # prove it, so no iteration can be eliminated or overlapped
+            # away) plus a counter epsilon against loop-invariant hoisting
+            eps = (
+                jnp.asarray(i, jnp.float32) * jnp.float32(1e-30)
+                + acc * jnp.float32(1e-45)
+            )
             perturbed = jax.tree_util.tree_map(
                 lambda a: a + eps.astype(a.dtype)
                 if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
