@@ -13,7 +13,7 @@ import re
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional
 
-from ..utils.timer import BenchResult, bench_fn
+from ..utils.timer import BenchResult
 
 __all__ = ["StepList", "BenchFilter", "BenchRegistry", "Row"]
 

@@ -17,16 +17,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..formats import BSR, CSR, CodebookCSR, csr_to_blocked_ell, csr_to_bsr
+from ..formats import CSR, CodebookCSR, csr_to_blocked_ell, csr_to_bsr
 from ..ops import add_mat_mat, spmm, spmm_densify, spmm_reference, spmv
-from ..utils.roofline import V5E, speed_of_light_nnz_s, spmm_bytes, spmv_csr_bytes
+from ..utils.roofline import speed_of_light_nnz_s, spmm_bytes, spmv_csr_bytes
 from ..utils.testutils import (
     gen_matrix_random,
     gen_random_dense_sparse,
     gen_sparse_index_matrix,
     relative_check,
 )
-from ..utils.timer import bench_fn, bench_fn_slope
+from ..utils.timer import bench_fn_slope
 from .harness import BenchRegistry, Row
 
 registry = BenchRegistry()

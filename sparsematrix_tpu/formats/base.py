@@ -14,7 +14,7 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, ClassVar, Tuple
+from typing import ClassVar, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from .base import SparseFormat, default_index_dtype, pad_to, register_sparse_pytree
+from .base import SparseFormat, default_index_dtype, register_sparse_pytree
 
 __all__ = ["BSR"]
 

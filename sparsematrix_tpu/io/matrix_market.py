@@ -6,8 +6,6 @@ scipy.io; a C++ fast-path parser lives in ``native/`` for large files.
 """
 from __future__ import annotations
 
-import numpy as np
-
 from ..formats import COO, CSR
 
 __all__ = ["read_mtx", "write_mtx"]

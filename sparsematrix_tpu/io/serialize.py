@@ -8,9 +8,7 @@ container here round-trips through npz (single-host) or orbax (sharded).
 from __future__ import annotations
 
 import dataclasses
-import importlib
 
-import jax
 import numpy as np
 
 from ..formats import BSR, COO, CSR, ELL, BlockedELL, CodebookCSR

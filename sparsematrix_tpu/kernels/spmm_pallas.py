@@ -22,7 +22,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import config
-from ..formats import BSR, BlockedELL
+from ..formats import BlockedELL
 
 __all__ = ["spmm_blocked_ell", "PALLAS_IMPLS"]
 

@@ -61,8 +61,6 @@ def spgemm_plan(A: CSR, B: CSR, pair_capacity: int | None = None,
         raise ValueError(f"spgemm: inner dims {ka} != {kb}")
 
     # output structure from boolean product
-    import scipy.sparse as sp
-
     pattern = ((sa != 0) @ (sb != 0)).tocsr()
     pattern.sort_indices()
     c_nnz = int(pattern.nnz)

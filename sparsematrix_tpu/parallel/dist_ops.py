@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from .partition import PartitionedCSR, partition_csr_cols, partition_csr_rows
+from .partition import PartitionedCSR
 
 __all__ = [
     "dist_spmv",

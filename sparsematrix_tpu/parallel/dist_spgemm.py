@@ -24,7 +24,6 @@ from jax import shard_map
 
 from ..formats import CSR
 from ..formats.base import default_index_dtype, register_sparse_pytree
-from ..ops.spgemm import SpGEMMPlan, spgemm_plan
 
 __all__ = ["DistSpGEMMPlan", "dist_spgemm_plan", "dist_spgemm_apply"]
 

@@ -9,7 +9,6 @@ compose here).
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax
