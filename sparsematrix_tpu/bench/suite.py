@@ -253,6 +253,11 @@ def bench_codebook_gemm(check=True, density=0.25, **kw):
                           jax.jit(lambda aa, bb, cc: cc + spmm_densify(bb, aa.T).T)),
         "fused-pallas": (b_dns,
                          jax.jit(lambda aa, bb, cc: cc + codebook_matmul(aa, bb))),
+        # bf16 MXU variant: ~2e-3 relative error, far inside the
+        # reference's own 0.1 oracle tolerance (blas_test.h:163-173)
+        "fused-pallas-bf16": (b_dns,
+                              jax.jit(lambda aa, bb, cc: cc + codebook_matmul(
+                                  aa.astype(jnp.bfloat16), bb).astype(jnp.float32))),
     }
     names = kw.get("variants") or ("csr-auto", "fused-pallas")
     for vname in names:
@@ -260,7 +265,7 @@ def bench_codebook_gemm(check=True, density=0.25, **kw):
         name = f"codebook_gemm/{vname}"
         # fast variants need more in-graph reps to rise above the ~28 ms
         # relay-latency noise floor
-        lo, hi = (16, 144) if vname == "fused-pallas" else (8, 72)
+        lo, hi = (16, 144) if vname.startswith("fused-pallas") else (8, 72)
         try:
             res = bench_fn_slope(f, a, b, c, iters=8, inner_lo=lo, inner_hi=hi)
             checked = (
