@@ -304,19 +304,28 @@ def decode_stream_native(stream: CodebookStream) -> "np.ndarray | None":
     return out
 
 
-def decode_stream(stream: CodebookStream) -> np.ndarray:
+def decode_stream(stream: CodebookStream, trans: bool = False) -> np.ndarray:
+    """Decode a wire stream to dense.  ``trans=True`` emits the transposed
+    orientation, completing the ``CopyTo`` contract (the reference can
+    scatter either way, sparse-matrix.cc:108-136); output shape is then
+    ``(cols, rows)``."""
     native = decode_stream_native(stream)
     if native is not None:
-        return native
-    return _decode_stream_numpy(stream)
+        # native decodes the direct orientation; the transposed emit is the
+        # same scatter with the axes swapped
+        return np.ascontiguousarray(native.T) if trans else native
+    return _decode_stream_numpy(stream, trans=trans)
 
 
-def _decode_stream_numpy(stream: CodebookStream) -> np.ndarray:
+def _decode_stream_numpy(stream: CodebookStream, trans: bool = False) -> np.ndarray:
     """Decode a wire stream to a dense float matrix (CopyTo analogue,
-    sparse-matrix.cc:102-121): per panel, prefix-sum the deltas, skip
-    sentinel entries, scatter ``val_table[val_idx]``."""
+    sparse-matrix.cc:102-136): per panel, prefix-sum the deltas, skip
+    sentinel entries, scatter ``val_table[val_idx]`` — to ``[row, col]``
+    directly or ``[col, row]`` for the transposed emit
+    (sparse-matrix.cc:124-135)."""
     rows, cols = stream.shape
-    out = np.zeros((rows, cols), dtype=stream.val_table.dtype)
+    shape = (cols, rows) if trans else (rows, cols)
+    out = np.zeros(shape, dtype=stream.val_table.dtype)
     ts = stream.val_table.shape[0] - 1
     for (r0, c0), (start, end) in zip(stream.panel_origins, stream.panel_bounds):
         deltas = stream.pos_delta[start:end].astype(np.int64)
@@ -327,7 +336,10 @@ def _decode_stream_numpy(stream: CodebookStream) -> np.ndarray:
         vids = vids[keep]
         rr = r0 + (pos >> PANEL_COLS_SHIFT)
         cc = c0 + (pos & (PANEL_COLS - 1))
-        out[rr, cc] = stream.val_table[vids]
+        if trans:
+            out[cc, rr] = stream.val_table[vids]
+        else:
+            out[rr, cc] = stream.val_table[vids]
     return out
 
 

@@ -36,11 +36,14 @@ def csr_to_coo(csr: CSR, capacity: int | None = None) -> COO:
 
 
 def csr_to_ell(csr: CSR, row_capacity: int | None = None,
-               sort_rows: bool = False) -> Tuple[ELL, np.ndarray]:
+               sort_rows: bool = False,
+               truncate: bool = False) -> Tuple[ELL, np.ndarray]:
     """CSR → ELL.  With ``sort_rows=True`` rows are permuted by descending nnz
     (SELL-C-sigma-style, sigma = all rows) to reduce padding waste; returns
     the row permutation (identity when not sorting) so callers can un-permute
-    results: ``y[perm] = y_ell``.
+    results: ``y[perm] = y_ell``.  Rows exceeding ``row_capacity`` raise
+    unless ``truncate=True``; a truncated ELL's ``nnz`` counts only stored
+    entries.
     """
     sp = csr.to_scipy()
     rows = sp.shape[0]
@@ -49,32 +52,41 @@ def csr_to_ell(csr: CSR, row_capacity: int | None = None,
     R = int(counts.max()) if counts.size and counts.max() > 0 else 1
     if row_capacity is not None:
         R = int(row_capacity)
+        if counts.size and int(counts.max()) > R and not truncate:
+            raise ValueError(
+                f"csr_to_ell: a row has {int(counts.max())} entries > "
+                f"row_capacity={R}; pass truncate=True to drop the excess"
+            )
     import jax.numpy as jnp
 
     cols = np.zeros((rows, R), dtype=np.int64)
     vals = np.zeros((rows, R), dtype=sp.data.dtype)
     valid = np.zeros((rows, R), dtype=bool)
+    stored = 0
     for out_i, i in enumerate(perm):
         s, e = sp.indptr[i], sp.indptr[i + 1]
         k = min(e - s, R)
         cols[out_i, :k] = sp.indices[s : s + k]
         vals[out_i, :k] = sp.data[s : s + k]
         valid[out_i, :k] = True
+        stored += k
     ell = ELL(
         cols=jnp.asarray(cols, dtype=csr.indices.dtype),
         data=jnp.asarray(vals),
         valid=jnp.asarray(valid),
         shape=csr.shape,
-        nnz=csr.nnz,
+        nnz=stored,
     )
     return ell, perm
 
 
 def csr_to_blocked_ell(csr: CSR, block_shape=(8, 128),
-                       max_blocks_per_row: int | None = None) -> BlockedELL:
+                       max_blocks_per_row: int | None = None,
+                       truncate: bool = False) -> BlockedELL:
     """CSR → BlockedELL without densifying the whole matrix: block occupancy
     is computed on the scipy structure, then only non-empty blocks are
-    materialized."""
+    materialized.  Block-rows exceeding ``max_blocks_per_row`` raise unless
+    ``truncate=True``."""
     sp = csr.to_scipy().tocsr()
     rows, cols = sp.shape
     bm, bk = block_shape
@@ -94,23 +106,31 @@ def csr_to_blocked_ell(csr: CSR, block_shape=(8, 128),
     M = int(counts.max()) if counts.size and counts.max() > 0 else 1
     if max_blocks_per_row is not None:
         M = int(max_blocks_per_row)
+        if counts.size and int(counts.max()) > M and not truncate:
+            raise ValueError(
+                f"csr_to_blocked_ell: a block-row has {int(counts.max())} "
+                f"blocks > max_blocks_per_row={M}; pass truncate=True to "
+                "drop the excess"
+            )
     import jax.numpy as jnp
 
     block_cols = np.zeros((nbr, M), dtype=np.int64)
     blocks = np.zeros((nbr, M, bm, bk), dtype=sp.data.dtype)
     valid = np.zeros((nbr, M), dtype=bool)
+    stored_nnz = 0
     for i in range(nbr):
         s_, e_ = bsr.indptr[i], bsr.indptr[i + 1]
         k = min(e_ - s_, M)
         block_cols[i, :k] = bsr.indices[s_ : s_ + k]
         blocks[i, :k] = bsr.data[s_ : s_ + k]
         valid[i, :k] = True
+        stored_nnz += int((bsr.data[s_ : s_ + k] != 0).sum())
     return BlockedELL(
         block_cols=jnp.asarray(block_cols, dtype=csr.indices.dtype),
         blocks=jnp.asarray(blocks),
         valid=jnp.asarray(valid),
         shape=(rows, cols),
-        nnz=csr.nnz,
+        nnz=stored_nnz,
         block_shape=(bm, bk),
     )
 

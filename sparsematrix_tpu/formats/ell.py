@@ -43,12 +43,20 @@ class ELL(SparseFormat):
 
     @classmethod
     def fromdense(cls, dense, row_capacity: int | None = None,
-                  index_dtype=default_index_dtype):
+                  index_dtype=default_index_dtype, truncate: bool = False):
+        """Rows with more than ``row_capacity`` entries raise unless
+        ``truncate=True``; when truncating, ``nnz`` reflects the entries
+        actually stored (so fill-rate / nnz/s metrics stay honest)."""
         dense = np.asarray(dense)
         rows, _ = dense.shape
         counts = (dense != 0).sum(axis=1)
         R = int(counts.max()) if row_capacity is None else int(row_capacity)
         R = max(R, 1)
+        if counts.size and int(counts.max()) > R and not truncate:
+            raise ValueError(
+                f"ELL.fromdense: a row has {int(counts.max())} entries > "
+                f"row_capacity={R}; pass truncate=True to drop the excess"
+            )
         cols = np.zeros((rows, R), dtype=np.int64)
         vals = np.zeros((rows, R), dtype=dense.dtype)
         valid = np.zeros((rows, R), dtype=bool)
@@ -63,7 +71,7 @@ class ELL(SparseFormat):
             data=jnp.asarray(vals),
             valid=jnp.asarray(valid),
             shape=(int(rows), int(dense.shape[1])),
-            nnz=int(counts.sum()),
+            nnz=int(np.minimum(counts, R).sum()),
         )
 
     def todense(self):
@@ -97,7 +105,7 @@ class BlockedELL(SparseFormat):
     @classmethod
     def fromdense(cls, dense, block_shape: Tuple[int, int] = (8, 128),
                   max_blocks_per_row: int | None = None,
-                  index_dtype=default_index_dtype):
+                  index_dtype=default_index_dtype, truncate: bool = False):
         dense = np.asarray(dense)
         rows, cols = dense.shape
         bm, bk = block_shape
@@ -113,21 +121,29 @@ class BlockedELL(SparseFormat):
         if max_blocks_per_row is not None:
             M = int(max_blocks_per_row)
         M = max(M, 1)
+        if per_row.size and int(per_row.max()) > M and not truncate:
+            raise ValueError(
+                f"BlockedELL.fromdense: a block-row has {int(per_row.max())} "
+                f"blocks > max_blocks_per_row={M}; pass truncate=True to "
+                "drop the excess"
+            )
         block_cols = np.zeros((nbr, M), dtype=np.int64)
         blocks = np.zeros((nbr, M, bm, bk), dtype=dense.dtype)
         valid = np.zeros((nbr, M), dtype=bool)
+        stored_nnz = 0
         for i in range(nbr):
             (bcids,) = np.nonzero(nonempty[i])
             bcids = bcids[:M]
             block_cols[i, : len(bcids)] = bcids
             blocks[i, : len(bcids)] = tiles[i, bcids]
             valid[i, : len(bcids)] = True
+            stored_nnz += int((tiles[i, bcids] != 0).sum())
         return cls(
             block_cols=jnp.asarray(block_cols, dtype=index_dtype),
             blocks=jnp.asarray(blocks),
             valid=jnp.asarray(valid),
             shape=(int(rows), int(cols)),
-            nnz=int((dense != 0).sum()),
+            nnz=stored_nnz,
             block_shape=(int(bm), int(bk)),
         )
 

@@ -1,8 +1,7 @@
 """Matrix Market (.mtx) read/write.
 
 The reference has no file IO at all (CopyForm/CopyTo are memory↔memory,
-SURVEY §5) — this fills the standard interchange gap.  Python path uses
-scipy.io; a C++ fast-path parser lives in ``native/`` for large files.
+SURVEY §5) — this fills the standard interchange gap via scipy.io.
 """
 from __future__ import annotations
 

@@ -35,25 +35,33 @@ class SparseAddPlan:
 def sparse_add_plan(A: CSR, B: CSR) -> SparseAddPlan:
     if A.shape != B.shape:
         raise ValueError(f"sparse_add: shapes {A.shape} vs {B.shape}")
+    import scipy.sparse as sps
+
     sa = A.to_scipy().tocsr()
     sb = B.to_scipy().tocsr()
-    pattern = ((sa != 0) + (sb != 0)).tocsr()
+    sa.sort_indices()
+    sb.sort_indices()
+    m, n = sa.shape
+    # union pattern from STRUCTURE (indicator data), not values — an
+    # explicitly-stored zero entry is a legal stored slot and must get a
+    # target like any other
+    ind = lambda s: sps.csr_matrix(
+        (np.ones(len(s.indices), np.int8), s.indices, s.indptr), shape=s.shape
+    )
+    pattern = (ind(sa) + ind(sb)).tocsr()
     pattern.sort_indices()
     c_nnz = int(pattern.nnz)
-    m = sa.shape[0]
     c_indptr, c_indices = pattern.indptr, pattern.indices
+    # row-major + col-sorted ⇒ row*n + col is globally sorted: each input
+    # entry's slot is a single vectorized searchsorted
+    c_rows = np.repeat(np.arange(m), np.diff(c_indptr))
+    key_c = c_rows.astype(np.int64) * n + c_indices.astype(np.int64)
 
     def targets(s, cap):
+        rows_s = np.repeat(np.arange(m), np.diff(s.indptr))
+        key_s = rows_s.astype(np.int64) * n + s.indices.astype(np.int64)
         out = np.full(cap, c_nnz, dtype=np.int64)  # pad → drop slot
-        w = 0
-        for i in range(m):
-            slots = {
-                int(c_indices[t]): t
-                for t in range(c_indptr[i], c_indptr[i + 1])
-            }
-            for e in range(s.indptr[i], s.indptr[i + 1]):
-                out[w] = slots[int(s.indices[e])]
-                w += 1
+        out[: len(key_s)] = np.searchsorted(key_c, key_s)
         return out
 
     idt = default_index_dtype

@@ -15,6 +15,7 @@ overhead the TPU design eliminates by construction).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .spmm import spmm
@@ -34,6 +35,15 @@ def add_mat_mat(a, b_t_sparse, c=None, alpha=1.0, beta=0.0):
     Returns:
       dense (m, n).
     """
+    if c is None:
+        try:
+            beta_static = float(beta)
+        except (TypeError, jax.errors.TracerArrayConversionError,
+                jax.errors.ConcretizationTypeError):
+            beta_static = None  # traced beta: cannot prove it is 0
+        if beta_static is None or beta_static != 0.0:
+            raise ValueError("add_mat_mat: beta != 0 requires c (the matrix "
+                             "being accumulated into)")
     prod = spmm(b_t_sparse, a.T).T  # (m, n)
     out = alpha * prod
     if c is not None:

@@ -93,13 +93,20 @@ def _looped(fn: Callable, n_args: int, inner: int):
     import jax.numpy as jnp
 
     def probe(out):
-        # must demand EVERY output element AND be non-simplifiable:
+        # must demand EVERY output leaf in full AND be non-simplifiable:
         #  * probing out[0] lets XLA slice pure matmuls to one output row
         #  * a linear sum(out) distributes through scatter-add, deleting
         #    the scatter entirely (sum∘segment_sum → direct reduce)
-        # sum(|out|) is nonlinear, so neither rewrite applies.
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        return jnp.sum(jnp.abs(jnp.asarray(leaf).astype(jnp.float32)))
+        # sum(|leaf|) over every inexact leaf is nonlinear, so neither
+        # rewrite applies and no leaf's dataflow cone is dead code (a
+        # container-returning fn would otherwise be sliced to its first
+        # leaf, often a pass-through index plane).
+        total = jnp.float32(0.0)
+        for leaf in jax.tree_util.tree_leaves(out):
+            leaf = jnp.asarray(leaf)
+            if jnp.issubdtype(leaf.dtype, jnp.inexact):
+                total = total + jnp.sum(jnp.abs(leaf.astype(jnp.float32)))
+        return total
 
     @jax.jit
     def run(*args):

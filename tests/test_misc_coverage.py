@@ -30,11 +30,16 @@ def test_csc_is_csr_of_transpose(rng):
 
 def test_ell_row_capacity_truncates(rng):
     dense = gen_random_dense_sparse(rng, 10, 20, density=0.5)
-    ell = ELL.fromdense(dense, row_capacity=3)
+    import pytest
+
+    with pytest.raises(ValueError):  # silent truncation is an error now
+        ELL.fromdense(dense, row_capacity=3)
+    ell = ELL.fromdense(dense, row_capacity=3, truncate=True)
     assert ell.row_capacity == 3
-    # decode keeps at most 3 entries per row
+    # decode keeps at most 3 entries per row, and nnz counts stored entries
     out = np.asarray(ell.todense())
     assert ((out != 0).sum(axis=1) <= 3).all()
+    assert ell.nnz == int(np.minimum((dense != 0).sum(axis=1), 3).sum())
 
 
 def test_blocked_ell_stored_density(rng):

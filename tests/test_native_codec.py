@@ -55,3 +55,13 @@ def test_long_gap_fillers_native():
     np.testing.assert_array_equal(s_c.val_idx, s_np.val_idx)
     np.testing.assert_array_equal(cb.decode_stream(s_c),
                                   cb._decode_stream_numpy(s_np))
+
+
+@pytest.mark.parametrize("trans", [False, True])
+def test_decode_native_matches_numpy_both_orientations(rng, trans):
+    idx, table = gen_sparse_index_matrix(rng, 150, 640, density=0.35,
+                                         table_size=63)
+    stream = cb.encode_stream(idx, table)
+    d_np = cb._decode_stream_numpy(stream, trans=trans)
+    d_c = cb.decode_stream(stream, trans=trans)  # native when available
+    np.testing.assert_array_equal(d_c, d_np)

@@ -109,3 +109,34 @@ def test_column_256_starts_a_new_panel():
     np.testing.assert_array_equal(s.pos_delta, [0, 0])
     assert s.panel_origins.shape[0] == 2
     np.testing.assert_array_equal(decode_stream(s)[0, [0, 256]], [1.0, 2.0])
+
+
+def test_decode_stream_transposed_emit(rng):
+    # CopyTo can emit either orientation (sparse-matrix.cc:108-136):
+    # the transposed decode is exactly the direct decode transposed
+    from sparsematrix_tpu.utils.testutils import gen_sparse_index_matrix
+
+    idx, table = gen_sparse_index_matrix(rng, 37, 300, density=0.3,
+                                         table_size=15)
+    s = encode_stream(idx, table)
+    direct = decode_stream(s)
+    transposed = decode_stream(s, trans=True)
+    assert transposed.shape == (direct.shape[1], direct.shape[0])
+    np.testing.assert_array_equal(transposed, direct.T)
+
+
+def test_trans_encode_then_trans_decode_roundtrips(rng):
+    # CopyForm(trans) ∘ CopyTo(trans) = identity on the value matrix
+    # (the reference SelfTest exercises both orientations,
+    # sparse-matrix.cc:228-246)
+    from sparsematrix_tpu.utils.testutils import gen_sparse_index_matrix
+
+    idx, table = gen_sparse_index_matrix(rng, 23, 280, density=0.4,
+                                         table_size=9)
+    s = encode_stream(idx, table, trans=True)  # stores idx^T
+    back = decode_stream(s, trans=True)  # emits (idx^T)^T = idx values
+    ts = len(table)
+    expect = np.where((idx >= 0) & (idx < ts),
+                      np.concatenate([table, [0.0]]).astype(np.float32)[
+                          np.clip(idx, 0, ts)], 0.0)
+    np.testing.assert_array_equal(back, expect.astype(np.float32))
