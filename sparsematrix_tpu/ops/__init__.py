@@ -1,4 +1,4 @@
-from .spmv import spmv, spmv_reference
+from .spmv import prepare_spmv, spmv, spmv_reference
 from .spmm import spmm, spmm_reference, spmm_right, spmm_densify
 from .addmatmat import add_mat_mat
 from .spgemm import SpGEMMPlan, spgemm, spgemm_apply, spgemm_plan
@@ -10,6 +10,7 @@ from .elementwise import scale, axpy_same_pattern, diagonal, frobenius_norm, wit
 
 __all__ = [
     "spmv",
+    "prepare_spmv",
     "spmv_reference",
     "spmm",
     "spmm_reference",

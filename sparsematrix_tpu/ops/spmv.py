@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from ..config import config
 from ..formats import BSR, COO, CSR, ELL, BlockedELL, CodebookCSR, CodebookDense, Dense
 
-__all__ = ["spmv", "spmv_reference"]
+__all__ = ["spmv", "spmv_reference", "prepare_spmv"]
 
 
 def _mxu_precision(dtype):
@@ -117,12 +117,62 @@ def spmv_reference(A, x):
     return impl(A, x)
 
 
+# auto-pack cache: CSR container → row-lane slab layout, built on first
+# TPU dispatch (the reference's user calls one method and gets the fast
+# kernel, sparse-matrix.cc:140 → kernel.cc:771; here the pack is the
+# encode-once step and this cache hides it).  Keyed by container identity
+# (CSR holds unhashable arrays) with weakref eviction so dropping the CSR
+# drops its pack.
+import weakref
+
+_AUTO_PACK_CACHE: dict = {}
+# auto-pack pays off once rows are long enough for slabs to fill; below
+# this the XLA path is used (still correct, and packing cost isn't hidden
+# where it can't win)
+_AUTO_PACK_MIN_NNZ_PER_ROW = 8
+_AUTO_PACK_MIN_NNZ = 4096
+
+
+def prepare_spmv(A: "CSR", **pack_kwargs):
+    """Explicit build step: pack a CSR for the fast SpMV kernel.
+
+    Returns a packed layout accepted by ``spmv``/the solvers.  Use this
+    (instead of relying on the auto-pack cache) when ``spmv`` will be
+    called inside ``jax.jit`` — packing is a host-side encode and cannot
+    happen on traced arrays.
+    """
+    from ..kernels.spmv_rowlane import pack_sell_rowlane
+
+    return pack_sell_rowlane(A, **pack_kwargs)
+
+
+def _auto_pack(A: "CSR"):
+    """Pack-and-cache for concrete (non-traced) CSR on the TPU backend;
+    returns None when auto-packing doesn't apply."""
+    import jax.core
+
+    if isinstance(A.data, jax.core.Tracer):
+        return None  # inside jit: user must prepare_spmv() ahead of time
+    if A.nnz < _AUTO_PACK_MIN_NNZ or A.nnz < _AUTO_PACK_MIN_NNZ_PER_ROW * A.shape[0]:
+        return None
+    key = id(A)
+    entry = _AUTO_PACK_CACHE.get(key)
+    if entry is not None and entry[0]() is A:
+        return entry[1]
+    packed = prepare_spmv(A)
+    ref = weakref.ref(A, lambda _unused, k=key: _AUTO_PACK_CACHE.pop(k, None))
+    _AUTO_PACK_CACHE[key] = (ref, packed)
+    return packed
+
+
 def spmv(A, x):
     """``y = A @ x``.  Dispatches to Pallas on TPU where beneficial.
 
     Accepts any format container, plus the packed SpMV layouts
-    (``pack_sell`` / ``pack_sell_rowpure`` results) — pack once at build
-    time, then call ``spmv`` like for any other format.
+    (``pack_sell`` / ``pack_sell_rowpure`` / ``pack_sell_rowlane``
+    results).  Concrete CSR inputs on TPU are packed automatically on
+    first call and the pack cached on the container; inside ``jax.jit``
+    call ``prepare_spmv`` once at build time instead.
     """
     from ..kernels.spmv_pallas import (
         SellRowPure,
@@ -130,7 +180,10 @@ def spmv(A, x):
         spmv_sell,
         spmv_sell_rowpure,
     )
+    from ..kernels.spmv_rowlane import SellRowLane, spmv_sell_rowlane
 
+    if isinstance(A, SellRowLane):
+        return spmv_sell_rowlane(A, x)
     if isinstance(A, SellRowPure):
         return spmv_sell_rowpure(A, x)
     if isinstance(A, SellSpmv):
@@ -140,6 +193,10 @@ def spmv(A, x):
             f"spmv: x shape {x.shape} incompatible with matrix {A.shape}"
         )
     if config.use_pallas():
+        if type(A) is CSR:
+            packed = _auto_pack(A)
+            if packed is not None:
+                return spmv_sell_rowlane(packed, x)
         from ..kernels import spmv_pallas
 
         impl = spmv_pallas.PALLAS_IMPLS.get(type(A))
