@@ -147,7 +147,8 @@ def _pack_arrays(r, c, v, rows, cols, group, L, dtype):
 
 def pack_sell_rowlane(csr: CSR, group: int = 8, lanes_per_row: int = 1,
                       spill_depth: int | None = None,
-                      with_transpose: bool = False) -> SellRowLane:
+                      with_transpose: bool = False,
+                      dtype=None) -> SellRowLane:
     """Pack CSR into row-lane slabs.
 
     ``lanes_per_row`` L ∈ {1, 2, 4, 8}: lane slots per row (tile shrinks to
@@ -156,7 +157,8 @@ def pack_sell_rowlane(csr: CSR, group: int = 8, lanes_per_row: int = 1,
     jnp path — caps slab count at spill_depth per (tile, window), rescuing
     fill when a few heavy buckets would otherwise stretch every slab.
     ``with_transpose`` also packs A^T so the custom VJP's backward pass
-    runs on the fast kernel.
+    runs on the fast kernel.  ``dtype=jnp.bfloat16`` stores values in bf16
+    (halves the dominant HBM traffic; accumulation stays fp32).
     """
     L = lanes_per_row
     if L not in (1, 2, 4, 8):
@@ -195,10 +197,13 @@ def pack_sell_rowlane(csr: CSR, group: int = 8, lanes_per_row: int = 1,
         t_pack = pack_sell_rowlane(
             CSR.from_scipy(csr.to_scipy().T.tocsr()), group=group,
             lanes_per_row=L, spill_depth=spill_depth, with_transpose=False,
+            dtype=dtype,
         )
+    vals_np = arrs["vals"]
     return SellRowLane(
         s_idx=jnp.asarray(arrs["s_idx"], jnp.int8),
-        vals=jnp.asarray(arrs["vals"]),
+        vals=(jnp.asarray(vals_np) if dtype is None
+              else jnp.asarray(vals_np).astype(dtype)),
         group_tile=jnp.asarray(arrs["group_tile"], jnp.int32),
         slab_win=jnp.asarray(arrs["slab_win"], jnp.int32),
         tile_nonempty=jnp.asarray(arrs["tile_nonempty"]),
@@ -253,7 +258,8 @@ def _rowlane_call(group_tile, slab_win, s_idx, vals, xp, *, group, n_tiles,
     return pl.pallas_call(
         functools.partial(_rowlane_kernel, group=group),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles * 8, _LANES), vals.dtype),
+        # accumulate and emit fp32 even for bf16-stored values
+        out_shape=jax.ShapeDtypeStruct((n_tiles * 8, _LANES), jnp.float32),
         interpret=interpret,
     )(group_tile, slab_win.reshape(-1), s_idx, vals, xp)
 
@@ -270,7 +276,7 @@ def _rowlane_forward(packed: SellRowLane, x):
     S = packed.n_win * 8
     xp = jnp.zeros((S * _LANES,), x.dtype).at[:cols].set(x).reshape(S, _LANES)
     n_groups = packed.s_idx.shape[0]
-    y = jnp.zeros((packed.n_tiles, T), packed.vals.dtype)
+    y = jnp.zeros((packed.n_tiles, T), jnp.float32)
     for g0 in range(0, n_groups, _MAX_GROUPS_PER_CALL):
         g1 = min(g0 + _MAX_GROUPS_PER_CALL, n_groups)
         out = _rowlane_call(

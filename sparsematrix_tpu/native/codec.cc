@@ -13,6 +13,7 @@
 //   * deltas > 255 bridged by filler pairs (255, table_size)
 //   * per non-empty panel: (row_off=0, col_off) origin and [start, end)
 //     bounds into the streams.
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -153,6 +154,47 @@ long smtpu_index_matrix_to_csr(const int32_t* idx, long rows, long cols,
     indptr[i + 1] = w;
   }
   return w;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// ILU(0) factorization in place on CSR (sorted indices, fp64 values).
+// IKJ restricted to the pattern; the inner update is a two-pointer merge
+// of the sorted k-row/i-row tails (no hash lookups).  Host build-time
+// setup, like the encode phase.
+// Returns 0 on success, -1-i for a missing diagonal at row i,
+// and -(n+1+k) for a zero pivot at row k.
+long smtpu_ilu0(const int64_t* indptr, const int32_t* indices, double* a,
+                long n) {
+  std::vector<long> dpos(n);
+  for (long i = 0; i < n; ++i) {
+    const int32_t* lo = indices + indptr[i];
+    const int32_t* hi = indices + indptr[i + 1];
+    const int32_t* it = std::lower_bound(lo, hi, static_cast<int32_t>(i));
+    if (it == hi || *it != i) return -1 - i;
+    dpos[i] = indptr[i] + (it - lo);
+  }
+  for (long i = 1; i < n; ++i) {
+    for (long s = indptr[i]; s < indptr[i + 1]; ++s) {
+      const long k = indices[s];
+      if (k >= i) break;
+      const double piv = a[dpos[k]];
+      if (piv == 0.0) return -(n + 1 + k);
+      const double lik = a[s] / piv;
+      a[s] = lik;
+      long t = dpos[k] + 1;  // first j > k in row k
+      long p = s + 1;        // row i tail (all j > k)
+      const long tend = indptr[k + 1], pend = indptr[i + 1];
+      while (t < tend && p < pend) {
+        if (indices[t] < indices[p]) ++t;
+        else if (indices[t] > indices[p]) ++p;
+        else a[p++] -= lik * a[t++];
+      }
+    }
+  }
+  return 0;
 }
 
 }  // extern "C"

@@ -21,17 +21,8 @@ from .trisolve import TriSolvePlan, trisolve_apply, trisolve_plan
 __all__ = ["ilu0", "ilu0_plans", "ilu_apply"]
 
 
-def ilu0(A: CSR) -> Tuple[CSR, CSR]:
-    """Factor A ≈ L @ U on A's sparsity pattern.  L unit-lower, U upper."""
-    sp = A.to_scipy().tocsr()
-    sp.sort_indices()
-    n = sp.shape[0]
-    if sp.shape[0] != sp.shape[1]:
-        raise ValueError("ilu0 needs a square matrix")
-    indptr, indices = sp.indptr, sp.indices
-    a = sp.data.astype(np.float64).copy()
-
-    # column position lookup per row for O(1) pattern membership
+def _ilu0_factor_python(indptr, indices, a, n):
+    """Behavioral reference for the native factorization (same IKJ walk)."""
     col_pos = [
         {int(indices[s]): s for s in range(indptr[i], indptr[i + 1])}
         for i in range(n)
@@ -39,8 +30,6 @@ def ilu0(A: CSR) -> Tuple[CSR, CSR]:
     for i in range(n):
         if i not in col_pos[i]:
             raise ValueError(f"ilu0: missing diagonal at row {i}")
-
-    # IKJ variant restricted to the pattern
     for i in range(1, n):
         for s in range(indptr[i], indptr[i + 1]):
             k = int(indices[s])
@@ -59,28 +48,65 @@ def ilu0(A: CSR) -> Tuple[CSR, CSR]:
                 if pos is not None:
                     a[pos] -= lik * a[t]
 
-    # split into L (unit diag) and U
+
+def _ilu0_factor_native(indptr, indices, a, n) -> bool:
+    """Native C++ IKJ (native/codec.cc: smtpu_ilu0); returns False when the
+    library is unavailable."""
+    from .. import native as native_mod
+
+    lib = native_mod.get_lib()
+    if lib is None or not hasattr(lib, "smtpu_ilu0"):
+        return False
+    import ctypes
+
+    ip = np.ascontiguousarray(indptr, np.int64)
+    ix = np.ascontiguousarray(indices, np.int32)
+    rc = lib.smtpu_ilu0(
+        ip.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ix.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n,
+    )
+    if rc == 0:
+        return True
+    if rc >= -n:
+        raise ValueError(f"ilu0: missing diagonal at row {-1 - rc}")
+    raise ZeroDivisionError(f"ilu0: zero pivot at {-rc - n - 1}")
+
+
+def ilu0(A: CSR) -> Tuple[CSR, CSR]:
+    """Factor A ≈ L @ U on A's sparsity pattern.  L unit-lower, U upper.
+
+    Host build-time setup (the reference's encode-once stance); the
+    factorization loop runs in native C++ when available, with the Python
+    IKJ walk as the behavioral fallback.
+    """
+    sp = A.to_scipy().tocsr()
+    sp.sort_indices()
+    n = sp.shape[0]
+    if sp.shape[0] != sp.shape[1]:
+        raise ValueError("ilu0 needs a square matrix")
+    indptr, indices = sp.indptr, sp.indices
+    a = np.ascontiguousarray(sp.data, np.float64).copy()
+
+    if not _ilu0_factor_native(indptr, indices, a, n):
+        _ilu0_factor_python(indptr, indices, a, n)
+
+    # split into L (unit diag appended) and U — vectorized masks
     import scipy.sparse as ss
 
-    lr, lc, lv = [], [], []
-    ur, uc, uv = [], [], []
-    for i in range(n):
-        lr.append(i)
-        lc.append(i)
-        lv.append(1.0)
-        for s in range(indptr[i], indptr[i + 1]):
-            j = int(indices[s])
-            if j < i:
-                lr.append(i)
-                lc.append(j)
-                lv.append(a[s])
-            else:
-                ur.append(i)
-                uc.append(j)
-                uv.append(a[s])
+    rid = np.repeat(np.arange(n), np.diff(indptr))
+    cols = indices.astype(np.int64)
+    low = cols < rid
     dt = sp.data.dtype
-    L = CSR.from_scipy(ss.coo_matrix((np.array(lv, dt), (lr, lc)), shape=(n, n)).tocsr())
-    U = CSR.from_scipy(ss.coo_matrix((np.array(uv, dt), (ur, uc)), shape=(n, n)).tocsr())
+    lr = np.concatenate([rid[low], np.arange(n)])
+    lc = np.concatenate([cols[low], np.arange(n)])
+    lv = np.concatenate([a[low], np.ones(n)]).astype(dt)
+    L = CSR.from_scipy(ss.coo_matrix((lv, (lr, lc)), shape=(n, n)).tocsr())
+    U = CSR.from_scipy(
+        ss.coo_matrix((a[~low].astype(dt), (rid[~low], cols[~low])),
+                      shape=(n, n)).tocsr()
+    )
     return L, U
 
 

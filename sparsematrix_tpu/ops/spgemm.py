@@ -60,41 +60,49 @@ def spgemm_plan(A: CSR, B: CSR, pair_capacity: int | None = None,
     if ka != kb:
         raise ValueError(f"spgemm: inner dims {ka} != {kb}")
 
-    # output structure from boolean product
-    pattern = ((sa != 0) @ (sb != 0)).tocsr()
+    import scipy.sparse as sps
+
+    sa.sort_indices()
+    sb.sort_indices()
+    # output structure from the STRUCTURAL boolean product (indicator data:
+    # explicitly-stored zeros are stored slots)
+    ind = lambda s: sps.csr_matrix(
+        (np.ones(len(s.indices), np.int8), s.indices, s.indptr), shape=s.shape
+    )
+    pattern = (ind(sa) @ ind(sb)).tocsr()
     pattern.sort_indices()
     c_nnz = int(pattern.nnz)
 
-    # map (row, col) -> C slot
-    # enumerate pairs: for each A entry (i, k, pa_idx), for each B entry in
-    # row k: (k, j, pb_idx) -> target slot of (i, j)
-    pa_list = []
-    pb_list = []
-    tgt_list = []
-    b_indptr, b_indices = sb.indptr, sb.indices
+    # vectorized pair enumeration: A entry ai (row i, col k) pairs with the
+    # whole B row k
+    b_indptr, b_indices = sb.indptr.astype(np.int64), sb.indices
     c_indptr, c_indices = pattern.indptr, pattern.indices
-    for i in range(m):
-        row_slots = {}
-        cs, ce = c_indptr[i], c_indptr[i + 1]
-        for s in range(cs, ce):
-            row_slots[int(c_indices[s])] = s
-        for ai in range(sa.indptr[i], sa.indptr[i + 1]):
-            k = int(sa.indices[ai])
-            for bi in range(b_indptr[k], b_indptr[k + 1]):
-                j = int(b_indices[bi])
-                pa_list.append(ai)
-                pb_list.append(bi)
-                tgt_list.append(row_slots[j])
-    n_pairs = len(pa_list)
+    a_nnz = len(sa.indices)
+    a_rows = np.repeat(np.arange(m), np.diff(sa.indptr))
+    ka = sa.indices.astype(np.int64)
+    cnt = (b_indptr[ka + 1] - b_indptr[ka])  # B-row length per A entry
+    n_pairs = int(cnt.sum())
+    pa_v = np.repeat(np.arange(a_nnz), cnt)
+    # offset of each pair within its A-entry's B row
+    starts = np.cumsum(cnt) - cnt
+    off = np.arange(n_pairs) - np.repeat(starts, cnt)
+    pb_v = b_indptr[ka[pa_v]] + off
+    # target slot: row-major+col-sorted C keys are globally sorted
+    c_rows = np.repeat(np.arange(m), np.diff(c_indptr))
+    key_c = c_rows.astype(np.int64) * n + c_indices.astype(np.int64)
+    key_p = (a_rows[pa_v].astype(np.int64) * n
+             + b_indices[pb_v].astype(np.int64))
+    tgt_v = np.searchsorted(key_c, key_p)
+
     pcap = max(n_pairs, 1) if pair_capacity is None else int(pair_capacity)
     ccap = max(c_nnz, 1) if c_capacity is None else int(c_capacity)
 
     pa = np.zeros(pcap, dtype=np.int64)
     pb = np.zeros(pcap, dtype=np.int64)
     tgt = np.full(pcap, ccap, dtype=np.int64)  # pad targets out of range
-    pa[:n_pairs] = pa_list
-    pb[:n_pairs] = pb_list
-    tgt[:n_pairs] = tgt_list
+    pa[:n_pairs] = pa_v
+    pb[:n_pairs] = pb_v
+    tgt[:n_pairs] = tgt_v
 
     ci = np.zeros(ccap, dtype=np.int64)
     ci[:c_nnz] = c_indices

@@ -48,58 +48,86 @@ class TriSolvePlan:
 def trisolve_plan(A: CSR, lower: bool = True,
                   unit_diagonal: bool = False) -> TriSolvePlan:
     sp = A.to_scipy().tocsr()
+    sp.sort_indices()
     n = sp.shape[0]
     if sp.shape[0] != sp.shape[1]:
         raise ValueError("trisolve needs a square matrix")
-    indptr, indices, data = sp.indptr, sp.indices, sp.data
+    indptr, indices, data = sp.indptr.astype(np.int64), sp.indices, sp.data
 
-    # compute levels: level(i) = 1 + max level of off-diag deps
+    # classify entries (vectorized): row id per entry, off-diag mask
+    rid = np.repeat(np.arange(n), np.diff(indptr))
+    offd = (indices < rid) if lower else (indices > rid)
+    diag_mask = indices == rid
+
+    # level(i) = 1 + max level of off-diag deps — Kahn-style peeling, each
+    # round retires the dependency-free frontier (total work O(nnz))
+    remaining = np.bincount(rid[offd], minlength=n)
+    # reverse adjacency: dependents of column j among off-diag entries
+    dep_rows = rid[offd]
+    dep_cols = indices[offd].astype(np.int64)
+    rev_order = np.argsort(dep_cols, kind="stable")
+    rev_rows = dep_rows[rev_order]
+    rev_ptr = np.zeros(n + 1, np.int64)
+    np.add.at(rev_ptr[1:], dep_cols, 1)
+    rev_ptr = np.cumsum(rev_ptr)
     level = np.zeros(n, dtype=np.int64)
-    order = range(n) if lower else range(n - 1, -1, -1)
-    for i in order:
-        deps = indices[indptr[i] : indptr[i + 1]]
-        if lower:
-            deps = deps[deps < i]
+    frontier = np.nonzero(remaining == 0)[0]
+    remaining[frontier] = -1  # retired
+    lvl = 0
+    seen = len(frontier)
+    while len(frontier):
+        level[frontier] = lvl
+        # edges leaving the frontier (vectorized multi-range gather)
+        lens = rev_ptr[frontier + 1] - rev_ptr[frontier]
+        total = int(lens.sum())
+        if total:
+            starts = np.cumsum(lens) - lens
+            idx = (np.arange(total) - np.repeat(starts, lens)
+                   + np.repeat(rev_ptr[frontier], lens))
+            targets = rev_rows[idx]
+            np.subtract.at(remaining, targets, 1)
+            cand = np.unique(targets)
+            frontier = cand[remaining[cand] == 0]
+            remaining[frontier] = -1
         else:
-            deps = deps[deps > i]
-        level[i] = 1 + max((level[d] for d in deps), default=-1)
+            frontier = np.empty(0, np.int64)
+        lvl += 1
+        seen += len(frontier)
+    if seen < n:
+        raise ValueError("trisolve: cyclic structure (matrix not triangular?)")
     n_levels = int(level.max()) + 1 if n else 1
 
-    lvl_rows = [np.nonzero(level == l)[0] for l in range(n_levels)]
-    max_width = max((len(r) for r in lvl_rows), default=1)
-    max_width = max(max_width, 1)
-    max_row_nnz = 1
-    for i in range(n):
-        cnt = 0
-        for s in range(indptr[i], indptr[i + 1]):
-            j = indices[s]
-            if (lower and j < i) or ((not lower) and j > i):
-                cnt += 1
-        max_row_nnz = max(max_row_nnz, cnt)
+    widths = np.bincount(level, minlength=n_levels) if n else np.array([0])
+    max_width = max(int(widths.max()) if n else 0, 1)
+    od_counts = np.bincount(rid[offd], minlength=n)
+    max_row_nnz = max(int(od_counts.max()) if n else 0, 1)
+
+    # slot of each row within its level (stable order by row id)
+    order_r = np.lexsort((np.arange(n), level))
+    slot = np.empty(n, np.int64)
+    lvl_start = np.cumsum(np.concatenate([[0], widths]))[:-1]
+    slot[order_r] = np.arange(n) - lvl_start[level[order_r]]
 
     rows = np.full((n_levels, max_width), n, dtype=np.int64)
+    rows[level, slot] = np.arange(n)
     od_cols = np.zeros((n_levels, max_width, max_row_nnz), dtype=np.int64)
     od_vals = np.zeros((n_levels, max_width, max_row_nnz), dtype=data.dtype)
     dvals = np.ones((n_levels, max_width), dtype=data.dtype)
-    for l, rlist in enumerate(lvl_rows):
-        for s, i in enumerate(rlist):
-            rows[l, s] = i
-            kk = 0
-            diag = None
-            for t in range(indptr[i], indptr[i + 1]):
-                j = indices[t]
-                if j == i:
-                    diag = data[t]
-                elif (lower and j < i) or ((not lower) and j > i):
-                    od_cols[l, s, kk] = j
-                    od_vals[l, s, kk] = data[t]
-                    kk += 1
-            if unit_diagonal:
-                dvals[l, s] = 1.0
-            else:
-                if diag is None or diag == 0:
-                    raise ValueError(f"zero/missing diagonal at row {i}")
-                dvals[l, s] = diag
+    # scatter off-diag entries: kk = within-row off-diag rank
+    csum = np.cumsum(offd)
+    row_base = np.concatenate([[0], csum])[indptr[:-1]]
+    kk = (csum - 1 - np.repeat(row_base, np.diff(indptr)))[offd]
+    er = rid[offd]
+    od_cols[level[er], slot[er], kk] = indices[offd]
+    od_vals[level[er], slot[er], kk] = data[offd]
+    if not unit_diagonal:
+        drows = rid[diag_mask]
+        if len(drows) < n or (data[diag_mask] == 0).any():
+            missing = np.setdiff1d(np.arange(n), drows)
+            bad = (missing[0] if len(missing)
+                   else drows[np.nonzero(data[diag_mask] == 0)[0][0]])
+            raise ValueError(f"zero/missing diagonal at row {bad}")
+        dvals[level[drows], slot[drows]] = data[diag_mask]
 
     idt = default_index_dtype
     return TriSolvePlan(

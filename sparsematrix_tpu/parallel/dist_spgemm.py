@@ -60,6 +60,8 @@ def dist_spgemm_plan(A: CSR, B: CSR, n_shards: int) -> DistSpGEMMPlan:
     pattern.sort_indices()
     c_nnz = int(pattern.nnz)
     c_indptr, c_indices = pattern.indptr, pattern.indices
+    c_rows = np.repeat(np.arange(m), np.diff(c_indptr))
+    key_c = c_rows.astype(np.int64) * n + c_indices.astype(np.int64)
 
     band = -(-k // n_shards)
     per = []
@@ -67,21 +69,23 @@ def dist_spgemm_plan(A: CSR, B: CSR, n_shards: int) -> DistSpGEMMPlan:
         k0, k1 = s * band, min((s + 1) * band, k)
         a_band = sa[:, k0:k1].tocsr()  # m × band
         b_band = sb[k0:k1, :].tocsr()  # band × n
-        # enumerate pairs against global C slots
-        pa_l, pb_l, tgt_l = [], [], []
-        for i in range(m):
-            row_slots = {
-                int(c_indices[t]): t
-                for t in range(c_indptr[i], c_indptr[i + 1])
-            }
-            for ai in range(a_band.indptr[i], a_band.indptr[i + 1]):
-                kk = int(a_band.indices[ai])
-                for bi in range(b_band.indptr[kk], b_band.indptr[kk + 1]):
-                    j = int(b_band.indices[bi])
-                    pa_l.append(ai)
-                    pb_l.append(bi)
-                    tgt_l.append(row_slots[j])
-        per.append((a_band, b_band, pa_l, pb_l, tgt_l))
+        a_band.sort_indices()
+        b_band.sort_indices()
+        # vectorized pair enumeration against global C slots (same scheme
+        # as ops.spgemm_plan: searchsorted into the sorted C key space)
+        b_indptr = b_band.indptr.astype(np.int64)
+        a_rows = np.repeat(np.arange(m), np.diff(a_band.indptr))
+        ka = a_band.indices.astype(np.int64)
+        cnt = b_indptr[ka + 1] - b_indptr[ka]
+        npair = int(cnt.sum())
+        pa_v = np.repeat(np.arange(len(ka)), cnt)
+        starts = np.cumsum(cnt) - cnt
+        off = np.arange(npair) - np.repeat(starts, cnt)
+        pb_v = b_indptr[ka[pa_v]] + off
+        key_p = (a_rows[pa_v].astype(np.int64) * n
+                 + b_band.indices[pb_v].astype(np.int64))
+        tgt_v = np.searchsorted(key_c, key_p)
+        per.append((a_band, b_band, pa_v, pb_v, tgt_v))
 
     pair_cap = max(max(len(p[2]) for p in per), 1)
     a_cap = max(max(int(p[0].nnz) for p in per), 1)

@@ -112,3 +112,26 @@ def test_ilu0_exact_when_pattern_full_tri(rng):
     b = rng.uniform(-1, 1, n).astype(np.float32)
     x = np.asarray(ilu_apply(plans, jnp.asarray(b)))
     np.testing.assert_allclose(a @ x, b, rtol=1e-2, atol=1e-2)
+
+
+def test_ilu0_native_matches_python_bit_exact(rng):
+    """Native C++ IKJ vs the Python walk — bit-exact (the reference's
+    optimized-vs-naive lesson, SURVEY §6)."""
+    import pytest
+    import scipy.sparse as sps
+
+    from sparsematrix_tpu import native
+    from sparsematrix_tpu.ops import ilu as ilu_mod
+
+    if native.get_lib() is None:
+        pytest.skip("native codec unavailable")
+    n = 400
+    d = sps.random(n, n, density=0.02, random_state=3, format="csr",
+                   dtype=np.float64)
+    d = d + sps.eye(n, format="csr") * 25.0
+    d.sort_indices()
+    a1 = np.ascontiguousarray(d.data, np.float64).copy()
+    assert ilu_mod._ilu0_factor_native(d.indptr, d.indices, a1, n)
+    a2 = d.data.astype(np.float64).copy()
+    ilu_mod._ilu0_factor_python(d.indptr, d.indices, a2, n)
+    np.testing.assert_array_equal(a1, a2)
