@@ -42,7 +42,7 @@ def main(argv=None):
                 "sol_frac": r.sol_frac,
                 "checked": r.checked,
                 "nnz": r.nnz,
-                "unreliable": bool(r.result.extras.get("unreliable", False)),
+                **({"extras": r.extras} if getattr(r, "extras", None) else {}),
             }
             for r in registry.rows
         ]

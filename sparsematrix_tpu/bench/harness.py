@@ -106,13 +106,22 @@ class BenchRegistry:
                 traceback.print_exc()
                 continue
             rows = rows if isinstance(rows, list) else [rows]
+            kept = []
             for r in rows:
                 sol = f"{100*r.sol_frac:.1f}%" if r.sol_frac is not None else "-"
-                unrel = " UNRELIABLE" if r.result.extras.get("unreliable") else ""
+                if r.result.extras.get("unreliable"):
+                    # a measurement whose hi-lo slope delta never rose
+                    # above the dispatch-jitter floor is noise, not data —
+                    # it must not ship next to real numbers
+                    print(f"[drop] {r.name} {r.shape} UNRELIABLE "
+                          f"(delta below jitter floor after escalation)",
+                          flush=True)
+                    continue
                 print(f"[row] {r.name} {r.shape} min={r.result.min_ms:.4f}ms "
                       f"gnnz/s={r.nnz_per_s/1e9:.2f} sol={sol} "
-                      f"check={r.checked}{unrel}", flush=True)
-            self.rows.extend(rows)
+                      f"check={r.checked}", flush=True)
+                kept.append(r)
+            self.rows.extend(kept)
         return self.rows
 
     def print_table(self):

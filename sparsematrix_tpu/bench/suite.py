@@ -35,6 +35,25 @@ REF_M, REF_N, REF_K = 117, 1023, 2047  # blas_test.cc:32 defaults
 REF_BASELINE_MS = 7.5  # kernel.cc:381 (x86 AVX2 path)
 
 
+def _mxu_precision(dtype):
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
+def _dense_race_row(tag, dense_np, rhs, nnz):
+    """The on-chip dense baseline the reference harness always races
+    against (blas_test.cc:41 → cblas_sgemm_baseline): same shape, plain
+    jnp.dot on the MXU.  nnz/s here is *effective* (sparse-equivalent
+    work per second) so rows are directly comparable."""
+    dd = jnp.asarray(dense_np)
+    f = jax.jit(lambda m, v: jnp.dot(m, v, precision=_mxu_precision(m.dtype)))
+    res = bench_fn_slope(f, dd, rhs, iters=6)
+    n, m = dense_np.shape
+    r = Row(f"{tag}/dense-race", f"{n}x{m} dense on-MXU", res, nnz=nnz)
+    r.sol_frac = None  # roofline basis differs; Gnnz/s column is the race
+    return r
+
+
 def _banded(rng, n, bandwidth):
     dense = np.zeros((n, n), dtype=np.float32)
     for off in range(-bandwidth // 2, bandwidth // 2 + 1):
@@ -107,6 +126,29 @@ def bench_csr_spmv(check=True, sizes=(4096,), **kw):
                     res, nnz=A.nnz, checked=checked)
             r.sol_frac = r.nnz_per_s / sol
             rows.append(r)
+        # row-lane kernel (the round-2 default fast path: auto-pack)
+        from ..kernels.spmv_rowlane import pack_sell_rowlane, spmv_sell_rowlane
+
+        for nnz_row in (64, 128):
+            dense = gen_random_dense_sparse(rng, n, n, density=nnz_row / n)
+            A = CSR.fromdense(dense)
+            packed = pack_sell_rowlane(A)
+            x = jnp.asarray(gen_matrix_random(rng, n, 1)[:, 0])
+            f = jax.jit(lambda p, v: spmv_sell_rowlane(p, v))
+            res = bench_fn_slope(f, packed, x, iters=6)
+            checked = (
+                relative_check(np.asarray(f(packed, x)), dense @ np.asarray(x))
+                if check else None
+            )
+            sol = speed_of_light_nnz_s(A.nnz, spmv_csr_bytes(A.nnz, n, n))
+            r = Row("csr_spmv/rowlane-pallas",
+                    f"n={n},nnz/row={nnz_row},g={packed.group},"
+                    f"fill={packed.fill_rate:.2f}",
+                    res, nnz=A.nnz, checked=checked)
+            r.sol_frac = r.nnz_per_s / sol
+            rows.append(r)
+        # on-chip dense race at the densest config
+        rows.append(_dense_race_row("csr_spmv", dense, x, A.nnz))
         for bw in (9, 65):
             dense = _banded(rng, n, bw)
             A = CSR.fromdense(dense)
@@ -123,6 +165,35 @@ def bench_csr_spmv(check=True, sizes=(4096,), **kw):
                     checked=checked)
             r.sol_frac = r.nnz_per_s / sol
             rows.append(r)
+    return rows
+
+
+@registry.register("csr_spmv_large")
+def bench_csr_spmv_large(check=True, n=8192, nnz_row=256, **kw):
+    """The north-star scale point: ≥2 M nnz, row-lane kernel fp32 + bf16,
+    raced against the on-chip dense matvec."""
+    from ..kernels.spmv_rowlane import pack_sell_rowlane, spmv_sell_rowlane
+
+    rng = np.random.default_rng(7)
+    dense = gen_random_dense_sparse(rng, n, n, density=nnz_row / n)
+    A = CSR.fromdense(dense)
+    x = jnp.asarray(gen_matrix_random(rng, n, 1)[:, 0])
+    want = dense.astype(np.float64) @ np.asarray(x)
+    rows = []
+    for dt, tag in ((None, "fp32"), (jnp.bfloat16, "bf16")):
+        packed = pack_sell_rowlane(A, dtype=dt)
+        f = jax.jit(lambda p, v: spmv_sell_rowlane(p, v))
+        res = bench_fn_slope(f, packed, x, iters=6)
+        checked = (relative_check(np.asarray(f(packed, x)), want)
+                   if check else None)
+        sol = speed_of_light_nnz_s(A.nnz, spmv_csr_bytes(A.nnz, n, n))
+        r = Row(f"csr_spmv_large/rowlane-{tag}",
+                f"n={n},nnz/row={nnz_row},g={packed.group},"
+                f"fill={packed.fill_rate:.2f}",
+                res, nnz=A.nnz, checked=checked)
+        r.sol_frac = r.nnz_per_s / sol
+        rows.append(r)
+    rows.append(_dense_race_row("csr_spmv_large", dense, x, A.nnz))
     return rows
 
 
@@ -152,6 +223,7 @@ def bench_spmm_csr(check=True, n=2048, density=0.05, ks=(32, 128, 512), **kw):
                     checked=checked)
             r.sol_frac = r.nnz_per_s / sol
             rows.append(r)
+        rows.append(_dense_race_row("spmm_csr", dense, X, A.nnz))
     return rows
 
 
@@ -219,6 +291,118 @@ def bench_bsr(check=True, n=2048, block=(8, 8), density=0.05, k=128, **kw):
     return rows
 
 
+@registry.register("spgemm")
+def bench_spgemm(check=True, n=2048, density=0.01, **kw):
+    """SpGEMM symbolic (host, seconds) + numeric (device, pairs/s)."""
+    import time
+
+    from ..ops.spgemm import spgemm_apply, spgemm_plan
+
+    rng = np.random.default_rng(5)
+    da = gen_random_dense_sparse(rng, n, n, density=density)
+    db = gen_random_dense_sparse(rng, n, n, density=density)
+    A, B = CSR.fromdense(da), CSR.fromdense(db)
+    t0 = time.time()
+    plan = spgemm_plan(A, B)
+    plan_s = time.time() - t0
+    f = jax.jit(lambda p, ad, bd: spgemm_apply(p, ad, bd).data)
+    res = bench_fn_slope(f, plan, A.data, B.data, iters=6)
+    checked = None
+    if check:
+        got = np.asarray(f(plan, A.data, B.data))
+        import scipy.sparse as sps
+
+        want = (sps.csr_matrix(da.astype(np.float64))
+                @ sps.csr_matrix(db.astype(np.float64))).tocsr()
+        want.sort_indices()
+        checked = relative_check(got[: plan.c_nnz], want.data)
+    # traffic: read both operand data planes + pair indices, write C
+    bytes_moved = plan.n_pairs * (2 * 4 + 3 * 4) + plan.c_nnz * 4
+    sol = speed_of_light_nnz_s(plan.n_pairs, bytes_moved)
+    r = Row("spgemm/numeric", f"n={n},d={density},pairs={plan.n_pairs}",
+            res, nnz=plan.n_pairs, checked=checked)
+    r.sol_frac = r.nnz_per_s / sol
+    r.extras = {"plan_seconds": plan_s, "c_nnz": plan.c_nnz}
+    return [r]
+
+
+@registry.register("trisolve")
+def bench_trisolve(check=True, n=4096, nnz_row=8, **kw):
+    """Level-scheduled triangular solve (rows/s through the level scan)."""
+    import scipy.sparse as sps
+
+    from ..ops.trisolve import trisolve_apply, trisolve_plan
+
+    rng = np.random.default_rng(6)
+    # lower-triangular with short dependency chains (random DAG depth)
+    d = sps.random(n, n, density=nnz_row / n, random_state=6,
+                   format="csr", dtype=np.float32)
+    L = sps.tril(d, k=-1).tocsr() + sps.eye(n, format="csr", dtype=np.float32) * 4.0
+    A = CSR.from_scipy(L.tocsr())
+    plan = trisolve_plan(A, lower=True)
+    b = jnp.asarray(gen_matrix_random(rng, n, 1)[:, 0])
+    f = jax.jit(lambda p, v: trisolve_apply(p, v))
+    res = bench_fn_slope(f, plan, b, iters=6)
+    checked = None
+    if check:
+        import scipy.sparse.linalg as spla
+
+        want = spla.spsolve_triangular(L.tocsr().astype(np.float64),
+                                       np.asarray(b), lower=True)
+        checked = relative_check(np.asarray(f(plan, b)), want)
+    nnz = int(L.nnz)
+    sol = speed_of_light_nnz_s(nnz, spmv_csr_bytes(nnz, n, n))
+    r = Row("trisolve/level-sched",
+            f"n={n},nnz={nnz},levels={plan.rows.shape[0]}",
+            res, nnz=nnz, checked=checked)
+    r.sol_frac = r.nnz_per_s / sol
+    return [r]
+
+
+@registry.register("ilu_cg")
+def bench_ilu_cg(check=True, n=4096, iters=25, **kw):
+    """End-to-end preconditioned solve: ILU(0)-CG vs plain CG on a 2-D
+    Poisson system (fixed iteration count → time per iteration)."""
+    import scipy.sparse as sps
+
+    from ..ops.ilu import ilu0_plans, ilu_apply
+    from ..solvers import cg
+
+    side = int(np.sqrt(n))
+    n = side * side
+    # standard 5-point Laplacian
+    Iq = sps.eye(side)
+    T = sps.diags([-1, 4, -1], [-1, 0, 1], (side, side))
+    Apo = (sps.kron(Iq, T) + sps.kron(sps.diags([-1, -1], [-1, 1],
+                                               (side, side)), Iq)).tocsr()
+    A = CSR.from_scipy(Apo.astype(np.float32).tocsr())
+    rng = np.random.default_rng(8)
+    b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    plans = ilu0_plans(A)
+    M = lambda r: ilu_apply(plans, r)
+    rows = []
+    for label, precond in (("plain", None), ("ilu0", M)):
+        f = jax.jit(lambda bb: cg(A, bb, maxiter=iters, M=precond,
+                                  tol=0.0).x)
+        res = bench_fn_slope(f, b, iters=4, inner_lo=2, inner_hi=10)
+        checked = None
+        if check:
+            x = np.asarray(f(b))
+            res_norm = np.linalg.norm(Apo @ x - np.asarray(b))
+            b_norm = np.linalg.norm(np.asarray(b))
+            # preconditioned CG must reduce the residual much further in
+            # the same iteration budget
+            checked = bool(res_norm < (0.9 if label == "plain" else 0.05)
+                           * b_norm)
+        nnz = A.nnz * iters
+        r = Row(f"ilu_cg/{label}", f"n={n},iters={iters}", res, nnz=nnz,
+                checked=checked)
+        sol = speed_of_light_nnz_s(nnz, spmv_csr_bytes(nnz, n, n))
+        r.sol_frac = r.nnz_per_s / sol
+        rows.append(r)
+    return rows
+
+
 @registry.register("codebook_gemm")
 def bench_codebook_gemm(check=True, density=0.25, **kw):
     """The reference's own benchmark: sparse AddMatMat at its default shape
@@ -283,4 +467,17 @@ def bench_codebook_gemm(check=True, density=0.25, **kw):
         rows.append(r)
     if not rows:
         raise RuntimeError("all codebook_gemm variants failed")
+    # the honesty race the reference always runs (blas_test.cc:41): plain
+    # dense GEMM of the same problem on the same chip, both precisions
+    b_dense32 = jnp.asarray(b_dense_np.astype(np.float32))
+    for prec, tag in ((jax.lax.Precision.HIGHEST, "fp32"),
+                      (jax.lax.Precision.DEFAULT, "bf16")):
+        fd = jax.jit(lambda aa, bb, cc, p=prec: cc + jnp.dot(
+            aa, bb, precision=p))
+        res = bench_fn_slope(fd, a, b_dense32, c, iters=8,
+                             inner_lo=16, inner_hi=144)
+        r = Row(f"codebook_gemm/dense-race-{tag}",
+                f"m={m},n={n},k={k} dense on-MXU", res, nnz=b_csr.nnz)
+        r.extras = {"vs_baseline": REF_BASELINE_MS / res.min_ms}
+        rows.append(r)
     return rows

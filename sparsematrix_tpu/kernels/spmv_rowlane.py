@@ -83,13 +83,14 @@ def _pack_arrays(r, c, v, rows, cols, group, L, dtype):
     n_tiles = -(-rows // T)
     n_win = max(-(-cols // _W), 1)
     if r.size == 0:
+        group = group or 8
         return dict(
             s_idx=np.zeros((1, group * 8, _LANES), np.int8),
             vals=np.zeros((1, group * 8, _LANES), dtype),
             group_tile=np.zeros((1,), np.int64),
             slab_win=np.zeros((1, group), np.int64),
             tile_nonempty=np.zeros((n_tiles,), bool),
-            n_tiles=n_tiles, n_win=n_win,
+            n_tiles=n_tiles, n_win=n_win, group=group,
         )
     t = r // T
     rloc = r % T
@@ -118,6 +119,16 @@ def _pack_arrays(r, c, v, rows, cols, group, L, dtype):
     slab_w = (uskey // d_span) % n_win
     n_slabs = len(uskey)
     counts = np.bincount(slab_t, minlength=n_tiles)
+    if group is None:
+        # auto: biggest per-step batch (amortizes the ~300 ns grid-step
+        # cost, measured DMA-bound beyond ~32) whose per-tile padding
+        # waste stays under 15%
+        group = 8
+        for g in (64, 32, 16):
+            waste = ((-(-counts // g) * g).sum() - n_slabs) / max(n_slabs, 1)
+            if waste <= 0.15:
+                group = g
+                break
     tile_groups = -(-counts // group)
     padded = tile_groups * group
     tile_offset = np.concatenate([[0], np.cumsum(padded)])
@@ -141,11 +152,12 @@ def _pack_arrays(r, c, v, rows, cols, group, L, dtype):
         group_tile=group_tile,
         slab_win=win.reshape(n_groups, group),
         tile_nonempty=counts > 0,
-        n_tiles=n_tiles, n_win=n_win,
+        n_tiles=n_tiles, n_win=n_win, group=group,
     )
 
 
-def pack_sell_rowlane(csr: CSR, group: int = 8, lanes_per_row: int = 1,
+def pack_sell_rowlane(csr: CSR, group: int | None = None,
+                      lanes_per_row: int = 1,
                       spill_depth: int | None = None,
                       with_transpose: bool = False,
                       dtype=None) -> SellRowLane:
@@ -212,7 +224,7 @@ def pack_sell_rowlane(csr: CSR, group: int = 8, lanes_per_row: int = 1,
         shape=(rows, cols),
         n_tiles=arrs["n_tiles"],
         n_win=arrs["n_win"],
-        group=group,
+        group=arrs["group"],
         lanes_per_row=L,
         nnz=csr.nnz,
     )

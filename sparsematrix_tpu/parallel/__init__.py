@@ -10,8 +10,20 @@ from .dist2d import make_mesh_2d, dist_spmm_2d
 from .multihost import initialize_multihost, global_mesh
 from .halo import (
     HaloPartitionedCSR,
+    VarHaloPartitionedCSR,
     partition_csr_halo,
+    partition_csr_halo_var,
     dist_spmv_halo,
+    dist_spmv_halo_var,
+)
+from .scaling import (
+    CollectiveCost,
+    halo_cost,
+    spmm_col_cost,
+    spmm_row_cost,
+    spmv_col_cost,
+    spmv_row_cost,
+    weak_scaling_table,
 )
 from .halo import shard_halo
 from .dist_spgemm import (
@@ -38,7 +50,17 @@ __all__ = [
     "shard_bell",
     "dist_spmm_bell",
     "HaloPartitionedCSR",
+    "VarHaloPartitionedCSR",
     "partition_csr_halo",
+    "partition_csr_halo_var",
+    "dist_spmv_halo_var",
+    "CollectiveCost",
+    "spmv_row_cost",
+    "spmv_col_cost",
+    "spmm_row_cost",
+    "spmm_col_cost",
+    "halo_cost",
+    "weak_scaling_table",
     "shard_halo",
     "dist_spmv_halo",
     "make_mesh_2d",

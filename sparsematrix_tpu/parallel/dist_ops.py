@@ -54,7 +54,8 @@ def _local_spmm(indptr, indices, data, row_ids, X_full, local_rows):
     return jax.ops.segment_sum(prod, row_ids, num_segments=local_rows)
 
 
-def dist_spmv(part: PartitionedCSR, x, mesh: Mesh, axis_name: str = "shard"):
+def dist_spmv(part: PartitionedCSR, x, mesh: Mesh, axis_name: str = "shard",
+              reduce: str = "psum"):
     """``y = A @ x`` with A row- or column-partitioned over ``mesh``.
 
     Row partition: ``x`` enters sharded over its length (padded to
@@ -62,7 +63,11 @@ def dist_spmv(part: PartitionedCSR, x, mesh: Mesh, axis_name: str = "shard"):
     sharded over rows.
 
     Column partition: ``x`` sharded by column band; partial products are
-    ``psum``-reduced; output replicated.
+    reduced with ``reduce``:
+      * ``"psum"`` — replicated output (each device holds all rows);
+      * ``"psum_scatter"`` — the reduction stays sharded: device i ends up
+        with row band i only, at 1/n_shards the psum output bytes (the
+        ``reduce_scatter`` of the north-star checklist, SURVEY §2.4/§5).
     """
     n = part.n_shards
     if part.partition_axis == "rows":
@@ -85,44 +90,112 @@ def dist_spmv(part: PartitionedCSR, x, mesh: Mesh, axis_name: str = "shard"):
 
     elif part.partition_axis == "cols":
         x_pad = _pad_vec(x, n * part.local_cols)
+        rows_pad = n * _band(part.shape[0], n)
+
+        if reduce == "psum":
+            @functools.partial(
+                shard_map,
+                mesh=mesh,
+                in_specs=(P(axis_name), P(axis_name)),
+                out_specs=P(None),
+            )
+            def run(p_local, x_local):
+                ip, ix, dd, rid = part.local_csr_arrays(p_local)
+                partial = _local_spmv(ip, ix, dd, rid, x_local,
+                                      part.local_rows)
+                return jax.lax.psum(partial, axis_name)
+
+            return run(part, x_pad)[: part.shape[0]]
+
+        if reduce == "psum_scatter":
+            @functools.partial(
+                shard_map,
+                mesh=mesh,
+                in_specs=(P(axis_name), P(axis_name)),
+                out_specs=P(axis_name),
+            )
+            def run(p_local, x_local):
+                ip, ix, dd, rid = part.local_csr_arrays(p_local)
+                partial = _local_spmv(ip, ix, dd, rid, x_local,
+                                      part.local_rows)
+                partial = jnp.zeros((rows_pad,), partial.dtype).at[
+                    : part.local_rows].set(partial[: part.local_rows])
+                # each device keeps its own reduced row band
+                return jax.lax.psum_scatter(partial, axis_name,
+                                            scatter_dimension=0, tiled=True)
+
+            return run(part, x_pad).reshape(-1)[: part.shape[0]]
+        raise ValueError(f"unknown reduce {reduce!r}")
+    raise ValueError(part.partition_axis)
+
+
+def dist_spmm(part: PartitionedCSR, X, mesh: Mesh, axis_name: str = "shard",
+              reduce: str = "psum"):
+    """``Y = A @ X`` with X dense (n × k).
+
+    Row partition: X row-sharded by k-band, all-gathered on device; output
+    row-sharded.  Column partition: X sharded to match A's column bands;
+    per-device partial (m × k) products reduced with ``psum``
+    (replicated Y) or ``psum_scatter`` (row-sharded Y).
+    """
+    n = part.n_shards
+    k = X.shape[1]
+    if part.partition_axis == "rows":
+        Xp = _pad_mat(X, n * _band(part.shape[1], n))
 
         @functools.partial(
             shard_map,
             mesh=mesh,
-            in_specs=(P(axis_name), P(axis_name)),
-            out_specs=P(None),
+            in_specs=(P(axis_name), P(axis_name, None)),
+            out_specs=P(axis_name, None),
         )
-        def run(p_local, x_local):
+        def run(p_local, X_local):
+            X_full = jax.lax.all_gather(X_local, axis_name, tiled=True)
+            X_full = X_full[: part.shape[1]]
             ip, ix, dd, rid = part.local_csr_arrays(p_local)
-            partial = _local_spmv(ip, ix, dd, rid, x_local, part.local_rows)
-            return jax.lax.psum(partial, axis_name)
+            return _local_spmm(ip, ix, dd, rid, X_full, part.local_rows)
 
-        return run(part, x_pad)[: part.shape[0]]
+        Y = run(part, Xp)
+        return Y[: part.shape[0]]
+
+    elif part.partition_axis == "cols":
+        Xp = _pad_mat(X, n * part.local_cols)
+        rows_pad = n * _band(part.shape[0], n)
+
+        if reduce == "psum":
+            @functools.partial(
+                shard_map,
+                mesh=mesh,
+                in_specs=(P(axis_name), P(axis_name, None)),
+                out_specs=P(None, None),
+            )
+            def run(p_local, X_local):
+                ip, ix, dd, rid = part.local_csr_arrays(p_local)
+                partial = _local_spmm(ip, ix, dd, rid, X_local,
+                                      part.local_rows)
+                return jax.lax.psum(partial, axis_name)
+
+            return run(part, Xp)[: part.shape[0]]
+
+        if reduce == "psum_scatter":
+            @functools.partial(
+                shard_map,
+                mesh=mesh,
+                in_specs=(P(axis_name), P(axis_name, None)),
+                out_specs=P(axis_name, None),
+            )
+            def run(p_local, X_local):
+                ip, ix, dd, rid = part.local_csr_arrays(p_local)
+                partial = _local_spmm(ip, ix, dd, rid, X_local,
+                                      part.local_rows)
+                partial = jnp.zeros((rows_pad, k), partial.dtype).at[
+                    : part.local_rows].set(partial[: part.local_rows])
+                return jax.lax.psum_scatter(partial, axis_name,
+                                            scatter_dimension=0, tiled=True)
+
+            return run(part, Xp)[: part.shape[0]]
+        raise ValueError(f"unknown reduce {reduce!r}")
     raise ValueError(part.partition_axis)
-
-
-def dist_spmm(part: PartitionedCSR, X, mesh: Mesh, axis_name: str = "shard"):
-    """``Y = A @ X`` with A row-partitioned and X row-sharded (k dense)."""
-    if part.partition_axis != "rows":
-        raise NotImplementedError("dist_spmm currently supports row partition")
-    n = part.n_shards
-    k = X.shape[1]
-    Xp = _pad_mat(X, n * _band(part.shape[1], n))
-
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(axis_name), P(axis_name, None)),
-        out_specs=P(axis_name, None),
-    )
-    def run(p_local, X_local):
-        X_full = jax.lax.all_gather(X_local, axis_name, tiled=True)
-        X_full = X_full[: part.shape[1]]
-        ip, ix, dd, rid = part.local_csr_arrays(p_local)
-        return _local_spmm(ip, ix, dd, rid, X_full, part.local_rows)
-
-    Y = run(part, Xp)
-    return Y[: part.shape[0]]
 
 
 def _band(total: int, n: int) -> int:

@@ -135,3 +135,176 @@ def dist_spmv_halo(part: HaloPartitionedCSR, x, mesh: Mesh,
 
     y = run(part.indices, part.data, part.row_ids, x_pad)
     return y.reshape(-1)[: part.shape[0]]
+
+
+# ---------------------------------------------------------------------------
+# Variable-width halos: per-shard (h_l, h_r) sized to the actual column
+# reach, exchanged with ``jax.lax.ragged_all_to_all`` so each link carries
+# exactly the bytes its receiver needs (the ragged-halo capability of the
+# north star, SURVEY §2.4/§5).  XLA:CPU has no ragged-all-to-all kernel, so
+# a ppermute fallback pads every link to the max halo — same frame layout,
+# same results, only the exchanged byte count differs (reported by
+# ``ragged_bytes``/``padded_bytes`` for the scaling accounting).
+# ---------------------------------------------------------------------------
+
+
+@register_sparse_pytree
+@dataclasses.dataclass(frozen=True)
+class VarHaloPartitionedCSR:
+    indices: jnp.ndarray  # (n_shards, cap) frame-local col ids
+    data: jnp.ndarray  # (n_shards, cap)
+    row_ids: jnp.ndarray  # (n_shards, cap)
+    h_l: jnp.ndarray  # (n_shards,) left-halo widths
+    h_r: jnp.ndarray  # (n_shards,)
+    in_off: jnp.ndarray  # (n_shards, n_shards) ragged-a2a send offsets
+    send_sz: jnp.ndarray  # (n_shards, n_shards)
+    out_off: jnp.ndarray  # (n_shards, n_shards) receiver-frame offsets
+    recv_sz: jnp.ndarray  # (n_shards, n_shards)
+    shape: Tuple[int, int] = dataclasses.field(metadata={"static": True})
+    n_shards: int = dataclasses.field(metadata={"static": True})
+    local_rows: int = dataclasses.field(metadata={"static": True})
+    band: int = dataclasses.field(metadata={"static": True})
+    hmax_l: int = dataclasses.field(metadata={"static": True})
+    hmax_r: int = dataclasses.field(metadata={"static": True})
+    nnz: int = dataclasses.field(metadata={"static": True})
+
+    @property
+    def ragged_bytes(self) -> int:
+        """Halo bytes moved per exchange with the ragged collective."""
+        import numpy as _np
+
+        return int((_np.asarray(self.h_l).sum() + _np.asarray(self.h_r).sum())
+                   * _np.dtype(self.data.dtype).itemsize)
+
+    @property
+    def padded_bytes(self) -> int:
+        """Halo bytes if every link is padded to the max width."""
+        import numpy as _np
+
+        return int(self.n_shards * (self.hmax_l + self.hmax_r)
+                   * _np.dtype(self.data.dtype).itemsize)
+
+
+def partition_csr_halo_var(csr: CSR, n_shards: int) -> VarHaloPartitionedCSR:
+    """Row-partition with per-shard halo widths measured from the actual
+    column reach (no fixed ``halo`` parameter).  Raises if any shard reaches
+    beyond its immediate ring neighbors (multi-hop halos unsupported)."""
+    sp = csr.to_scipy().tocsr()
+    rows, cols = sp.shape
+    local_rows = -(-rows // n_shards)
+    band = -(-cols // n_shards)
+    h_l = np.zeros(n_shards, np.int64)
+    h_r = np.zeros(n_shards, np.int64)
+    shards = []
+    for s in range(n_shards):
+        r0, r1 = s * local_rows, min((s + 1) * local_rows, rows)
+        sub = sp[r0:r1]
+        c0 = s * band
+        if sub.nnz:
+            cmin, cmax = int(sub.indices.min()), int(sub.indices.max())
+            h_l[s] = max(c0 - cmin, 0)
+            h_r[s] = max(cmax + 1 - (c0 + band), 0)
+            if h_l[s] > band or h_r[s] > band:
+                raise ValueError(
+                    f"shard {s}: halo ({h_l[s]}, {h_r[s]}) exceeds band "
+                    f"{band} — columns reach beyond ring neighbors"
+                )
+        shards.append((r0, sub, c0))
+    hmax_l = max(int(h_l.max()), 1)  # ≥1 keeps frame shapes nonzero
+    hmax_r = max(int(h_r.max()), 1)
+    cap = max(max(int(sub.nnz) for _, sub, _ in shards), 1)
+    n_idx = np.zeros((n_shards, cap), np.int64)
+    n_dat = np.zeros((n_shards, cap), sp.data.dtype)
+    n_rid = np.full((n_shards, cap), local_rows, np.int64)
+    for s, (r0, sub, c0) in enumerate(shards):
+        k = int(sub.nnz)
+        n_idx[s, :k] = sub.indices - (c0 - hmax_l)  # fixed frame layout
+        n_dat[s, :k] = sub.data
+        n_rid[s, :k] = np.repeat(np.arange(sub.shape[0]), np.diff(sub.indptr))
+    # ragged-a2a tables: device s sends its right edge to s+1's left halo,
+    # its left edge to s-1's right halo, and its whole band to itself
+    io = np.zeros((n_shards, n_shards), np.int64)
+    ss = np.zeros((n_shards, n_shards), np.int64)
+    oo = np.zeros((n_shards, n_shards), np.int64)
+    rs = np.zeros((n_shards, n_shards), np.int64)
+    for s in range(n_shards):
+        ss[s, s] = band
+        io[s, s] = 0
+        oo[s, s] = hmax_l
+        rs[s, s] = band
+        if s + 1 < n_shards and h_l[s + 1] > 0:
+            ss[s, s + 1] = h_l[s + 1]
+            io[s, s + 1] = band - h_l[s + 1]
+            oo[s, s + 1] = hmax_l - h_l[s + 1]
+            rs[s + 1, s] = h_l[s + 1]
+        if s - 1 >= 0 and h_r[s - 1] > 0:
+            ss[s, s - 1] = h_r[s - 1]
+            io[s, s - 1] = 0
+            oo[s, s - 1] = hmax_l + band
+            rs[s - 1, s] = h_r[s - 1]
+    idt = default_index_dtype
+    i32 = jnp.int32
+    return VarHaloPartitionedCSR(
+        indices=jnp.asarray(n_idx, idt),
+        data=jnp.asarray(n_dat),
+        row_ids=jnp.asarray(n_rid, idt),
+        h_l=jnp.asarray(h_l, i32),
+        h_r=jnp.asarray(h_r, i32),
+        in_off=jnp.asarray(io, i32),
+        send_sz=jnp.asarray(ss, i32),
+        out_off=jnp.asarray(oo, i32),
+        recv_sz=jnp.asarray(rs, i32),
+        shape=(rows, cols),
+        n_shards=n_shards,
+        local_rows=local_rows,
+        band=band,
+        hmax_l=hmax_l,
+        hmax_r=hmax_r,
+        nnz=csr.nnz,
+    )
+
+
+def dist_spmv_halo_var(part: VarHaloPartitionedCSR, x, mesh: Mesh,
+                       axis_name: str = "shard",
+                       use_ragged: bool | None = None):
+    """``y = A @ x`` with per-shard variable halos.
+
+    ``use_ragged=None`` picks ``ragged_all_to_all`` on TPU and the padded
+    ppermute fallback elsewhere (XLA:CPU lacks the ragged kernel)."""
+    if use_ragged is None:
+        import jax as _jax
+
+        use_ragged = _jax.default_backend() == "tpu"
+    n = part.n_shards
+    band = part.band
+    hmax_l, hmax_r = part.hmax_l, part.hmax_r
+    frame = hmax_l + band + hmax_r
+    x_pad = jnp.zeros((n * band,), x.dtype).at[: x.shape[0]].set(x)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis_name),) * 8,
+        out_specs=P(axis_name),
+    )
+    def run(indices, data, row_ids, x_local, io, ss, oo, rs):
+        if use_ragged:
+            out = jnp.zeros((frame,), x_local.dtype)
+            x_frame = jax.lax.ragged_all_to_all(
+                x_local, out, io[0], ss[0], oo[0], rs[0],
+                axis_name=axis_name)
+        else:
+            from_left = jax.lax.ppermute(
+                x_local[-hmax_l:], axis_name,
+                [(i, (i + 1) % n) for i in range(n)])
+            from_right = jax.lax.ppermute(
+                x_local[:hmax_r], axis_name,
+                [(i, (i - 1) % n) for i in range(n)])
+            x_frame = jnp.concatenate([from_left, x_local, from_right])
+        prod = data[0] * x_frame[indices[0]]
+        return jax.ops.segment_sum(prod, row_ids[0],
+                                   num_segments=part.local_rows)
+
+    y = run(part.indices, part.data, part.row_ids, x_pad,
+            part.in_off, part.send_sz, part.out_off, part.recv_sz)
+    return y.reshape(-1)[: part.shape[0]]

@@ -166,3 +166,108 @@ def test_global_mesh_helper():
     assert m1.devices.size == jax.device_count()
     m2 = global_mesh(("row", "col"), shape=(4, 2))
     assert m2.shape == {"row": 4, "col": 2}
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: psum_scatter variants, column-partitioned SpMM,
+# variable halos, scaling accounting
+# ---------------------------------------------------------------------------
+
+
+def test_dist_spmv_cols_psum_scatter(rng, mesh):
+    from sparsematrix_tpu.parallel import (
+        dist_spmv, partition_csr_cols, shard_partitioned,
+    )
+
+    dense = gen_random_dense_sparse(rng, 100, 96, density=0.2)
+    part = shard_partitioned(
+        partition_csr_cols(CSR.fromdense(dense), 8), mesh)
+    x = jnp.asarray(rng.standard_normal(96).astype(np.float32))
+    got = np.asarray(dist_spmv(part, x, mesh, reduce="psum_scatter"))
+    np.testing.assert_allclose(got, dense.astype(np.float64) @ np.asarray(x),
+                               rtol=2e-3, atol=0.5)
+
+
+def test_dist_spmm_cols_both_reduces(rng, mesh):
+    from sparsematrix_tpu.parallel import (
+        dist_spmm, partition_csr_cols, shard_partitioned,
+    )
+
+    dense = gen_random_dense_sparse(rng, 64, 80, density=0.15)
+    part = shard_partitioned(
+        partition_csr_cols(CSR.fromdense(dense), 8), mesh)
+    X = jnp.asarray(rng.standard_normal((80, 16)).astype(np.float32))
+    want = dense.astype(np.float64) @ np.asarray(X)
+    for reduce in ("psum", "psum_scatter"):
+        got = np.asarray(dist_spmm(part, X, mesh, reduce=reduce))
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=0.5,
+                                   err_msg=reduce)
+
+
+def test_var_halo_spmv(rng, mesh):
+    from sparsematrix_tpu.parallel import (
+        dist_spmv_halo_var, partition_csr_halo_var,
+    )
+    from sparsematrix_tpu.parallel.halo import VarHaloPartitionedCSR
+
+    # banded matrix with varying bandwidth per region
+    n = 128
+    dense = np.zeros((n, n), np.float32)
+    for i in range(n):
+        w = 3 if i < 64 else 9  # wider band in the lower half
+        for j in range(max(0, i - w), min(n, i + w + 1)):
+            dense[i, j] = rng.standard_normal()
+    part = partition_csr_halo_var(CSR.fromdense(dense), 8)
+    assert isinstance(part, VarHaloPartitionedCSR)
+    # per-shard halos vary and ragged bytes < padded bytes
+    assert part.ragged_bytes < part.padded_bytes
+    sharded = jax.tree_util.tree_map(
+        lambda a: jax.device_put(
+            a, jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec("shard"))), part)
+    x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    got = np.asarray(dist_spmv_halo_var(sharded, x, mesh))
+    np.testing.assert_allclose(got, dense.astype(np.float64) @ np.asarray(x),
+                               rtol=2e-3, atol=0.5)
+
+
+def test_var_halo_rejects_nonlocal(rng):
+    from sparsematrix_tpu.parallel import partition_csr_halo_var
+
+    dense = np.zeros((64, 64), np.float32)
+    dense[0, 63] = 1.0  # reaches across the whole matrix
+    import pytest
+
+    with pytest.raises(ValueError):
+        partition_csr_halo_var(CSR.fromdense(dense), 8)
+
+
+def test_scaling_accounting_matches_partition(rng):
+    """The cost formulas must agree with the actual partition geometry."""
+    from sparsematrix_tpu.parallel import (
+        halo_cost, partition_csr_halo_var, spmv_row_cost, weak_scaling_table,
+    )
+
+    n, nshards = 256, 8
+    dense = gen_random_dense_sparse(rng, n, n, density=0.1)
+    c = spmv_row_cost(n, n, int((dense != 0).sum()), nshards)
+    # all_gather of x: each device receives the other shards' bands
+    band = -(-n // nshards)
+    assert c.comm_bytes_per_device == (nshards - 1) * band * 4
+
+    # halo accounting vs the real partition
+    bd = np.zeros((n, n), np.float32)
+    for i in range(n):
+        for j in range(max(0, i - 2), min(n, i + 3)):
+            bd[i, j] = 1.0
+    part = partition_csr_halo_var(CSR.fromdense(bd), nshards)
+    hc = halo_cost(part)
+    assert hc.comm_bytes_per_device == part.ragged_bytes // nshards
+    # interior shards need 2-wide halos both sides; 14 links x 2 x 4B
+    assert part.ragged_bytes == int(np.asarray(part.h_l).sum()
+                                    + np.asarray(part.h_r).sum()) * 4
+
+    table = weak_scaling_table(4096, 64, ns=[1, 2, 4, 8])
+    assert len(table) == 4
+    assert table[0]["weak_scaling_efficiency"] == 1.0
+    assert all(0 < row["weak_scaling_efficiency"] <= 1.0 for row in table)
