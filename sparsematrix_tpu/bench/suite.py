@@ -178,10 +178,14 @@ def bench_csr_spmv_large(check=True, n=8192, nnz_row=256, **kw):
     dense = gen_random_dense_sparse(rng, n, n, density=nnz_row / n)
     A = CSR.fromdense(dense)
     x = jnp.asarray(gen_matrix_random(rng, n, 1)[:, 0])
-    want = dense.astype(np.float64) @ np.asarray(x)
     rows = []
     for dt, tag in ((None, "fp32"), (jnp.bfloat16, "bf16")):
         packed = pack_sell_rowlane(A, dtype=dt)
+        # honest oracle per dtype: a bf16-stored matrix is checked against
+        # the bf16-rounded values (its storage contract), in fp64
+        dref = (dense if dt is None
+                else np.asarray(jnp.asarray(dense).astype(dt)).astype(np.float64))
+        want = dref.astype(np.float64) @ np.asarray(x)
         f = jax.jit(lambda p, v: spmv_sell_rowlane(p, v))
         res = bench_fn_slope(f, packed, x, iters=6)
         checked = (relative_check(np.asarray(f(packed, x)), want)
@@ -229,30 +233,48 @@ def bench_spmm_csr(check=True, n=2048, density=0.05, ks=(32, 128, 512), **kw):
 
 @registry.register("spmm_bell")
 def bench_spmm_bell(check=True, n=2048, density=0.05, ks=(128, 512), **kw):
+    """Blocked-ELL on two inputs: unstructured sparsity forced into (8,128)
+    blocks (the round-1 layout-mismatch case, kept for honesty) and
+    BLOCK-STRUCTURED sparsity at the MXU-native (128,128) block shape —
+    every stored block is a full systolic tile (the fair fight)."""
     from ..kernels.spmm_pallas import spmm_blocked_ell
 
     rng = np.random.default_rng(2)
-    dense = gen_random_dense_sparse(rng, n, n, density=density)
-    A = CSR.fromdense(dense)
-    bell = csr_to_blocked_ell(A, block_shape=(8, 128))
-    waste = 1.0 / max(bell.stored_density, 1e-9)
     rows = []
-    for k in ks:
-        X = jnp.asarray(gen_matrix_random(rng, n, k))
-        f = jax.jit(spmm_blocked_ell)
-        res = bench_fn_slope(f, bell, X, iters=6)
-        checked = None
-        if check:
-            checked = relative_check(np.asarray(f(bell, X)),
-                                     dense.astype(np.float64) @ np.asarray(X))
-        # roofline accounts the padded blocks actually streamed
-        eff_nnz = bell.num_block_rows * bell.max_blocks_per_row * 8 * 128
-        sol = speed_of_light_nnz_s(
-            A.nnz, spmm_bytes(eff_nnz, n, n, k, idx_bytes=0))
-        r = Row("spmm_bell/pallas", f"n={n},k={k},d={density}", res,
-                nnz=A.nnz, checked=checked)
-        r.sol_frac = r.nnz_per_s / sol
-        rows.append(r)
+
+    # (a) unstructured → (8,128) blocks: ~99% block padding, layout mismatch
+    dense_u = gen_random_dense_sparse(rng, n, n, density=density)
+    bell_u = csr_to_blocked_ell(CSR.fromdense(dense_u), block_shape=(8, 128))
+    # (b) block-structured → (128,128) blocks, density of BLOCK slots
+    bm = bk = 128
+    mask = rng.random((n // bm, n // bk)) < density
+    dense_b = (np.kron(mask, np.ones((bm, bk))).astype(np.float32)
+               * gen_matrix_random(rng, n, n))
+    bell_b = csr_to_blocked_ell(CSR.fromdense(dense_b),
+                                block_shape=(bm, bk))
+    for tag, dense, bell in (("unstructured-8x128", dense_u, bell_u),
+                             ("blockstruct-128x128", dense_b, bell_b)):
+        nnz = int((dense != 0).sum())
+        for k in ks:
+            X = jnp.asarray(gen_matrix_random(rng, n, k))
+            f = jax.jit(spmm_blocked_ell)
+            res = bench_fn_slope(f, bell, X, iters=6)
+            checked = None
+            if check:
+                checked = relative_check(
+                    np.asarray(f(bell, X)),
+                    dense.astype(np.float64) @ np.asarray(X))
+            # roofline accounts the padded blocks actually streamed
+            bbm, bbk = bell.block_shape
+            eff_nnz = bell.num_block_rows * bell.max_blocks_per_row * bbm * bbk
+            sol = speed_of_light_nnz_s(
+                nnz, spmm_bytes(eff_nnz, n, n, k, idx_bytes=0))
+            r = Row(f"spmm_bell/{tag}", f"n={n},k={k},d={density}", res,
+                    nnz=nnz, checked=checked)
+            r.sol_frac = r.nnz_per_s / sol
+            rows.append(r)
+        # race each input against plain dense on the MXU
+        rows.append(_dense_race_row(f"spmm_bell/{tag}", dense, X, nnz))
     return rows
 
 
@@ -443,7 +465,7 @@ def bench_codebook_gemm(check=True, density=0.25, **kw):
                               jax.jit(lambda aa, bb, cc: cc + codebook_matmul(
                                   aa.astype(jnp.bfloat16), bb).astype(jnp.float32))),
     }
-    names = kw.get("variants") or ("csr-auto", "fused-pallas")
+    names = kw.get("variants") or ("csr-auto", "fused-pallas", "fused-pallas-bf16")
     for vname in names:
         b, f = all_variants[vname]
         name = f"codebook_gemm/{vname}"

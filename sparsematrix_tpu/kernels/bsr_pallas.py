@@ -68,8 +68,7 @@ def _spmm_bsr_call(brow, bcol, blocks, Xp, *, nbr: int, interpret=False):
     )(brow, bcol, blocks, Xp)
 
 
-def spmm_bsr(A: BSR, X):
-    """``Y = A @ X`` on the MXU via block-CSR structure."""
+def _spmm_bsr_forward(A: BSR, X):
     bm, bn = A.block_shape
     nbr = A.num_block_rows
     nbc = -(-A.shape[1] // bn)
@@ -89,6 +88,67 @@ def spmm_bsr(A: BSR, X):
     empty = (A.indptr[1:] - A.indptr[:-1]) == 0  # (nbr,)
     out = jnp.where(jnp.repeat(empty, bm)[:, None], 0, out)
     return out[: A.shape[0]]
+
+
+@jax.custom_vjp
+def spmm_bsr(A: BSR, X):
+    """``Y = A @ X`` on the MXU via block-CSR structure.
+
+    Differentiable in the stored blocks and ``X`` (block-granular einsum
+    backward; forward stays on the Pallas kernel)."""
+    return _spmm_bsr_forward(A, X)
+
+
+def _bsr_fwd(A, X):
+    return _spmm_bsr_forward(A, X), (A, X)
+
+
+def _bsr_bwd(res, g):
+    import dataclasses
+
+    import numpy as np
+
+    A, X = res
+    bm, bn = A.block_shape
+    nbr = A.num_block_rows
+    nbc = -(-A.shape[1] // bn)
+    k = X.shape[1]
+    prec = _matmul_precision(X.dtype)
+    gp = jnp.zeros((nbr * bm, k), g.dtype).at[: g.shape[0]].set(g)
+    brow = (
+        A.block_row_ids
+        if A.block_row_ids is not None
+        else A._block_row_ids_or_compute()
+    )
+    # padding slots clamp to the last block-row; their zero blocks kill
+    # both gradient terms
+    brow_c = jnp.minimum(brow, nbr - 1)
+    g_blk = gp.reshape(nbr, bm, k)[brow_c]  # (cap, bm, k)
+    dXp = (
+        jnp.zeros((nbc, bn, k), X.dtype)
+        .at[A.indices]
+        .add(jnp.einsum("cij,cik->cjk", A.data, g_blk, precision=prec))
+    )
+    dX = dXp.reshape(nbc * bn, k)[: A.shape[1]]
+    Xp = jnp.zeros((nbc * bn, k), X.dtype).at[: A.shape[1]].set(X)
+    Xt = Xp.reshape(nbc, bn, k)[A.indices]  # (cap, bn, k)
+    dblocks = jnp.einsum("cik,cjk->cij", g_blk, Xt, precision=prec)
+    # zero the padding slots' gradients (their primal blocks are zero but
+    # the bilinear form itself is not)
+    pad = brow >= nbr
+    dblocks = jnp.where(pad[:, None, None], 0, dblocks)
+
+    def ct_zero(p):
+        if jnp.issubdtype(jnp.asarray(p).dtype, jnp.inexact):
+            return jnp.zeros_like(p)
+        return np.zeros(jnp.shape(p), jax.dtypes.float0)
+
+    dA = jax.tree_util.tree_map(ct_zero, A)
+    dA = dataclasses.replace(dA, data=dblocks.astype(A.data.dtype))
+    return dA, dX
+
+
+spmm_bsr.defvjp(_bsr_fwd, _bsr_bwd)
 
 
 PALLAS_IMPLS = {BSR: spmm_bsr}

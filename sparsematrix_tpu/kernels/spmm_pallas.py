@@ -87,14 +87,68 @@ def _spmm_bell_call(block_cols, blocks, Xp, *, interpret=False):
     )(block_cols, blocks, Xp)
 
 
-def spmm_blocked_ell(A: BlockedELL, X):
-    """``Y = A @ X`` on the MXU via the blocked-ELL layout."""
+def _spmm_bell_forward(A: BlockedELL, X):
     bm, bk = A.block_shape
     nbc = -(-A.shape[1] // bk)
     k = X.shape[1]
     Xp = jnp.zeros((nbc * bk, k), X.dtype).at[: A.shape[1]].set(X)
     out = _spmm_bell_call(A.block_cols, A.blocks, Xp, interpret=config.interpret())
     return out[: A.shape[0]]
+
+
+@jax.custom_vjp
+def spmm_blocked_ell(A: BlockedELL, X):
+    """``Y = A @ X`` on the MXU via the blocked-ELL layout.
+
+    Differentiable in both the stored blocks and ``X`` (block-granular
+    XLA gathers/scatters in the backward pass — the fast regime per the
+    BSR einsum measurements; the forward stays on the Pallas kernel)."""
+    return _spmm_bell_forward(A, X)
+
+
+def _bell_fwd(A, X):
+    return _spmm_bell_forward(A, X), (A, X)
+
+
+def _bell_bwd(res, g):
+    import numpy as np
+
+    A, X = res
+    bm, bk = A.block_shape
+    nbr, M = A.block_cols.shape
+    nbc = -(-A.shape[1] // bk)
+    k = X.shape[1]
+    prec = _matmul_precision(X.dtype)
+    gp = jnp.zeros((nbr * bm, k), g.dtype).at[: g.shape[0]].set(g)
+    gb = gp.reshape(nbr, bm, k)
+    blocks_m = jnp.where(A.valid[:, :, None, None], A.blocks, 0)
+    # dX[j-tile] += block(i,m)^T @ g-rowblock(i) for every stored block
+    contrib = jnp.einsum("rmij,rik->rmjk", blocks_m, gb, precision=prec)
+    dXp = (
+        jnp.zeros((nbc, bk, k), X.dtype)
+        .at[A.block_cols.reshape(-1)]
+        .add(contrib.reshape(nbr * M, bk, k))
+    )
+    dX = dXp.reshape(nbc * bk, k)[: A.shape[1]]
+    # dblocks(i,m) = g-rowblock(i) @ x-tile(block_cols[i,m])^T
+    Xp = jnp.zeros((nbc * bk, k), X.dtype).at[: A.shape[1]].set(X)
+    Xt = Xp.reshape(nbc, bk, k)[A.block_cols]  # (nbr, M, bk, k)
+    dblocks = jnp.einsum("rik,rmjk->rmij", gb, Xt, precision=prec)
+    dblocks = jnp.where(A.valid[:, :, None, None], dblocks, 0)
+
+    def ct_zero(p):
+        if jnp.issubdtype(jnp.asarray(p).dtype, jnp.inexact):
+            return jnp.zeros_like(p)
+        return np.zeros(jnp.shape(p), jax.dtypes.float0)
+
+    dA = jax.tree_util.tree_map(ct_zero, A)
+    import dataclasses
+
+    dA = dataclasses.replace(dA, blocks=dblocks.astype(A.blocks.dtype))
+    return dA, dX
+
+
+spmm_blocked_ell.defvjp(_bell_fwd, _bell_bwd)
 
 
 PALLAS_IMPLS = {

@@ -407,8 +407,18 @@ def _rowpure_call(group_tile, slab_win, s_idx, vals, xp, *, group, n_tiles,
 _MAX_GROUPS_PER_CALL = 24_000
 
 
+@jax.custom_vjp
 def spmv_sell_rowpure(packed: SellRowPure, x):
-    """``y = A @ x`` via the row-pure slab layout.
+    """``y = A @ x`` via the row-pure slab layout (differentiable: the
+    backward pass reconstructs (row, col) per slot from the slab metadata
+    and runs XLA scatter/gather — correct everywhere, fast path not
+    required for gradients; prefer ``spmv_sell_rowlane`` with a
+    transposed pack for training loops)."""
+    return _rowpure_forward(packed, x)
+
+
+def _rowpure_forward(packed: SellRowPure, x):
+    """Forward pass implementation.
 
     Large matrices are processed in segments of ≤ _MAX_GROUPS_PER_CALL
     groups (SMEM capacity for the prefetched metadata); segment outputs
@@ -441,6 +451,55 @@ def spmv_sell_rowpure(packed: SellRowPure, x):
         out = jnp.where(touched[:, None, None], out, 0)
         y = y + out.transpose(0, 2, 1).reshape(packed.n_tiles * 8 * R)
     return y[:rows]
+
+
+def _rowpure_slot_coords(packed: SellRowPure):
+    """Per-slot (row, col) reconstructed from the slab metadata."""
+    R = packed.rows_per_sublane
+    n_groups, GH, _ = packed.s_idx.shape
+    meta = packed.s_idx.astype(jnp.int32)
+    ss = meta & 7
+    jj = meta >> 3
+    lane = jnp.arange(_LANES)[None, None, :]
+    subl = (jnp.arange(GH) % 8)[None, :, None]
+    winb = jnp.repeat(packed.slab_win.reshape(n_groups, packed.group),
+                      8, axis=1)[:, :, None]
+    col = winb * _W + ss * _LANES + lane
+    row = packed.group_tile[:, None, None] * 8 * R + jj * 8 + subl
+    return row, col
+
+
+def _rowpure_fwd(packed, x):
+    return _rowpure_forward(packed, x), (packed, x)
+
+
+def _rowpure_bwd(res, g):
+    packed, x = res
+    rows, cols = packed.shape
+    row, col = _rowpure_slot_coords(packed)
+    gpad = jnp.zeros((packed.n_tiles * 8 * packed.rows_per_sublane,),
+                    g.dtype).at[:rows].set(g)
+    gx = (
+        jnp.zeros((cols,), x.dtype)
+        .at[jnp.clip(col, 0, cols - 1).reshape(-1)]
+        .add((gpad[row] * packed.vals).reshape(-1))
+    )
+    xpad = jnp.zeros((packed.n_win * _W,), x.dtype).at[:cols].set(x)
+    mask = packed.vals != 0
+    dvals = jnp.where(mask, xpad[col] * gpad[row], 0)
+
+    def ct_zero(p):
+        if jnp.issubdtype(jnp.asarray(p).dtype, jnp.inexact):
+            return jnp.zeros_like(p)
+        return np.zeros(jnp.shape(p), jax.dtypes.float0)
+
+    dpacked = jax.tree_util.tree_map(ct_zero, packed)
+    dpacked = dataclasses.replace(dpacked,
+                                  vals=dvals.astype(packed.vals.dtype))
+    return dpacked, gx
+
+
+spmv_sell_rowpure.defvjp(_rowpure_fwd, _rowpure_bwd)
 
 
 PALLAS_IMPLS: dict = {}

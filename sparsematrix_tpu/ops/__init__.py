@@ -4,7 +4,8 @@ from .addmatmat import add_mat_mat
 from .spgemm import SpGEMMPlan, spgemm, spgemm_apply, spgemm_plan
 from .trisolve import TriSolvePlan, trisolve, trisolve_apply, trisolve_plan
 from .ilu import ilu0, ilu0_plans, ilu_apply
-from .transpose_ops import spmv_t, spmm_t
+from .transpose_ops import csr_transpose_device, spmv_t, spmm_t
+from .quantized import QuantizedCodebookDense, add_mat_mat_int8, quantize_codebook
 from .add import SparseAddPlan, sparse_add, sparse_add_apply, sparse_add_plan
 from .elementwise import scale, axpy_same_pattern, diagonal, frobenius_norm, with_data
 
@@ -29,6 +30,10 @@ __all__ = [
     "ilu0_plans",
     "ilu_apply",
     "spmv_t",
+    "csr_transpose_device",
+    "QuantizedCodebookDense",
+    "add_mat_mat_int8",
+    "quantize_codebook",
     "spmm_t",
     "scale",
     "axpy_same_pattern",

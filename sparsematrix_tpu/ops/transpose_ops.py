@@ -1,10 +1,14 @@
-"""Transposed products: ``A^T @ x`` / ``A^T @ X`` without materializing A^T.
+"""Transposed products and device-side transpose.
 
-CSR stores rows; the transposed product is the same gather-multiply with
-the roles of ``row_ids`` and ``indices`` swapped — a scatter-add over
-columns.  Useful directly (normal equations, AD) and as the building block
-for gradient rules.  Padding entries carry zero data so the scatter is
-harmless.
+``spmv_t``/``spmm_t``: ``A^T @ x`` without materializing A^T (the same
+gather-multiply with ``row_ids``/``indices`` swapped).
+
+``csr_transpose_device``: a full structural transpose computed ON DEVICE
+(two stable sorts + searchsorted, all jittable) — the analogue of the
+reference's ``sblas_trans_kernel`` (/root/reference/src/sparse/
+kernel.cc:31-187), which the round-1 build only offered host-side via
+scipy.  Padding entries (zero data, in-range indices) sort to the end and
+stay harmless.
 """
 from __future__ import annotations
 
@@ -13,7 +17,7 @@ import jax.numpy as jnp
 
 from ..formats import CSR, COO
 
-__all__ = ["spmv_t", "spmm_t"]
+__all__ = ["spmv_t", "spmm_t", "csr_transpose_device"]
 
 
 def _ids(A):
@@ -31,6 +35,37 @@ def spmv_t(A, y):
     rid, cid = _ids(A)
     prod = A.data * jnp.where(rid < A.shape[0], y[jnp.minimum(rid, A.shape[0] - 1)], 0)
     return jax.ops.segment_sum(prod, cid, num_segments=A.shape[1])
+
+
+def csr_transpose_device(A: CSR) -> CSR:
+    """``A^T`` as a new CSR, computed entirely on device (jittable).
+
+    Two stable argsorts (secondary key = source row, then primary key =
+    source column, with padding forced last) order the entries into the
+    transposed row-major layout; ``searchsorted`` rebuilds ``indptr``.
+    Avoids a single fused sort key so no index arithmetic can overflow
+    int32 at large shapes.
+    """
+    m, n = A.shape
+    rid = A._row_ids_or_compute()
+    valid = rid < m
+    eff_cols = jnp.where(valid, A.indices, n)  # pads sort last
+    ord1 = jnp.argsort(jnp.where(valid, rid, m), stable=True)
+    ord2 = jnp.argsort(eff_cols[ord1], stable=True)
+    order = ord1[ord2]
+    v_o = valid[order]
+    new_rid = jnp.where(v_o, A.indices[order], n)
+    new_cols = jnp.where(v_o, jnp.minimum(rid[order], m - 1), 0)
+    new_data = jnp.where(v_o, A.data[order], 0)
+    indptr = jnp.searchsorted(new_rid, jnp.arange(n + 1), side="left")
+    return CSR(
+        indptr=indptr.astype(A.indptr.dtype),
+        indices=new_cols.astype(A.indices.dtype),
+        data=new_data,
+        row_ids=new_rid.astype(A.indices.dtype),
+        shape=(n, m),
+        nnz=A.nnz,
+    )
 
 
 def spmm_t(A, Y):

@@ -81,3 +81,66 @@ def test_codebook_matmul_grad(rng):
     want = 2 * (np.asarray(a) @ B) @ B.T
     np.testing.assert_allclose(g, want, rtol=1e-4,
                                atol=1e-4 * np.abs(want).max())
+
+
+# ---------------------------------------------------------------------------
+# Round-2: custom VJPs on the Pallas kernels themselves (the fast forward
+# paths stay differentiable — no silent fall-back to jnp)
+# ---------------------------------------------------------------------------
+
+
+def test_bell_kernel_vjp(rng):
+    from sparsematrix_tpu.formats import csr_to_blocked_ell
+    from sparsematrix_tpu.kernels.spmm_pallas import spmm_blocked_ell
+
+    dense = gen_random_dense_sparse(rng, 64, 256, density=0.1)
+    bell = csr_to_blocked_ell(CSR.fromdense(dense), block_shape=(8, 64))
+    X = jnp.asarray(rng.standard_normal((256, 16)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((64, 16)).astype(np.float32))
+    y, vjp = jax.vjp(spmm_blocked_ell, bell, X)
+    dA, dX = vjp(g)
+    np.testing.assert_allclose(np.asarray(dX),
+                               dense.T.astype(np.float64) @ np.asarray(g),
+                               rtol=2e-3, atol=0.5)
+    # block-gradient bilinear check: <dblocks, blocks> == <g, A@X>
+    got = float(jnp.sum(dA.blocks * bell.blocks))
+    want = float(np.sum(np.asarray(g) * (dense @ np.asarray(X))))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2.0)
+
+
+def test_bsr_kernel_vjp(rng):
+    from sparsematrix_tpu.formats import csr_to_bsr
+    from sparsematrix_tpu.kernels.bsr_pallas import spmm_bsr
+
+    dense = gen_random_dense_sparse(rng, 64, 128, density=0.15)
+    bsr = csr_to_bsr(CSR.fromdense(dense), block_shape=(8, 8))
+    X = jnp.asarray(rng.standard_normal((128, 16)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((64, 16)).astype(np.float32))
+    y, vjp = jax.vjp(spmm_bsr, bsr, X)
+    dA, dX = vjp(g)
+    np.testing.assert_allclose(np.asarray(dX),
+                               dense.T.astype(np.float64) @ np.asarray(g),
+                               rtol=2e-3, atol=0.5)
+    got = float(jnp.sum(dA.data * bsr.data))
+    want = float(np.sum(np.asarray(g) * (dense @ np.asarray(X))))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2.0)
+
+
+def test_rowpure_kernel_vjp(rng):
+    from sparsematrix_tpu.kernels.spmv_pallas import (
+        pack_sell_rowpure,
+        spmv_sell_rowpure,
+    )
+
+    dense = gen_random_dense_sparse(rng, 80, 2048, density=0.05)
+    packed = pack_sell_rowpure(CSR.fromdense(dense), rows_per_sublane=4)
+    x = jnp.asarray(rng.standard_normal(2048).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal(80).astype(np.float32))
+    y, vjp = jax.vjp(spmv_sell_rowpure, packed, x)
+    dp, gx = vjp(g)
+    np.testing.assert_allclose(np.asarray(gx),
+                               dense.T.astype(np.float64) @ np.asarray(g),
+                               rtol=2e-3, atol=0.5)
+    got = float(jnp.sum(dp.vals * packed.vals))
+    want = float(np.sum(np.outer(np.asarray(g), np.asarray(x)) * dense))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2.0)

