@@ -313,6 +313,40 @@ def bench_bsr(check=True, n=2048, block=(8, 8), density=0.05, k=128, **kw):
     return rows
 
 
+@registry.register("weak_scaling")
+def bench_weak_scaling(check=True, **kw):
+    """MODELED weak scaling (no multi-chip hardware in this environment):
+    per-device collective bytes from the partition geometry
+    (parallel/scaling.py, validated on the simulated mesh) + the measured
+    single-chip rowlane throughput from this run when available."""
+    from ..utils.timer import BenchResult
+    from ..parallel.scaling import weak_scaling_table
+
+    measured = None
+    for r in registry.rows:
+        if r.name == "csr_spmv_large/rowlane-fp32":
+            measured = r.nnz_per_s / 1e9
+    table = weak_scaling_table(8192, 256, ns=[1, 2, 4, 8],
+                               measured_single_chip_gnnz=measured)
+    rows = []
+    for row in table:
+        res = BenchResult(mean_ms=row["modeled_step_s"] * 1e3,
+                          min_ms=row["modeled_step_s"] * 1e3,
+                          compile_ms=0.0, iters=0,
+                          extras={"modeled": True})
+        r = Row(f"weak_scaling/modeled-{row['n_devices']}dev",
+                f"rows={row['rows']},comm={row['comm_bytes_per_device']}B",
+                res, nnz=row["nnz"])
+        r.extras = {
+            "weak_scaling_efficiency": row["weak_scaling_efficiency"],
+            "modeled": True,
+            "basis": ("measured single-chip rowlane" if measured
+                      else "HBM roofline"),
+        }
+        rows.append(r)
+    return rows
+
+
 @registry.register("spgemm")
 def bench_spgemm(check=True, n=2048, density=0.01, **kw):
     """SpGEMM symbolic (host, seconds) + numeric (device, pairs/s)."""
@@ -345,7 +379,29 @@ def bench_spgemm(check=True, n=2048, density=0.01, **kw):
             res, nnz=plan.n_pairs, checked=checked)
     r.sol_frac = r.nnz_per_s / sol
     r.extras = {"plan_seconds": plan_s, "c_nnz": plan.c_nnz}
-    return [r]
+    rows = [r]
+    # packed numeric phase: the pair program run as a row-lane SpMV
+    import time as _time
+
+    from ..ops.spgemm import spgemm_apply_packed, spgemm_plan_packed
+
+    t0 = _time.time()
+    pp = spgemm_plan_packed(A, B)
+    pack_s = _time.time() - t0
+    fp = jax.jit(lambda q, bd: spgemm_apply_packed(q, bd).data)
+    res = bench_fn_slope(fp, pp, B.data, iters=6)
+    checked = None
+    if check:
+        got = np.asarray(fp(pp, B.data))
+        checked = relative_check(got[: pp.c_nnz], want.data)
+    r2 = Row("spgemm/numeric-packed",
+             f"n={n},d={density},pairs={plan.n_pairs},"
+             f"fill={pp.p_packed.fill_rate:.2f}",
+             res, nnz=plan.n_pairs, checked=checked)
+    r2.sol_frac = r2.nnz_per_s / sol
+    r2.extras = {"pack_seconds": pack_s}
+    rows.append(r2)
+    return rows
 
 
 @registry.register("trisolve")
@@ -446,6 +502,12 @@ def bench_codebook_gemm(check=True, density=0.25, **kw):
     b_dns = CodebookDense.from_index_matrix(idx_mtx, table, trans=True)
     b_dense_np = np.asarray(b_csr.todense()).T.astype(np.float64)
     oracle = np.asarray(c) + np.asarray(a).astype(np.float64) @ b_dense_np
+    # honest oracle for the bf16-input variant: its contract is a bf16
+    # activation matrix, so accuracy is judged against exactly that
+    # (near-zero outputs make an fp32-input oracle unpassable for any
+    # quantized path under a per-element relative policy)
+    a_bf16_np = np.asarray(jnp.asarray(a).astype(jnp.bfloat16)).astype(np.float64)
+    oracle_bf16 = np.asarray(c) + a_bf16_np @ b_dense_np
 
     from ..kernels.codebook_pallas import codebook_matmul
 
@@ -465,7 +527,7 @@ def bench_codebook_gemm(check=True, density=0.25, **kw):
                               jax.jit(lambda aa, bb, cc: cc + codebook_matmul(
                                   aa.astype(jnp.bfloat16), bb).astype(jnp.float32))),
     }
-    names = kw.get("variants") or ("csr-auto", "fused-pallas", "fused-pallas-bf16")
+    names = kw.get("variants") or ("csr-auto", "dense-dequant", "fused-pallas", "fused-pallas-bf16")
     for vname in names:
         b, f = all_variants[vname]
         name = f"codebook_gemm/{vname}"
@@ -474,8 +536,9 @@ def bench_codebook_gemm(check=True, density=0.25, **kw):
         lo, hi = (16, 144) if vname.startswith("fused-pallas") else (8, 72)
         try:
             res = bench_fn_slope(f, a, b, c, iters=8, inner_lo=lo, inner_hi=hi)
+            orc = oracle_bf16 if vname.endswith("bf16") else oracle
             checked = (
-                relative_check(np.asarray(f(a, b, c)), oracle) if check else None
+                relative_check(np.asarray(f(a, b, c)), orc) if check else None
             )
         except Exception as e:  # a variant failing to compile must not
             import sys          # take down the whole bench

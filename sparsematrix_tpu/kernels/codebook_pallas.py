@@ -38,11 +38,17 @@ _LANES = 128
 _TN = 128  # output rows (of C^T) per grid step; measured fastest
 # (TN=8 → 104 µs, TN=32 → 136, TN=64 → 122, TN=128 → 53 µs on the
 # reference workload: wider tiles feed the 128-row systolic array fully)
+_KT = 512  # k-panel per grid step (VMEM holds only per-step panels)
+_MT = 512  # m-panel per grid step (m itself padded to ≥128 MXU rows)
 
 
-def _cb_kernel(idx_ref, tlo_ref, thi_ref, at_ref, o_ref, *, k_chunks: int,
-               tn: int, precision):
+def _cb_kernel(idx_ref, tlo_ref, thi_ref, at_ref, o_ref, *, tn: int,
+               kt: int, precision):
     n_sub = tn // 8
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
 
     def chunk_body(c, acc):
         co = pl.multiple_of(c * _LANES, _LANES)
@@ -68,40 +74,45 @@ def _cb_kernel(idx_ref, tlo_ref, thi_ref, at_ref, o_ref, *, k_chunks: int,
         )
 
     acc = jax.lax.fori_loop(
-        0, k_chunks, chunk_body, jnp.zeros(o_ref.shape, jnp.float32)
+        0, kt // _LANES, chunk_body, jnp.zeros(o_ref.shape, jnp.float32)
     )
-    o_ref[:] = acc.astype(o_ref.dtype)
+    o_ref[:] = o_ref[:] + acc.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _cb_call(idx_pad, table_lo, table_hi, a_t_pad, *, interpret: bool):
+    """3-D grid (n-tile, m-tile, k-tile): every operand streams through
+    VMEM one (TN, KT)/(KT, MT) panel at a time, so arbitrary production
+    m/k fit; k is innermost so each output tile stays VMEM-resident
+    across its accumulation (Pallas revisiting)."""
     n_pad, k_pad = idx_pad.shape
-    m = a_t_pad.shape[1]
-    k_chunks = k_pad // _LANES
+    m_pad = a_t_pad.shape[1]
+    kt = min(_KT, k_pad)
+    mt = min(_MT, m_pad)
     grid_spec = pl.GridSpec(
-        grid=(n_pad // _TN,),
+        grid=(n_pad // _TN, m_pad // mt, k_pad // kt),
         in_specs=[
-            pl.BlockSpec((_TN, k_pad), lambda i: (i, 0),
+            pl.BlockSpec((_TN, kt), lambda i, j, c: (i, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, _LANES), lambda i: (0, 0),
+            pl.BlockSpec((8, _LANES), lambda i, j, c: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, _LANES), lambda i: (0, 0),
+            pl.BlockSpec((8, _LANES), lambda i, j, c: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_pad, m), lambda i: (0, 0),
+            pl.BlockSpec((kt, mt), lambda i, j, c: (c, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_TN, m), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((_TN, mt), lambda i, j, c: (i, j),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
         functools.partial(
             _cb_kernel,
-            k_chunks=k_chunks,
             tn=_TN,
+            kt=kt,
             precision=_matmul_precision(a_t_pad.dtype),
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, m), a_t_pad.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_pad, m_pad), jnp.float32),
         interpret=interpret,
     )(idx_pad, table_lo, table_hi, a_t_pad)
 
@@ -129,8 +140,12 @@ def codebook_matmul(a, b_t: CodebookDense):
 def _codebook_matmul_impl(a, b_t: CodebookDense):
     n, k = b_t.shape
     m = a.shape[0]
-    k_pad = _round_up(k, _LANES)
+    # k tiles at _KT when large; m is padded to the full 128-row MXU even
+    # for the reference's m=117 (pad rows of A^T are zero → pad C columns
+    # are zero and sliced away)
+    k_pad = _round_up(k, _KT if k > _KT else _LANES)
     n_pad = _round_up(n, _TN)
+    m_pad = _round_up(max(m, _LANES), _MT if m > _MT else _LANES)
     ts = b_t.table_size
     idx_pad = jnp.full((n_pad, k_pad), ts, dtype=jnp.int32)
     idx_pad = idx_pad.at[:n, :k].set(b_t.idx.astype(jnp.int32))
@@ -138,10 +153,10 @@ def _codebook_matmul_impl(a, b_t: CodebookDense):
     table256 = table256.at[: ts + 1].set(b_t.val_table)
     table_lo = jnp.broadcast_to(table256[:_LANES], (8, _LANES))
     table_hi = jnp.broadcast_to(table256[_LANES:], (8, _LANES))
-    a_t_pad = jnp.zeros((k_pad, m), a.dtype).at[:k].set(a.T)
+    a_t_pad = jnp.zeros((k_pad, m_pad), a.dtype).at[:k, :m].set(a.T)
     out = _cb_call(idx_pad, table_lo, table_hi, a_t_pad,
                    interpret=config.interpret())
-    return out[:n].T  # (m, n)
+    return out[:n, :m].astype(a.dtype).T  # (m, n)
 
 
 def _cb_mm_fwd(a, b_t):

@@ -106,7 +106,8 @@ def pack_sell(csr: CSR, tr: int = 32) -> SellSpmv:
         t = int(t_ids[s0])
         w = int(w_ids[s0])
         tile_nonempty[t] = True
-        # lane buckets
+        # lane buckets; position within a lane = occurrence index among
+        # same-lane entries (vectorized run-index, no per-entry loop)
         lanes = c[s0:e0] % _LANES
         subl = (c[s0:e0] % _W) // _LANES
         rloc = r[s0:e0] - t * tr
@@ -115,13 +116,17 @@ def pack_sell(csr: CSR, tr: int = 32) -> SellSpmv:
         n_slabs = max(int(-(-depth.max() // 8)), 1)
         meta = np.zeros((n_slabs, 8, _LANES), dtype=np.int64)
         vals = np.zeros((n_slabs, 8, _LANES), dtype=v.dtype)
-        fill = np.zeros(_LANES, dtype=np.int64)
-        for i in range(e0 - s0):
-            l = lanes[i]
-            pos = fill[l]
-            fill[l] += 1
-            meta[pos // 8, pos % 8, l] = subl[i] | (rloc[i] << 3)
-            vals[pos // 8, pos % 8, l] = vv[i]
+        lorder = np.argsort(lanes, kind="stable")
+        lsort = lanes[lorder]
+        newl = np.empty(len(lsort), bool)
+        if len(lsort):
+            newl[0] = True
+            newl[1:] = lsort[1:] != lsort[:-1]
+        rstart = np.maximum.accumulate(
+            np.where(newl, np.arange(len(lsort)), 0))
+        pos = np.arange(len(lsort)) - rstart
+        meta[pos // 8, pos % 8, lsort] = subl[lorder] | (rloc[lorder] << 3)
+        vals[pos // 8, pos % 8, lsort] = vv[lorder]
         for k in range(n_slabs):
             slabs_meta.append(meta[k])
             slabs_vals.append(vals[k])

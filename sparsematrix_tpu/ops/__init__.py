@@ -1,7 +1,8 @@
 from .spmv import prepare_spmv, spmv, spmv_reference
 from .spmm import spmm, spmm_reference, spmm_right, spmm_densify
 from .addmatmat import add_mat_mat
-from .spgemm import SpGEMMPlan, spgemm, spgemm_apply, spgemm_plan
+from .spgemm import (SpGEMMPacked, SpGEMMPlan, spgemm, spgemm_apply,
+                     spgemm_apply_packed, spgemm_plan, spgemm_plan_packed)
 from .trisolve import TriSolvePlan, trisolve, trisolve_apply, trisolve_plan
 from .ilu import ilu0, ilu0_plans, ilu_apply
 from .transpose_ops import csr_transpose_device, spmv_t, spmm_t
@@ -20,6 +21,9 @@ __all__ = [
     "add_mat_mat",
     "SpGEMMPlan",
     "spgemm",
+    "SpGEMMPacked",
+    "spgemm_plan_packed",
+    "spgemm_apply_packed",
     "spgemm_apply",
     "spgemm_plan",
     "TriSolvePlan",

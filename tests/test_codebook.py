@@ -162,3 +162,28 @@ def test_int8_activation_gemm(rng):
     rel = np.abs(got - want) / (np.abs(want) + 0.05 * scale)
     assert np.median(rel) < 0.03
     assert np.quantile(rel, 0.99) < 0.15
+
+
+def test_codebook_csr_auto_converts_to_fused(rng, monkeypatch):
+    """spmm(auto) on a concrete CodebookCSR converts+caches a CodebookDense
+    so the default path hits the fused kernel (no caller-side prep)."""
+    from sparsematrix_tpu.config import config as cfg
+    from sparsematrix_tpu.ops import spmm as spmm_op
+    import importlib
+
+    spmm_mod = importlib.import_module("sparsematrix_tpu.ops.spmm")
+    monkeypatch.setattr(cfg, "kernel_impl", "pallas")
+    from sparsematrix_tpu.utils.testutils import gen_sparse_index_matrix
+
+    idx, table = gen_sparse_index_matrix(rng, 40, 300, density=0.25,
+                                         table_size=31)
+    A = CodebookCSR.from_index_matrix(idx, table)
+    X = jnp.asarray(rng.standard_normal((300, 8)).astype(np.float32))
+    spmm_mod._CBD_CACHE.clear()
+    got = np.asarray(spmm_op(A, X))
+    assert len(spmm_mod._CBD_CACHE) == 1  # converted and cached
+    want = np.asarray(A.todense()).astype(np.float64) @ np.asarray(X)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=0.5)
+    got2 = np.asarray(spmm_op(A, X))
+    assert len(spmm_mod._CBD_CACHE) == 1
+    np.testing.assert_allclose(got2, got, atol=0)

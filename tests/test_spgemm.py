@@ -52,3 +52,29 @@ def test_spgemm_shape_mismatch(rng):
     B = CSR.fromdense(np.eye(5, dtype=np.float32))
     with pytest.raises(ValueError):
         spgemm(A, B)
+
+
+def test_spgemm_packed_numeric(rng):
+    """Packed numeric phase (pair program as a row-lane SpMV) matches the
+    segment-sum phase and scipy, and reuses across new B values."""
+    from sparsematrix_tpu.ops import (
+        spgemm_apply_packed,
+        spgemm_plan_packed,
+    )
+
+    da = gen_random_dense_sparse(rng, 60, 80, density=0.1)
+    db = gen_random_dense_sparse(rng, 80, 70, density=0.1)
+    A, B = CSR.fromdense(da), CSR.fromdense(db)
+    pp = spgemm_plan_packed(A, B)
+    C = spgemm_apply_packed(pp, B.data)
+    want = da.astype(np.float64) @ db.astype(np.float64)
+    np.testing.assert_allclose(np.asarray(C.todense()), want,
+                               rtol=2e-3, atol=0.5)
+    # new B values on the same pattern
+    db2 = np.where(db != 0, db * 2.0 + 1.0, 0).astype(np.float32)
+    B2 = CSR.fromdense(db2)
+    # same pattern required: align values into B's slot order
+    C2 = spgemm_apply_packed(pp, jnp.asarray(B2.data))
+    want2 = da.astype(np.float64) @ db2.astype(np.float64)
+    np.testing.assert_allclose(np.asarray(C2.todense()), want2,
+                               rtol=2e-3, atol=0.5)
