@@ -20,6 +20,16 @@ def main():
             key = (r["name"], r["shape"])
             if key not in rows:
                 order.append(key)
+                rows[key] = r
+                continue
+            prev = rows[key]
+            # identical config measured in multiple sessions: keep the
+            # faster one IF both passed their checks (relay variance can
+            # be ~2x between sessions); otherwise the later row wins
+            # (oracle/check fixes change `checked`)
+            if (prev.get("checked") is True and r.get("checked") is True
+                    and prev["min_ms"] < r["min_ms"]):
+                continue
             rows[key] = r
     merged = [rows[k] for k in order]
     with open(out_path, "w") as f:
