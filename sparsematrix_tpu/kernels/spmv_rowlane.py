@@ -24,9 +24,13 @@ variant transposes the roles:
 Collision model: entries of row r in the same 128-column chunk of the same
 window compete for one (u, l) slot per slab; occurrence d lands in slab
 ``d // L``.  Slab count per (tile, window) = ceil(max bucket / L), so fill
-is bounded by mean/max bucket size — the packer reports it and spills
-pathological tails to ``spill_csr`` (handled by the jnp path) when
-``spill_depth`` is set.
+is bounded by mean/max bucket size — the packer reports it.  MEASURED
+VERDICT on capped depth: not a performance knob on this hardware.  With
+``spill_depth`` the tail goes to lane-free masked-sum slabs (an XLA tail
+measured 410 µs for 2% of entries; the masked tail still costs ~240 ns ×
+~1000 near-empty slabs ≈ 250 µs — 10× the fill saving).  The uncapped
+auto config is the fast one (49 Gnnz/s); ``spill_depth`` remains for
+matrices with genuinely pathological buckets, correctness-tested.
 
 No structural counterpart in the reference (its AXPY hot loop,
 /root/reference/src/sparse/kernel.cc:771-800, is a scalar stream); this is
@@ -63,6 +67,7 @@ class SellRowLane:
     slab_win: jnp.ndarray  # (n_groups, group) int32
     tile_nonempty: jnp.ndarray  # (n_tiles,) bool
     spill: Optional[CSR]  # tail entries beyond spill_depth (or None)
+    spill_packed: Optional[object]  # SellSpmv of the tail (fast path)
     t_pack: Optional["SellRowLane"]  # packed A^T for the VJP fast path
     shape: Tuple[int, int] = dataclasses.field(metadata={"static": True})
     n_tiles: int = dataclasses.field(metadata={"static": True})
@@ -165,9 +170,9 @@ def pack_sell_rowlane(csr: CSR, group: int | None = None,
 
     ``lanes_per_row`` L ∈ {1, 2, 4, 8}: lane slots per row (tile shrinks to
     128/L rows, collision depth shrinks ~L×).  ``spill_depth``: entries
-    whose bucket occurrence ≥ L*spill_depth go to a CSR tail handled by the
-    jnp path — caps slab count at spill_depth per (tile, window), rescuing
-    fill when a few heavy buckets would otherwise stretch every slab.
+    whose bucket occurrence ≥ L*spill_depth go to a masked-slab tail —
+    caps slab count at spill_depth per (tile, window), rescuing fill when
+    a few heavy buckets would otherwise stretch every slab.
     ``with_transpose`` also packs A^T so the custom VJP's backward pass
     runs on the fast kernel.  ``dtype=jnp.bfloat16`` stores values in bf16
     (halves the dominant HBM traffic; accumulation stays fp32).
@@ -181,6 +186,7 @@ def pack_sell_rowlane(csr: CSR, group: int | None = None,
     c = sp.col.astype(np.int64)
     v = sp.data
     spill = None
+    spill_packed = None
     if spill_depth is not None and r.size:
         # recompute occurrence index to find the tail
         T = _LANES // L
@@ -202,6 +208,12 @@ def pack_sell_rowlane(csr: CSR, group: int | None = None,
                 (v[~keep], (r[~keep], c[~keep])), shape=(rows, cols)
             )
             spill = CSR.from_scipy(tail.tocsr())
+            # the tail must NOT fall back to XLA gathers on the hot path
+            # (measured: 2% tail via XLA = 410 µs, dwarfing the kernel);
+            # pack it into the lane-free masked-sum slabs instead
+            from .spmv_pallas import pack_sell
+
+            spill_packed = pack_sell(spill, tr=64)
             r, c, v = r[keep], c[keep], v[keep]
     arrs = _pack_arrays(r, c, v, rows, cols, group, L, v.dtype)
     t_pack = None
@@ -220,6 +232,7 @@ def pack_sell_rowlane(csr: CSR, group: int | None = None,
         slab_win=jnp.asarray(arrs["slab_win"], jnp.int32),
         tile_nonempty=jnp.asarray(arrs["tile_nonempty"]),
         spill=spill,
+        spill_packed=spill_packed,
         t_pack=t_pack,
         shape=(rows, cols),
         n_tiles=arrs["n_tiles"],
@@ -230,8 +243,13 @@ def pack_sell_rowlane(csr: CSR, group: int | None = None,
     )
 
 
+# gather-index dtype on the hot path: int8 feeds dynamic_gather directly
+# (probe-confirmed on Mosaic); flip to benchmark the astype(int32) unpack
+IDX_INT32_UNPACK = False
+
+
 def _rowlane_kernel(tile_ref, win_ref, sidx_ref, vals_ref, x_ref, o_ref, *,
-                    group: int):
+                    group: int, idx_unpack: bool = False):
     g = pl.program_id(0)
 
     @pl.when(jnp.logical_or(g == 0, tile_ref[g] != tile_ref[g - 1]))
@@ -242,7 +260,9 @@ def _rowlane_kernel(tile_ref, win_ref, sidx_ref, vals_ref, x_ref, o_ref, *,
     for b in range(group):
         w = win_ref[g * group + b]
         xw = x_ref[pl.ds(pl.multiple_of(w * 8, 8), 8), :]
-        sidx = sidx_ref[0, b * 8 : (b + 1) * 8, :].astype(jnp.int32)
+        sidx = sidx_ref[0, b * 8 : (b + 1) * 8, :]
+        if idx_unpack:
+            sidx = sidx.astype(jnp.int32)
         gth = jnp.take_along_axis(xw, sidx, axis=1)  # legal (8,128) gather
         acc = acc + vals_ref[0, b * 8 : (b + 1) * 8, :] * gth
     # lane l already IS the row slot → one sublane sum closes the step
@@ -250,9 +270,10 @@ def _rowlane_kernel(tile_ref, win_ref, sidx_ref, vals_ref, x_ref, o_ref, *,
     o_ref[0:1, :] = o_ref[0:1, :] + part.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("group", "n_tiles", "interpret"))
+@functools.partial(jax.jit, static_argnames=("group", "n_tiles", "interpret",
+                                             "idx_unpack"))
 def _rowlane_call(group_tile, slab_win, s_idx, vals, xp, *, group, n_tiles,
-                  interpret=False):
+                  interpret=False, idx_unpack=False):
     n_groups = s_idx.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -268,7 +289,8 @@ def _rowlane_call(group_tile, slab_win, s_idx, vals, xp, *, group, n_tiles,
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        functools.partial(_rowlane_kernel, group=group),
+        functools.partial(_rowlane_kernel, group=group,
+                          idx_unpack=idx_unpack),
         grid_spec=grid_spec,
         # accumulate and emit fp32 even for bf16-stored values
         out_shape=jax.ShapeDtypeStruct((n_tiles * 8, _LANES), jnp.float32),
@@ -295,7 +317,7 @@ def _rowlane_forward(packed: SellRowLane, x):
             packed.group_tile[g0:g1], packed.slab_win[g0:g1],
             packed.s_idx[g0:g1], packed.vals[g0:g1], xp,
             group=packed.group, n_tiles=packed.n_tiles,
-            interpret=config.interpret(),
+            interpret=config.interpret(), idx_unpack=IDX_INT32_UNPACK,
         )
         # sublane 0 of each (8,128) tile holds per-lane sums; fold the L
         # lane replicas of each row
@@ -308,7 +330,11 @@ def _rowlane_forward(packed: SellRowLane, x):
         )
         y = y + jnp.where(touched[:, None], out, 0)
     y = y.reshape(packed.n_tiles * T)[:rows]
-    if packed.spill is not None:
+    if packed.spill_packed is not None:
+        from .spmv_pallas import spmv_sell
+
+        y = y + spmv_sell(packed.spill_packed, x)
+    elif packed.spill is not None:
         from ..ops.spmv import spmv_reference
 
         y = y + spmv_reference(packed.spill, x)
