@@ -24,6 +24,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -54,16 +55,19 @@ def _cb_kernel(idx_ref, tlo_ref, thi_ref, at_ref, o_ref, *, tn: int,
         co = pl.multiple_of(c * _LANES, _LANES)
         subs = []
         for u in range(n_sub):
-            idx8 = idx_ref[u * 8 : (u + 1) * 8, pl.ds(co, _LANES)].astype(
-                jnp.int32
-            )
-            in_lo = idx8 < _LANES
+            # int8 index plane (the uint8 codebook index bit-cast): values
+            # 0–127 stay non-negative (lo half), 128–255 read negative —
+            # `+(-128)` wraps them back to [0, 127] for the hi half.  int8
+            # indices feed dynamic_gather natively (probe-confirmed), so
+            # there is no astype unpack and the index DMA is 1 B/entry.
+            idx8 = idx_ref[u * 8 : (u + 1) * 8, pl.ds(co, _LANES)]
+            in_lo = idx8 >= 0
+            zero = jnp.zeros_like(idx8)
             lo = jnp.take_along_axis(
-                tlo_ref[:], jnp.where(in_lo, idx8, 0), axis=1
+                tlo_ref[:], jnp.where(in_lo, idx8, zero), axis=1
             )
-            hi = jnp.take_along_axis(
-                thi_ref[:], jnp.where(in_lo, 0, idx8 - _LANES), axis=1
-            )
+            hi_idx = jnp.where(in_lo, zero, idx8 + jnp.int8(-128))
+            hi = jnp.take_along_axis(thi_ref[:], hi_idx, axis=1)
             subs.append(jnp.where(in_lo, lo, hi))  # (8, 128) dequantized
         vals = jnp.concatenate(subs, axis=0) if n_sub > 1 else subs[0]
         return acc + jnp.dot(
@@ -147,8 +151,13 @@ def _codebook_matmul_impl(a, b_t: CodebookDense):
     n_pad = _round_up(n, _TN)
     m_pad = _round_up(max(m, _LANES), _MT if m > _MT else _LANES)
     ts = b_t.table_size
-    idx_pad = jnp.full((n_pad, k_pad), ts, dtype=jnp.int32)
-    idx_pad = idx_pad.at[:n, :k].set(b_t.idx.astype(jnp.int32))
+    # int8 plane: modular truncation of the uint8 index (sentinel ts maps
+    # to a zero table slot either way)
+    idx_pad = jnp.full((n_pad, k_pad), np.int8(np.uint8(ts).view(np.int8)),
+                       dtype=jnp.int8)
+    idx_pad = idx_pad.at[:n, :k].set(
+        jax.lax.bitcast_convert_type(
+            b_t.idx.astype(jnp.uint8), jnp.int8))
     table256 = jnp.zeros((256,), b_t.val_table.dtype)
     table256 = table256.at[: ts + 1].set(b_t.val_table)
     table_lo = jnp.broadcast_to(table256[:_LANES], (8, _LANES))
