@@ -53,21 +53,21 @@ def _cb_kernel(idx_ref, tlo_ref, thi_ref, at_ref, o_ref, *, tn: int,
 
     def chunk_body(c, acc):
         co = pl.multiple_of(c * _LANES, _LANES)
+        # int8 index plane (bit-cast uint8): 1 B/entry DMA.  The ref is
+        # sliced at the full (tn, 128) chunk (int8 native tiling is
+        # (32, 128) — 8-row int8 ref slices crash the Mosaic compiler)
+        # and widened once; per-subtile slicing then happens in registers.
+        idx_chunk = idx_ref[:, pl.ds(co, _LANES)].astype(jnp.int32)
         subs = []
         for u in range(n_sub):
-            # int8 index plane (the uint8 codebook index bit-cast): values
-            # 0–127 stay non-negative (lo half), 128–255 read negative —
-            # `+(-128)` wraps them back to [0, 127] for the hi half.  int8
-            # indices feed dynamic_gather natively (probe-confirmed), so
-            # there is no astype unpack and the index DMA is 1 B/entry.
-            idx8 = idx_ref[u * 8 : (u + 1) * 8, pl.ds(co, _LANES)]
-            in_lo = idx8 >= 0
-            zero = jnp.zeros_like(idx8)
+            idx8 = idx_chunk[u * 8 : (u + 1) * 8, :]
+            in_lo = idx8 >= 0  # 0–127 lo half; 128–255 read negative
             lo = jnp.take_along_axis(
-                tlo_ref[:], jnp.where(in_lo, idx8, zero), axis=1
+                tlo_ref[:], jnp.where(in_lo, idx8, 0), axis=1
             )
-            hi_idx = jnp.where(in_lo, zero, idx8 + jnp.int8(-128))
-            hi = jnp.take_along_axis(thi_ref[:], hi_idx, axis=1)
+            hi = jnp.take_along_axis(
+                thi_ref[:], jnp.where(in_lo, 0, idx8 + 128), axis=1
+            )
             subs.append(jnp.where(in_lo, lo, hi))  # (8, 128) dequantized
         vals = jnp.concatenate(subs, axis=0) if n_sub > 1 else subs[0]
         return acc + jnp.dot(
