@@ -227,6 +227,24 @@ def bench_spmm_csr(check=True, n=2048, density=0.05, ks=(32, 128, 512), **kw):
                     checked=checked)
             r.sol_frac = r.nnz_per_s / sol
             rows.append(r)
+        if k <= 64:
+            # low-density multi-RHS kernel (slab walk per column)
+            from ..kernels.spmm_rowlane import spmm_rowlane
+            from ..kernels.spmv_rowlane import pack_sell_rowlane
+
+            packed = pack_sell_rowlane(A)
+            fr = jax.jit(lambda p, x: spmm_rowlane(p, x))
+            res = bench_fn_slope(fr, packed, X, iters=6)
+            checked = None
+            if check:
+                checked = relative_check(
+                    np.asarray(fr(packed, X)),
+                    dense.astype(np.float64) @ np.asarray(X))
+            sol = speed_of_light_nnz_s(A.nnz, spmm_bytes(A.nnz, n, n, k))
+            r = Row("spmm_csr/rowlane", f"n={n},k={k},d={density}", res,
+                    nnz=A.nnz, checked=checked)
+            r.sol_frac = r.nnz_per_s / sol
+            rows.append(r)
         rows.append(_dense_race_row("spmm_csr", dense, X, A.nnz))
     return rows
 
@@ -311,6 +329,48 @@ def bench_bsr(check=True, n=2048, block=(8, 8), density=0.05, k=128, **kw):
     r.sol_frac = r.nnz_per_s / sol
     rows.append(r)
     return rows
+
+
+@registry.register("csr_spmv_xl")
+def bench_csr_spmv_xl(check=True, n=32768, nnz_row=512, **kw):
+    """The 10⁷-nnz scale point (north star: 10⁷–10⁸ nnz): built sparse
+    end-to-end (no dense temporaries), oracle via scipy."""
+    import time
+
+    import scipy.sparse as sps
+
+    from ..kernels.spmv_rowlane import pack_sell_rowlane, spmv_sell_rowlane
+
+    # direct generation (scipy.sparse.random's no-replacement sampler is
+    # pathologically slow at 10^7+ nnz): fixed draws per row, duplicates
+    # merged by the COO→CSR conversion
+    g = np.random.default_rng(9)
+    rows_ = np.repeat(np.arange(n), nnz_row)
+    cols_ = g.integers(0, n, n * nnz_row)
+    data_ = g.uniform(-1000, 1000, n * nnz_row).astype(np.float32)
+    sp = sps.coo_matrix((data_, (rows_, cols_)), shape=(n, n)).tocsr()
+    sp.sum_duplicates()
+    A = CSR.from_scipy(sp)
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal(n).astype(np.float32)
+    t0 = time.time()
+    packed = pack_sell_rowlane(A)
+    pack_s = time.time() - t0
+    xj = jnp.asarray(x)
+    f = jax.jit(lambda p, v: spmv_sell_rowlane(p, v))
+    res = bench_fn_slope(f, packed, xj, iters=6)
+    checked = None
+    if check:
+        want = sp.astype(np.float64) @ x
+        checked = relative_check(np.asarray(f(packed, xj)), want)
+    sol = speed_of_light_nnz_s(A.nnz, spmv_csr_bytes(A.nnz, n, n))
+    r = Row("csr_spmv_xl/rowlane-fp32",
+            f"n={n},nnz={A.nnz/1e6:.1f}M,g={packed.group},"
+            f"fill={packed.fill_rate:.2f}",
+            res, nnz=A.nnz, checked=checked)
+    r.sol_frac = r.nnz_per_s / sol
+    r.extras = {"pack_seconds": pack_s}
+    return [r]
 
 
 @registry.register("weak_scaling")

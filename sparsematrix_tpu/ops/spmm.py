@@ -203,6 +203,17 @@ def spmm(A, X, method: str = "auto"):
             bd = _codebook_dense_of(A)
             if bd is not None:
                 return spmm(bd, X)  # fused dequant+GEMM kernel
+        if (method == "auto" and type(A) is CSR and not _should_densify(A)
+                and X.shape[1] <= 64):
+            # low-density multi-RHS gap: walk the spmv slab layout once
+            # per column (same auto-pack cache as spmv)
+            from ..kernels.spmm_rowlane import spmm_rowlane
+            from .spmv import _auto_pack
+
+            packed = _auto_pack(A)
+            if (packed is not None and packed.lanes_per_row == 1
+                    and packed.spill is None):
+                return spmm_rowlane(packed, X)
     if method == "auto" and _should_densify(A):
         return spmm_densify(A, X)
     return spmm_reference(A, X)
