@@ -494,7 +494,24 @@ def bench_trisolve(check=True, n=4096, nnz_row=8, **kw):
             f"n={n},nnz={nnz},levels={plan.rows.shape[0]}",
             res, nnz=nnz, checked=checked)
     r.sol_frac = r.nnz_per_s / sol
-    return [r]
+    rows = [r]
+
+    # fixed-point formulation: n_levels-1 row-lane SpMVs, no XLA gathers
+    from ..ops.trisolve import trisolve_fixpoint_apply, trisolve_fixpoint_plan
+
+    fplan = trisolve_fixpoint_plan(A, lower=True)
+    ff = jax.jit(trisolve_fixpoint_apply)
+    res2 = bench_fn_slope(ff, fplan, b, iters=6)
+    checked2 = None
+    if check:
+        checked2 = relative_check(np.asarray(ff(fplan, b)), want)
+    r2 = Row("trisolve/fixpoint",
+             f"n={n},nnz={nnz},iters={fplan.n_iters},"
+             f"fill={fplan.e_packed.fill_rate:.2f}",
+             res2, nnz=nnz, checked=checked2)
+    r2.sol_frac = r2.nnz_per_s / sol
+    rows.append(r2)
+    return rows
 
 
 @registry.register("ilu_cg")
@@ -503,7 +520,7 @@ def bench_ilu_cg(check=True, n=4096, iters=25, **kw):
     Poisson system (fixed iteration count → time per iteration)."""
     import scipy.sparse as sps
 
-    from ..ops.ilu import ilu0_plans, ilu_apply
+    from ..ops.ilu import ilu0_fixpoint_plans, ilu_apply
     from ..solvers import cg
 
     side = int(np.sqrt(n))
@@ -516,11 +533,20 @@ def bench_ilu_cg(check=True, n=4096, iters=25, **kw):
     A = CSR.from_scipy(Apo.astype(np.float32).tocsr())
     rng = np.random.default_rng(8)
     b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
-    plans = ilu0_plans(A)
+    # the documented fast-path flow: build step (pack) + jitted solve —
+    # CG's SpMVs ride the row-lane kernel, the ILU solves the fixed-point
+    # (SpMV-formulated) plans
+    from ..ops.spmv import prepare_spmv
+
+    Ap = prepare_spmv(A)
+    # truncated Neumann: the Poisson factors are diagonally dominant, so
+    # ~6 fixed-point terms already give preconditioner-grade accuracy
+    # (measured: same 25-iter CG residual as the exact 127-level solve)
+    plans = ilu0_fixpoint_plans(A, n_iters=6)
     M = lambda r: ilu_apply(plans, r)
     rows = []
     for label, precond in (("plain", None), ("ilu0", M)):
-        f = jax.jit(lambda bb: cg(A, bb, maxiter=iters, M=precond,
+        f = jax.jit(lambda bb: cg(Ap, bb, maxiter=iters, M=precond,
                                   tol=0.0).x)
         res = bench_fn_slope(f, b, iters=4, inner_lo=2, inner_hi=10)
         checked = None

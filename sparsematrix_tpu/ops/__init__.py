@@ -3,8 +3,16 @@ from .spmm import spmm, spmm_reference, spmm_right, spmm_densify
 from .addmatmat import add_mat_mat
 from .spgemm import (SpGEMMPacked, SpGEMMPlan, spgemm, spgemm_apply,
                      spgemm_apply_packed, spgemm_plan, spgemm_plan_packed)
-from .trisolve import TriSolvePlan, trisolve, trisolve_apply, trisolve_plan
-from .ilu import ilu0, ilu0_plans, ilu_apply
+from .trisolve import (
+    TriFixPlan,
+    TriSolvePlan,
+    trisolve,
+    trisolve_apply,
+    trisolve_fixpoint_apply,
+    trisolve_fixpoint_plan,
+    trisolve_plan,
+)
+from .ilu import ilu0, ilu0_fixpoint_plans, ilu0_plans, ilu_apply
 from .transpose_ops import csr_transpose_device, spmv_t, spmm_t
 from .quantized import QuantizedCodebookDense, add_mat_mat_int8, quantize_codebook
 from .add import SparseAddPlan, sparse_add, sparse_add_apply, sparse_add_plan
@@ -30,8 +38,12 @@ __all__ = [
     "trisolve",
     "trisolve_apply",
     "trisolve_plan",
+    "TriFixPlan",
+    "trisolve_fixpoint_apply",
+    "trisolve_fixpoint_plan",
     "ilu0",
     "ilu0_plans",
+    "ilu0_fixpoint_plans",
     "ilu_apply",
     "spmv_t",
     "csr_transpose_device",

@@ -16,9 +16,16 @@ from typing import Tuple
 import numpy as np
 
 from ..formats import CSR
-from .trisolve import TriSolvePlan, trisolve_apply, trisolve_plan
+from .trisolve import (
+    TriFixPlan,
+    TriSolvePlan,
+    trisolve_apply,
+    trisolve_fixpoint_apply,
+    trisolve_fixpoint_plan,
+    trisolve_plan,
+)
 
-__all__ = ["ilu0", "ilu0_plans", "ilu_apply"]
+__all__ = ["ilu0", "ilu0_plans", "ilu0_fixpoint_plans", "ilu_apply"]
 
 
 def _ilu0_factor_python(indptr, indices, a, n):
@@ -119,7 +126,29 @@ def ilu0_plans(A: CSR) -> Tuple[TriSolvePlan, TriSolvePlan]:
     )
 
 
-def ilu_apply(plans: Tuple[TriSolvePlan, TriSolvePlan], r):
-    """Apply the preconditioner: ``M⁻¹ r`` (jittable)."""
+def ilu0_fixpoint_plans(A: CSR, n_iters: int | None = None,
+                        **pack_kwargs) -> Tuple[TriFixPlan, TriFixPlan]:
+    """Factor + build fixed-point (SpMV-formulated) solve plans.
+
+    The triangular solves run as nilpotent Jacobi iterations on the
+    row-lane Pallas SpMV kernel — no per-level gathers.  ``n_iters``
+    truncates both solves (approximate preconditioner, still a fixed
+    linear operator); ``None`` → exact.
+    """
+    L, U = ilu0(A)
+    return (
+        trisolve_fixpoint_plan(L, lower=True, unit_diagonal=True,
+                               n_iters=n_iters, **pack_kwargs),
+        trisolve_fixpoint_plan(U, lower=False, unit_diagonal=False,
+                               n_iters=n_iters, **pack_kwargs),
+    )
+
+
+def ilu_apply(plans, r):
+    """Apply the preconditioner: ``M⁻¹ r`` (jittable).
+
+    Accepts either plan family (level-scheduled or fixed-point)."""
     lp, up = plans
+    if isinstance(lp, TriFixPlan):
+        return trisolve_fixpoint_apply(up, trisolve_fixpoint_apply(lp, r))
     return trisolve_apply(up, trisolve_apply(lp, r))

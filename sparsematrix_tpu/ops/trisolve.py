@@ -23,7 +23,10 @@ import numpy as np
 from ..formats import CSR
 from ..formats.base import default_index_dtype, register_sparse_pytree
 
-__all__ = ["TriSolvePlan", "trisolve_plan", "trisolve_apply", "trisolve"]
+__all__ = [
+    "TriSolvePlan", "trisolve_plan", "trisolve_apply", "trisolve",
+    "TriFixPlan", "trisolve_fixpoint_plan", "trisolve_fixpoint_apply",
+]
 
 
 @register_sparse_pytree
@@ -45,26 +48,12 @@ class TriSolvePlan:
     unit_diagonal: bool = dataclasses.field(metadata={"static": True})
 
 
-def trisolve_plan(A: CSR, lower: bool = True,
-                  unit_diagonal: bool = False) -> TriSolvePlan:
-    sp = A.to_scipy().tocsr()
-    sp.sort_indices()
-    n = sp.shape[0]
-    if sp.shape[0] != sp.shape[1]:
-        raise ValueError("trisolve needs a square matrix")
-    indptr, indices, data = sp.indptr.astype(np.int64), sp.indices, sp.data
-
-    # classify entries (vectorized): row id per entry, off-diag mask
-    rid = np.repeat(np.arange(n), np.diff(indptr))
-    offd = (indices < rid) if lower else (indices > rid)
-    diag_mask = indices == rid
-
-    # level(i) = 1 + max level of off-diag deps — Kahn-style peeling, each
-    # round retires the dependency-free frontier (total work O(nnz))
-    remaining = np.bincount(rid[offd], minlength=n)
+def _compute_levels(n: int, dep_rows: np.ndarray,
+                    dep_cols: np.ndarray) -> np.ndarray:
+    """level(i) = 1 + max level of off-diag deps — Kahn-style peeling, each
+    round retires the dependency-free frontier (total work O(nnz))."""
+    remaining = np.bincount(dep_rows, minlength=n)
     # reverse adjacency: dependents of column j among off-diag entries
-    dep_rows = rid[offd]
-    dep_cols = indices[offd].astype(np.int64)
     rev_order = np.argsort(dep_cols, kind="stable")
     rev_rows = dep_rows[rev_order]
     rev_ptr = np.zeros(n + 1, np.int64)
@@ -95,6 +84,24 @@ def trisolve_plan(A: CSR, lower: bool = True,
         seen += len(frontier)
     if seen < n:
         raise ValueError("trisolve: cyclic structure (matrix not triangular?)")
+    return level
+
+
+def trisolve_plan(A: CSR, lower: bool = True,
+                  unit_diagonal: bool = False) -> TriSolvePlan:
+    sp = A.to_scipy().tocsr()
+    sp.sort_indices()
+    n = sp.shape[0]
+    if sp.shape[0] != sp.shape[1]:
+        raise ValueError("trisolve needs a square matrix")
+    indptr, indices, data = sp.indptr.astype(np.int64), sp.indices, sp.data
+
+    # classify entries (vectorized): row id per entry, off-diag mask
+    rid = np.repeat(np.arange(n), np.diff(indptr))
+    offd = (indices < rid) if lower else (indices > rid)
+    diag_mask = indices == rid
+
+    level = _compute_levels(n, rid[offd], indices[offd].astype(np.int64))
     n_levels = int(level.max()) + 1 if n else 1
 
     widths = np.bincount(level, minlength=n_levels) if n else np.array([0])
@@ -166,3 +173,98 @@ def trisolve(A: CSR, b, lower: bool = True, unit_diagonal: bool = False):
     """One-shot triangular solve (host plan + device apply)."""
     plan = trisolve_plan(A, lower=lower, unit_diagonal=unit_diagonal)
     return trisolve_apply(plan, b)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point (Jacobi/Neumann) triangular solve — the SpMV formulation
+# ---------------------------------------------------------------------------
+
+@register_sparse_pytree
+@dataclasses.dataclass(frozen=True)
+class TriFixPlan:
+    """Triangular solve as a nilpotent fixed-point iteration.
+
+    With ``A = D + E`` (D diagonal, E strictly triangular), the Jacobi
+    update ``x ← D⁻¹(b − E x)`` started from ``x₀ = D⁻¹ b`` satisfies
+    ``x_k = Σ_{j≤k} (−D⁻¹E)^j D⁻¹ b`` — and ``(D⁻¹E)^m = 0`` where m is
+    the level count of the dependency DAG, so ``n_iters = m − 1`` updates
+    give the EXACT solve.  Each update is one SpMV on the row-lane Pallas
+    layout inside ``lax.scan`` — no XLA gathers/scatters on the hot path
+    (vs one padded gather per level in ``TriSolvePlan``).  ``n_iters`` can
+    be lowered for an approximate solve (preconditioner use).
+    """
+
+    e_packed: object  # SellRowLane of strictly-triangular E
+    inv_diag: jnp.ndarray  # (n,) — 1/diag (ones for unit_diagonal)
+    shape: Tuple[int, int] = dataclasses.field(metadata={"static": True})
+    n_iters: int = dataclasses.field(metadata={"static": True})
+    lower: bool = dataclasses.field(metadata={"static": True})
+    unit_diagonal: bool = dataclasses.field(metadata={"static": True})
+
+
+def trisolve_fixpoint_plan(A: CSR, lower: bool = True,
+                           unit_diagonal: bool = False,
+                           n_iters: int | None = None,
+                           **pack_kwargs) -> TriFixPlan:
+    """Build the fixed-point plan: pack E row-lane, invert D, count levels.
+
+    ``n_iters=None`` → exact (levels − 1 updates); a smaller value gives
+    the truncated-Neumann approximate solve (still a fixed linear
+    operator — valid as a preconditioner).
+    """
+    import scipy.sparse as sps
+
+    from ..kernels.spmv_rowlane import pack_sell_rowlane
+
+    sp = A.to_scipy().tocsr()
+    sp.sort_indices()
+    n = sp.shape[0]
+    if sp.shape[0] != sp.shape[1]:
+        raise ValueError("trisolve needs a square matrix")
+    indptr, indices, data = sp.indptr.astype(np.int64), sp.indices, sp.data
+    rid = np.repeat(np.arange(n), np.diff(indptr))
+    offd = (indices < rid) if lower else (indices > rid)
+    diag_mask = indices == rid
+
+    inv_d = np.ones(n, dtype=data.dtype)
+    if not unit_diagonal:
+        drows = rid[diag_mask]
+        dv = data[diag_mask]
+        if len(drows) < n or (dv == 0).any():
+            missing = np.setdiff1d(np.arange(n), drows)
+            bad = (missing[0] if len(missing)
+                   else drows[np.nonzero(dv == 0)[0][0]])
+            raise ValueError(f"zero/missing diagonal at row {bad}")
+        inv_d[drows] = 1.0 / dv
+
+    if n_iters is None:
+        level = _compute_levels(n, rid[offd], indices[offd].astype(np.int64))
+        n_iters = max(int(level.max()) if n else 0, 0)
+
+    E = sps.coo_matrix(
+        (data[offd], (rid[offd], indices[offd])), shape=(n, n)
+    ).tocsr()
+    e_packed = pack_sell_rowlane(CSR.from_scipy(E), **pack_kwargs)
+    return TriFixPlan(
+        e_packed=e_packed,
+        inv_diag=jnp.asarray(inv_d),
+        shape=(n, n),
+        n_iters=int(n_iters),
+        lower=lower,
+        unit_diagonal=unit_diagonal,
+    )
+
+
+def trisolve_fixpoint_apply(plan: TriFixPlan, b):
+    """Device numeric solve (jittable): ``n_iters`` row-lane SpMVs."""
+    from ..kernels.spmv_rowlane import spmv_sell_rowlane
+
+    x = plan.inv_diag * b
+
+    def step(x, _):
+        x = plan.inv_diag * (b - spmv_sell_rowlane(plan.e_packed, x))
+        return x, None
+
+    if plan.n_iters:
+        x, _ = jax.lax.scan(step, x, None, length=plan.n_iters)
+    return x

@@ -135,3 +135,92 @@ def test_ilu0_native_matches_python_bit_exact(rng):
     a2 = d.data.astype(np.float64).copy()
     ilu_mod._ilu0_factor_python(d.indptr, d.indices, a2, n)
     np.testing.assert_array_equal(a1, a2)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point (nilpotent Jacobi) trisolve
+# ---------------------------------------------------------------------------
+
+from sparsematrix_tpu.ops import (  # noqa: E402
+    ilu0_fixpoint_plans,
+    trisolve_fixpoint_apply,
+    trisolve_fixpoint_plan,
+)
+
+
+@pytest.mark.parametrize("n", [16, 64, 150])
+@pytest.mark.parametrize("lower", [True, False])
+def test_trisolve_fixpoint_exact(rng, n, lower):
+    M = _rand_lower(rng, n)
+    if not lower:
+        M = M.T.copy()
+    b = rng.uniform(-1, 1, n).astype(np.float32)
+    plan = trisolve_fixpoint_plan(CSR.fromdense(M), lower=lower)
+    x = np.asarray(trisolve_fixpoint_apply(plan, jnp.asarray(b)))
+    oracle = spla.spsolve_triangular(sp.csr_matrix(M), b, lower=lower)
+    np.testing.assert_allclose(x, oracle, rtol=1e-3, atol=1e-3)
+
+
+def test_trisolve_fixpoint_unit_diag(rng):
+    n = 48
+    L = _rand_lower(rng, n, unit=True)
+    b = rng.uniform(-1, 1, n).astype(np.float32)
+    plan = trisolve_fixpoint_plan(CSR.fromdense(L), lower=True,
+                                  unit_diagonal=True)
+    x = np.asarray(trisolve_fixpoint_apply(plan, jnp.asarray(b)))
+    np.testing.assert_allclose(L @ x, b, rtol=1e-3, atol=1e-3)
+
+
+def test_trisolve_fixpoint_diagonal_only(rng):
+    d = rng.uniform(1, 2, 8).astype(np.float32)
+    plan = trisolve_fixpoint_plan(CSR.fromdense(np.diag(d)), lower=True)
+    assert plan.n_iters == 0
+    b = rng.uniform(-1, 1, 8).astype(np.float32)
+    x = np.asarray(trisolve_fixpoint_apply(plan, jnp.asarray(b)))
+    np.testing.assert_allclose(x, b / d, rtol=1e-5)
+
+
+def test_trisolve_fixpoint_jittable(rng):
+    n = 40
+    L = _rand_lower(rng, n)
+    plan = trisolve_fixpoint_plan(CSR.fromdense(L), lower=True)
+    f = jax.jit(trisolve_fixpoint_apply)
+    for _ in range(2):
+        b = rng.uniform(-1, 1, n).astype(np.float32)
+        x = np.asarray(f(plan, jnp.asarray(b)))
+        np.testing.assert_allclose(L @ x, b, rtol=1e-3, atol=1e-3)
+
+
+def test_trisolve_fixpoint_truncated_is_linear_fixed_op(rng):
+    """Truncated n_iters must still be a fixed LINEAR operator in b
+    (the property a preconditioner needs)."""
+    n = 64
+    L = _rand_lower(rng, n)
+    plan = trisolve_fixpoint_plan(CSR.fromdense(L), lower=True, n_iters=3)
+    b1 = rng.uniform(-1, 1, n).astype(np.float32)
+    b2 = rng.uniform(-1, 1, n).astype(np.float32)
+    f = lambda b: np.asarray(trisolve_fixpoint_apply(plan, jnp.asarray(b)))
+    np.testing.assert_allclose(
+        f(b1 + 2 * b2), f(b1) + 2 * f(b2), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_ilu_fixpoint_cg_poisson(rng):
+    """ILU(0) fixed-point preconditioner must beat plain CG on Poisson."""
+    from sparsematrix_tpu.solvers import cg
+
+    side = 16
+    n = side * side
+    Iq = sp.eye(side)
+    T = sp.diags([-1, 4, -1], [-1, 0, 1], (side, side))
+    Apo = (sp.kron(Iq, T)
+           + sp.kron(sp.diags([-1, -1], [-1, 1], (side, side)), Iq)).tocsr()
+    A = CSR.from_scipy(Apo.astype(np.float32))
+    b = rng.standard_normal(n).astype(np.float32)
+    plans = ilu0_fixpoint_plans(A)
+    M = lambda r: ilu_apply(plans, r)
+    x_pre = np.asarray(cg(A, jnp.asarray(b), maxiter=12, M=M, tol=0.0).x)
+    x_plain = np.asarray(cg(A, jnp.asarray(b), maxiter=12, tol=0.0).x)
+    r_pre = np.linalg.norm(Apo @ x_pre - b)
+    r_plain = np.linalg.norm(Apo @ x_plain - b)
+    assert r_pre < 0.5 * r_plain
