@@ -82,6 +82,71 @@ class SellRowLane:
         return (self.nnz - spill_nnz) / max(self.vals.size, 1)
 
 
+_NATIVE_PACK_LOCK = None  # created lazily (threading import at call time)
+
+
+def _pack_arrays_native(r, c, v, rows, cols, group, L):
+    """Native C++ packer (native/codec.cc: smtpu_rowlane_plan/fill).
+
+    Same outputs as ``_pack_arrays`` (bit-identical — both are stable in
+    the original entry order); ~20 large numpy temporaries collapse into
+    one persistent sort buffer, which matters on hosts where first-touch
+    page faults dominate (measured 408 s numpy → seconds native at
+    16.6 M nnz).  Returns None when the library is unavailable.
+    """
+    global _NATIVE_PACK_LOCK
+    from .. import native as native_mod
+
+    lib = native_mod.get_lib()
+    if (lib is None or not hasattr(lib, "smtpu_rowlane_plan")
+            or rows >= 2**31 or cols >= 2**31 or r.size >= 2**31):
+        return None
+    import ctypes
+    import threading
+
+    if _NATIVE_PACK_LOCK is None:
+        _NATIVE_PACK_LOCK = threading.Lock()
+
+    def p32(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    def p8(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+    r32 = np.ascontiguousarray(r, np.int32)
+    c32 = np.ascontiguousarray(c, np.int32)
+    vv = np.ascontiguousarray(v)
+    meta = np.zeros(6, np.int64)
+    with _NATIVE_PACK_LOCK:
+        rc = lib.smtpu_rowlane_plan(
+            p32(r32), p32(c32), r32.size, rows, cols, group or 0, L,
+            meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        if rc != 0:
+            return None
+        total_slots, n_groups, g_sel, n_tiles, n_win, _ = map(int, meta)
+        s_idx = np.zeros((total_slots, 8, _LANES), np.int8)
+        vals = np.zeros((total_slots, 8, _LANES), vv.dtype)
+        win = np.zeros(total_slots, np.int32)
+        group_tile = np.zeros(n_groups, np.int32)
+        tne = np.zeros(n_tiles, np.uint8)
+        rc = lib.smtpu_rowlane_fill(
+            p32(r32), p32(c32), p8(vv.view(np.uint8)), vv.dtype.itemsize,
+            s_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            p8(vals.view(np.uint8)), p32(win), p32(group_tile), p8(tne),
+        )
+        if rc != 0:
+            return None
+    return dict(
+        s_idx=s_idx.reshape(n_groups, g_sel * 8, _LANES),
+        vals=vals.reshape(n_groups, g_sel * 8, _LANES),
+        group_tile=group_tile,
+        slab_win=win.reshape(n_groups, g_sel),
+        tile_nonempty=tne.astype(bool),
+        n_tiles=n_tiles, n_win=n_win, group=g_sel,
+    )
+
+
 def _pack_arrays(r, c, v, rows, cols, group, L, dtype):
     """Vectorized slab assignment; returns the device arrays."""
     T = _LANES // L
@@ -215,7 +280,11 @@ def pack_sell_rowlane(csr: CSR, group: int | None = None,
 
             spill_packed = pack_sell(spill, tr=64)
             r, c, v = r[keep], c[keep], v[keep]
-    arrs = _pack_arrays(r, c, v, rows, cols, group, L, v.dtype)
+    arrs = None
+    if r.size:
+        arrs = _pack_arrays_native(r, c, v, rows, cols, group, L)
+    if arrs is None:
+        arrs = _pack_arrays(r, c, v, rows, cols, group, L, v.dtype)
     t_pack = None
     if with_transpose:
         t_pack = pack_sell_rowlane(

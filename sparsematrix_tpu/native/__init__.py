@@ -76,5 +76,16 @@ def get_lib():
             c_i32p, c_long, c_long, ctypes.c_int32,
             c_i64p, c_i32p, c_i32p, c_long,
         ]
+        c_i8p = ctypes.POINTER(ctypes.c_int8)
+        lib.smtpu_rowlane_plan.restype = c_long
+        lib.smtpu_rowlane_plan.argtypes = [
+            c_i32p, c_i32p, c_long, c_long, c_long,
+            ctypes.c_int32, ctypes.c_int32, c_i64p,
+        ]
+        lib.smtpu_rowlane_fill.restype = c_long
+        lib.smtpu_rowlane_fill.argtypes = [
+            c_i32p, c_i32p, c_u8p, c_long,
+            c_i8p, c_u8p, c_i32p, c_i32p, c_u8p,
+        ]
         _lib = lib
         return _lib

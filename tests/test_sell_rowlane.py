@@ -164,3 +164,35 @@ def test_autopack_skips_tracers(rng, monkeypatch):
     got = np.asarray(jax.jit(spmv)(A, x))  # traced CSR → jnp path, no crash
     np.testing.assert_allclose(got, dense.astype(np.float64) @ np.asarray(x),
                                rtol=2e-3, atol=0.5)
+
+
+def test_native_pack_matches_numpy():
+    """Native C++ packer must be bit-identical to the numpy packer."""
+    import sparsematrix_tpu.kernels.spmv_rowlane as rl
+    from sparsematrix_tpu import native as native_mod
+
+    if native_mod.get_lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    for rows, cols, nnz, L, group in [
+        (300, 500, 4000, 1, None),
+        (1000, 1000, 30000, 2, 16),
+        (128, 4096, 20000, 4, None),
+        (5000, 300, 60000, 8, None),
+    ]:
+        r = rng.integers(0, rows, nnz)
+        c = rng.integers(0, cols, nnz)
+        key = r * cols + c
+        _, ui = np.unique(key, return_index=True)
+        r, c = r[ui], c[ui]
+        v = rng.standard_normal(len(r)).astype(np.float32)
+        a = rl._pack_arrays(r, c, v, rows, cols, group, L, v.dtype)
+        b = rl._pack_arrays_native(r, c, v, rows, cols, group, L)
+        assert b is not None
+        for k in ("s_idx", "vals", "group_tile", "slab_win",
+                  "tile_nonempty"):
+            assert np.array_equal(np.asarray(a[k]), np.asarray(b[k])), k
+        for k in ("n_tiles", "n_win", "group"):
+            assert a[k] == b[k], k
