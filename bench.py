@@ -16,9 +16,12 @@ sys.path.insert(0, "/root/repo")
 def main():
     from sparsematrix_tpu.bench.suite import bench_codebook_gemm
 
-    # the fused Pallas kernel is the framework's recommended path for this
-    # workload; the XLA comparison variants live in the full suite CLI
-    rows = bench_codebook_gemm(check=True, variants=("fused-pallas",))
+    # the framework's recommended paths for this workload; the full
+    # comparison matrix lives in the suite CLI
+    rows = bench_codebook_gemm(
+        check=True,
+        variants=("fused-pallas", "dense-dequant", "fused-pallas-bf16"),
+    )
     # headline = fastest path that passes the reference's oracle check
     ok = [r for r in rows if r.checked] or rows
     r = min(ok, key=lambda r: r.result.min_ms)
@@ -34,6 +37,13 @@ def main():
         "mean_ms": round(r.result.mean_ms, 4),
         "compile_ms": round(r.result.compile_ms, 1),
     }
+    # the on-chip honesty race (dense GEMM of the same problem on the
+    # same silicon — the reference harness's blas_test.cc:41 stance)
+    for rr in rows:
+        if rr.name == "codebook_gemm/dense-race-fp32":
+            out["dense_race_fp32_ms"] = round(rr.result.min_ms, 4)
+        elif rr.name == "codebook_gemm/dense-race-bf16":
+            out["dense_race_bf16_ms"] = round(rr.result.min_ms, 4)
     print(json.dumps(out))
 
 

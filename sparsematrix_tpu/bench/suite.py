@@ -353,24 +353,45 @@ def bench_csr_spmv_xl(check=True, n=32768, nnz_row=512, **kw):
     A = CSR.from_scipy(sp)
     rng = np.random.default_rng(9)
     x = rng.standard_normal(n).astype(np.float32)
-    t0 = time.time()
-    packed = pack_sell_rowlane(A)
-    pack_s = time.time() - t0
     xj = jnp.asarray(x)
-    f = jax.jit(lambda p, v: spmv_sell_rowlane(p, v))
-    res = bench_fn_slope(f, packed, xj, iters=6)
-    checked = None
+    want = sp.astype(np.float64) @ x if check else None
+    # bf16 oracle: the bf16-ROUNDED stored values in fp64 (the storage
+    # contract, same policy as csr_spmv_large)
+    want_bf16 = None
     if check:
-        want = sp.astype(np.float64) @ x
-        checked = relative_check(np.asarray(f(packed, xj)), want)
+        spq = sp.copy()
+        spq.data = np.asarray(jnp.asarray(sp.data).astype(jnp.bfloat16)
+                              ).astype(np.float64)
+        want_bf16 = spq @ x
     sol = speed_of_light_nnz_s(A.nnz, spmv_csr_bytes(A.nnz, n, n))
-    r = Row("csr_spmv_xl/rowlane-fp32",
-            f"n={n},nnz={A.nnz/1e6:.1f}M,g={packed.group},"
-            f"fill={packed.fill_rate:.2f}",
-            res, nnz=A.nnz, checked=checked)
-    r.sol_frac = r.nnz_per_s / sol
-    r.extras = {"pack_seconds": pack_s}
-    return [r]
+    f = jax.jit(lambda p, v: spmv_sell_rowlane(p, v))
+    rows = []
+    # measured round-2 sweep: spill_depth=4 + recursive tail pack doubles
+    # fill (0.24 -> 0.48); bf16 storage halves the dominant vals stream
+    # (26.6 Gnnz/s vs 12.6 fp32 at 16.6M nnz)
+    for tag, kws in (("fp32", dict(group=128)),
+                     ("fp32-sp4", dict(group=128, spill_depth=4)),
+                     ("bf16-sp4", dict(group=128, spill_depth=4,
+                                       dtype=jnp.bfloat16))):
+        t0 = time.time()
+        packed = pack_sell_rowlane(A, **kws)
+        pack_s = time.time() - t0
+        res = bench_fn_slope(f, packed, xj, iters=6)
+        checked = None
+        if check:
+            # bf16 rows judge against the bf16-ROUNDED oracle (the
+            # storage contract; accumulation stays fp32)
+            checked = relative_check(
+                np.asarray(f(packed, xj)),
+                want_bf16 if kws.get("dtype") is not None else want)
+        r = Row(f"csr_spmv_xl/rowlane-{tag}",
+                f"n={n},nnz={A.nnz/1e6:.1f}M,g={packed.group},"
+                f"fill={packed.fill_rate:.2f}",
+                res, nnz=A.nnz, checked=checked)
+        r.sol_frac = r.nnz_per_s / sol
+        r.extras = {"pack_seconds": pack_s}
+        rows.append(r)
+    return rows
 
 
 @registry.register("weak_scaling")
@@ -461,6 +482,37 @@ def bench_spgemm(check=True, n=2048, density=0.01, **kw):
     r2.sol_frac = r2.nnz_per_s / sol
     r2.extras = {"pack_seconds": pack_s}
     rows.append(r2)
+
+    # density-adaptive MXU path: full dense product (+ optional pattern
+    # extraction) — below the crossover the MXU's ~10^3x FLOP advantage
+    # beats any gather-bound pair program
+    from ..formats import Dense
+    from ..ops.spgemm import spgemm_densify, spgemm_extract
+
+    Ad, Bd = Dense.from_sparse(A), Dense.from_sparse(B)
+    fd = jax.jit(lambda a, b: spgemm_densify(a, b).data)
+    res = bench_fn_slope(fd, Ad, Bd, iters=6)
+    checked = None
+    if check:
+        got = np.asarray(fd(Ad, Bd))
+        wr, wc = want.nonzero()
+        checked = relative_check(got[wr, wc], np.asarray(want[wr, wc]).ravel())
+    r3 = Row("spgemm/densify-mxu", f"n={n},d={density},pairs={plan.n_pairs}",
+             res, nnz=plan.n_pairs, checked=checked)
+    r3.sol_frac = r3.nnz_per_s / sol
+    rows.append(r3)
+
+    fe = jax.jit(lambda a, b, p: spgemm_extract(p, spgemm_densify(a, b)).data)
+    res = bench_fn_slope(fe, Ad, Bd, plan, iters=6)
+    checked = None
+    if check:
+        got = np.asarray(fe(Ad, Bd, plan))
+        checked = relative_check(got[: plan.c_nnz], want.data)
+    r4 = Row("spgemm/densify-extract",
+             f"n={n},d={density},pairs={plan.n_pairs}",
+             res, nnz=plan.n_pairs, checked=checked)
+    r4.sol_frac = r4.nnz_per_s / sol
+    rows.append(r4)
     return rows
 
 

@@ -88,8 +88,13 @@ class CSR(SparseFormat):
     def from_scipy(cls, mat, capacity: int | None = None, **kw):
         csr = mat.tocsr()
         csr.sort_indices()
-        return cls.from_arrays(csr.indptr, csr.indices, csr.data, csr.shape,
-                               capacity, **kw)
+        out = cls.from_arrays(csr.indptr, csr.indices, csr.data, csr.shape,
+                              capacity, **kw)
+        # keep the host copy: to_scipy() would otherwise round-trip the
+        # device arrays (hundreds of MB through the accelerator link at
+        # the 10^7-nnz scale) on every pack/plan build
+        object.__setattr__(out, "_host_scipy", csr)
+        return out
 
     # -- decode ---------------------------------------------------------
     def _row_ids_or_compute(self):
@@ -116,7 +121,10 @@ class CSR(SparseFormat):
     def to_scipy(self):
         import scipy.sparse as sp
 
-        return sp.csr_matrix(
+        cached = getattr(self, "_host_scipy", None)
+        if cached is not None:
+            return cached
+        out = sp.csr_matrix(
             (
                 np.asarray(self.data)[: self.nnz],
                 np.asarray(self.indices)[: self.nnz],
@@ -124,6 +132,8 @@ class CSR(SparseFormat):
             ),
             shape=self.shape,
         )
+        object.__setattr__(self, "_host_scipy", out)
+        return out
 
     def transpose(self) -> "CSR":
         """Host-side transpose (build-time op, like the reference's

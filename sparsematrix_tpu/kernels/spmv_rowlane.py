@@ -226,6 +226,32 @@ def _pack_arrays(r, c, v, rows, cols, group, L, dtype):
     )
 
 
+def _spill_mask_native(r, c, rows, cols, L, spill_depth):
+    """keep[i] = bucket occurrence of entry i < L*spill_depth, via the
+    native sorter (native/codec.cc: smtpu_rowlane_spill_mask).  Returns
+    None when the library is unavailable (numpy fallback in the caller).
+    """
+    from .. import native as native_mod
+
+    lib = native_mod.get_lib()
+    if (lib is None or not hasattr(lib, "smtpu_rowlane_spill_mask")
+            or rows >= 2**31 or cols >= 2**31 or r.size >= 2**31):
+        return None
+    import ctypes
+
+    r32 = np.ascontiguousarray(r, np.int32)
+    c32 = np.ascontiguousarray(c, np.int32)
+    keep = np.zeros(r32.size, np.uint8)
+    rc = lib.smtpu_rowlane_spill_mask(
+        r32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        c32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        r32.size, rows, cols, L, L * spill_depth,
+        keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != 0:
+        return None
+    return keep.astype(bool)
+
+
 def pack_sell_rowlane(csr: CSR, group: int | None = None,
                       lanes_per_row: int = 1,
                       spill_depth: int | None = None,
@@ -253,19 +279,22 @@ def pack_sell_rowlane(csr: CSR, group: int | None = None,
     spill = None
     spill_packed = None
     if spill_depth is not None and r.size:
-        # recompute occurrence index to find the tail
-        T = _LANES // L
-        key = ((((r // T) * max(-(-cols // _W), 1) + c // _W) * 8
-                + (c % _W) // _LANES) * T + r % T)
-        order = np.argsort(key, kind="stable")
-        ko = key[order]
-        new = np.empty(len(ko), bool)
-        new[0] = True
-        new[1:] = ko[1:] != ko[:-1]
-        run_start = np.maximum.accumulate(np.where(new, np.arange(len(ko)), 0))
-        d = np.arange(len(ko)) - run_start
-        keep = np.zeros(len(r), bool)
-        keep[order] = d < L * spill_depth
+        keep = _spill_mask_native(r, c, rows, cols, L, spill_depth)
+        if keep is None:
+            # numpy fallback: recompute occurrence index to find the tail
+            T = _LANES // L
+            key = ((((r // T) * max(-(-cols // _W), 1) + c // _W) * 8
+                    + (c % _W) // _LANES) * T + r % T)
+            order = np.argsort(key, kind="stable")
+            ko = key[order]
+            new = np.empty(len(ko), bool)
+            new[0] = True
+            new[1:] = ko[1:] != ko[:-1]
+            run_start = np.maximum.accumulate(
+                np.where(new, np.arange(len(ko)), 0))
+            d = np.arange(len(ko)) - run_start
+            keep = np.zeros(len(r), bool)
+            keep[order] = d < L * spill_depth
         if not keep.all():
             import scipy.sparse as sps
 
@@ -275,10 +304,16 @@ def pack_sell_rowlane(csr: CSR, group: int | None = None,
             spill = CSR.from_scipy(tail.tocsr())
             # the tail must NOT fall back to XLA gathers on the hot path
             # (measured: 2% tail via XLA = 410 µs, dwarfing the kernel);
-            # pack it into the lane-free masked-sum slabs instead
-            from .spmv_pallas import pack_sell
-
-            spill_packed = pack_sell(spill, tr=64)
+            # recurse: the tail is itself a sparse matrix whose buckets
+            # are now shallow, so a second row-lane pack runs it on the
+            # same kernel (beats the round-1 masked-slab tail, whose
+            # ~4%-full slabs cost 10x the fill saving).  group=None: the
+            # tail is far sparser than the body, so it must pick its own
+            # (smaller) per-step batch or padding wrecks its fill
+            spill_packed = pack_sell_rowlane(
+                spill, group=None, lanes_per_row=L, spill_depth=None,
+                with_transpose=False, dtype=dtype,
+            )
             r, c, v = r[keep], c[keep], v[keep]
     arrs = None
     if r.size:
@@ -400,9 +435,12 @@ def _rowlane_forward(packed: SellRowLane, x):
         y = y + jnp.where(touched[:, None], out, 0)
     y = y.reshape(packed.n_tiles * T)[:rows]
     if packed.spill_packed is not None:
-        from .spmv_pallas import spmv_sell
+        if isinstance(packed.spill_packed, SellRowLane):
+            y = y + _rowlane_forward(packed.spill_packed, x)
+        else:  # legacy containers packed with the masked-slab kernel
+            from .spmv_pallas import spmv_sell
 
-        y = y + spmv_sell(packed.spill_packed, x)
+            y = y + spmv_sell(packed.spill_packed, x)
     elif packed.spill is not None:
         from ..ops.spmv import spmv_reference
 

@@ -87,5 +87,10 @@ def get_lib():
             c_i32p, c_i32p, c_u8p, c_long,
             c_i8p, c_u8p, c_i32p, c_i32p, c_u8p,
         ]
+        lib.smtpu_rowlane_spill_mask.restype = c_long
+        lib.smtpu_rowlane_spill_mask.argtypes = [
+            c_i32p, c_i32p, c_long, c_long, c_long,
+            ctypes.c_int32, ctypes.c_int32, c_u8p,
+        ]
         _lib = lib
         return _lib

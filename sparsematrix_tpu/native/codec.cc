@@ -348,6 +348,51 @@ long smtpu_rowlane_plan(const int32_t* r, const int32_t* c, long nnz,
   return 0;
 }
 
+// Spill mask: keep[i] = occurrence-of-entry-i-within-its-bucket < depth.
+// Same sort as the plan (separate state; callable before plan).
+long smtpu_rowlane_spill_mask(const int32_t* r, const int32_t* c, long nnz,
+                              long rows, long cols, int32_t L,
+                              int32_t depth, uint8_t* keep) {
+  using namespace rowlane;
+  if (nnz <= 0 || L <= 0 || kLanes % L) return -1;
+  const long T = kLanes / L;
+  const long n_win = std::max((cols + kW - 1) / kW, 1L);
+  const int idx_bits = 64 - __builtin_clzll((unsigned long long)nnz);
+  const long n_tiles = (rows + T - 1) / T;
+  const int64_t max_key = ((n_tiles * n_win) * 8 + 7) * T + (T - 1);
+  const int key_bits = 64 - __builtin_clzll((unsigned long long)max_key + 1);
+  if (key_bits + idx_bits <= 64) {
+    std::vector<uint64_t> sk(nnz);
+    for (long i = 0; i < nnz; ++i)
+      sk[i] = ((uint64_t)entry_key(r[i], c[i], n_win, T) << idx_bits) |
+              (uint64_t)i;
+    std::sort(sk.begin(), sk.end());
+    const uint64_t mask = (((uint64_t)1) << idx_bits) - 1;
+    for (long i = 0; i < nnz;) {
+      long j = i + 1;
+      while (j < nnz && (sk[j] >> idx_bits) == (sk[i] >> idx_bits)) ++j;
+      for (long q = i; q < j; ++q)
+        keep[sk[q] & mask] = (q - i) < (long)depth;
+      i = j;
+    }
+  } else {
+    std::vector<int64_t> key(nnz), order(nnz);
+    for (long i = 0; i < nnz; ++i) {
+      key[i] = entry_key(r[i], c[i], n_win, T);
+      order[i] = i;
+    }
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int64_t a, int64_t b) { return key[a] < key[b]; });
+    for (long i = 0; i < nnz;) {
+      long j = i + 1;
+      while (j < nnz && key[order[j]] == key[order[i]]) ++j;
+      for (long q = i; q < j; ++q) keep[order[q]] = (q - i) < (long)depth;
+      i = j;
+    }
+  }
+  return 0;
+}
+
 // Phase 2: scatter into caller-allocated (and zero-filled) outputs.
 //   s_idx: int8 [total_slots * 8 * 128]; vals: esize bytes per slot;
 //   win: int32 [total_slots]; group_tile: int32 [n_groups];

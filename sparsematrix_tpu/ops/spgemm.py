@@ -28,7 +28,8 @@ from ..formats import CSR
 from ..formats.base import default_index_dtype, register_sparse_pytree
 
 __all__ = ["SpGEMMPlan", "spgemm_plan", "spgemm_apply", "spgemm",
-           "SpGEMMPacked", "spgemm_plan_packed", "spgemm_apply_packed"]
+           "SpGEMMPacked", "spgemm_plan_packed", "spgemm_apply_packed",
+           "spgemm_densify", "spgemm_extract"]
 
 
 @register_sparse_pytree
@@ -144,6 +145,54 @@ def spgemm(A: CSR, B: CSR) -> CSR:
     """One-shot SpGEMM (symbolic on host + numeric on device)."""
     plan = spgemm_plan(A, B)
     return spgemm_apply(plan, A.data, B.data)
+
+
+def spgemm_densify(A, B):
+    """``C = A @ B`` on the MXU via densified operands (jittable).
+
+    The density-adaptive regime for SpGEMM: every gather-based pair
+    program moves ~5 bytes per FLOP-pair at scatter/gather speed
+    (~10 ns/elem), while the MXU runs the FULL dense product at
+    ~10²-10³ GFLOP/ms — so below a density-dependent crossover the
+    "wasteful" dense matmul wins outright (measured: 0.3 ms vs 6.6 ms
+    packed / 19.6 ms XLA pairs at n=2048, d=0.01).  Same stance as the
+    reference's dense-vs-sparse race (blas_test.cc:41) and this
+    framework's densify SpMM path.  Returns a ``Dense`` container
+    (extract a sparse pattern with ``spgemm_extract``).
+    """
+    from ..formats import Dense
+
+    ad = A.todense() if not isinstance(A, Dense) else A.data
+    bd = B.todense() if not isinstance(B, Dense) else B.data
+    prec = (jax.lax.Precision.HIGHEST
+            if ad.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+    cd = jnp.dot(ad, bd, precision=prec)
+    return Dense(data=cd, shape=(ad.shape[0], bd.shape[1]),
+                 nnz=cd.shape[0] * cd.shape[1])
+
+
+def spgemm_extract(plan: SpGEMMPlan, dense) -> CSR:
+    """Gather a dense product down to the plan's C pattern (jittable).
+
+    One 2-D gather per stored slot (~10 ns/elem) — only worth it when a
+    sparse C container is required downstream; otherwise keep the Dense.
+    """
+    from ..formats import Dense
+
+    cd = dense.data if isinstance(dense, Dense) else dense
+    m, n = plan.shape
+    rid = jnp.minimum(plan.c_row_ids, m - 1)
+    data = cd[rid, plan.c_indices]
+    # padding slots (row_ids == m) carry zero
+    data = jnp.where(plan.c_row_ids < m, data, 0)
+    return CSR(
+        indptr=plan.c_indptr,
+        indices=plan.c_indices,
+        data=data,
+        row_ids=plan.c_row_ids,
+        shape=plan.shape,
+        nnz=plan.c_nnz,
+    )
 
 
 # ---------------------------------------------------------------------------

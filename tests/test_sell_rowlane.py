@@ -196,3 +196,38 @@ def test_native_pack_matches_numpy():
             assert np.array_equal(np.asarray(a[k]), np.asarray(b[k])), k
         for k in ("n_tiles", "n_win", "group"):
             assert a[k] == b[k], k
+
+
+def test_native_spill_mask_matches_numpy():
+    """Native spill mask must equal the numpy occurrence-index mask."""
+    import sparsematrix_tpu.kernels.spmv_rowlane as rl
+    from sparsematrix_tpu import native as native_mod
+
+    if native_mod.get_lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(13)
+    W, LANES = rl._W, rl._LANES
+    for rows, cols, nnz, L, depth in [
+        (300, 500, 6000, 1, 2),
+        (1000, 2100, 40000, 2, 3),
+        (64, 4096, 20000, 4, 1),
+    ]:
+        r = rng.integers(0, rows, nnz).astype(np.int64)
+        c = rng.integers(0, cols, nnz).astype(np.int64)
+        got = rl._spill_mask_native(r, c, rows, cols, L, depth)
+        assert got is not None
+        T = LANES // L
+        key = ((((r // T) * max(-(-cols // W), 1) + c // W) * 8
+                + (c % W) // LANES) * T + r % T)
+        order = np.argsort(key, kind="stable")
+        ko = key[order]
+        new = np.empty(len(ko), bool)
+        new[0] = True
+        new[1:] = ko[1:] != ko[:-1]
+        run_start = np.maximum.accumulate(np.where(new, np.arange(len(ko)), 0))
+        d = np.arange(len(ko)) - run_start
+        want = np.zeros(len(r), bool)
+        want[order] = d < L * depth
+        assert np.array_equal(got, want)

@@ -78,3 +78,43 @@ def test_spgemm_packed_numeric(rng):
     want2 = da.astype(np.float64) @ db2.astype(np.float64)
     np.testing.assert_allclose(np.asarray(C2.todense()), want2,
                                rtol=2e-3, atol=0.5)
+
+
+def test_spgemm_densify_matches_scipy(rng):
+    import scipy.sparse as sps
+
+    from sparsematrix_tpu.formats import Dense
+    from sparsematrix_tpu.ops import spgemm_densify, spgemm_extract
+
+    A = sps.random(200, 300, density=0.05, random_state=3, format="csr",
+                   dtype=np.float32)
+    B = sps.random(300, 250, density=0.05, random_state=4, format="csr",
+                   dtype=np.float32)
+    Ac, Bc = CSR.from_scipy(A), CSR.from_scipy(B)
+    want = np.asarray((A.astype(np.float64) @ B.astype(np.float64)).todense())
+    D = spgemm_densify(Ac, Bc)
+    assert isinstance(D, Dense)
+    np.testing.assert_allclose(np.asarray(D.data), want, rtol=1e-4, atol=1e-3)
+    # pattern extraction equals the pair-program numeric phase
+    plan = spgemm_plan(Ac, Bc)
+    C = spgemm_extract(plan, D)
+    ref = spgemm_apply(plan, Ac.data, Bc.data)
+    np.testing.assert_allclose(
+        np.asarray(C.data)[: plan.c_nnz],
+        np.asarray(ref.data)[: plan.c_nnz], rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(C.todense()), want,
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_spgemm_densify_jittable(rng):
+    import scipy.sparse as sps
+
+    from sparsematrix_tpu.ops import spgemm_densify
+
+    A = sps.random(64, 64, density=0.1, random_state=5, format="csr",
+                   dtype=np.float32)
+    Ac = CSR.from_scipy(A)
+    f = jax.jit(lambda a, b: spgemm_densify(a, b).data)
+    got = np.asarray(f(Ac, Ac))
+    want = np.asarray((A.astype(np.float64) @ A.astype(np.float64)).todense())
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
