@@ -54,6 +54,33 @@ def _dense_race_row(tag, dense_np, rhs, nnz):
     return r
 
 
+@registry.register("calibrate")
+def bench_calibrate(check=True, **kw):
+    """Session-calibration rows: a fixed MXU matmul and a fixed HBM
+    stream.  Identical artifacts measure up to ~2.4× apart between relay
+    sessions (host-latency noise through the tunnel); these two constants
+    let any two result JSONs be normalized against each other — divide a
+    kernel row by its session's calibration row before comparing.
+    Gnnz/s column = GFLOP/s (matmul) / GB/s (stream)."""
+    rows = []
+    d = jnp.asarray(gen_matrix_random(np.random.default_rng(0), 2048, 2048))
+    for tag, mm in (("fp32", d), ("bf16", d.astype(jnp.bfloat16))):
+        f = jax.jit(lambda a: jnp.dot(a, a, precision=_mxu_precision(a.dtype)))
+        res = bench_fn_slope(f, mm, iters=6)
+        r = Row(f"calibrate/matmul-{tag}", "2048^3 fixed", res,
+                nnz=2 * 2048**3)  # nnz/s column reads as FLOP/s
+        r.sol_frac = None
+        rows.append(r)
+    big = jnp.arange(64 * 2**20, dtype=jnp.float32)  # 256 MB
+    f = jax.jit(lambda a: a * 1.0001)
+    res = bench_fn_slope(f, big, iters=6)
+    r = Row("calibrate/hbm-stream", "256MB r+w", res, nnz=big.size)
+    r.sol_frac = None
+    r.extras = {"gb_per_s": 2 * big.size * 4 / (res.min_ms * 1e-3) / 1e9}
+    rows.append(r)
+    return rows
+
+
 def _banded(rng, n, bandwidth):
     dense = np.zeros((n, n), dtype=np.float32)
     for off in range(-bandwidth // 2, bandwidth // 2 + 1):

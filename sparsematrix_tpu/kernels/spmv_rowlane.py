@@ -192,9 +192,11 @@ def _pack_arrays(r, c, v, rows, cols, group, L, dtype):
     if group is None:
         # auto: biggest per-step batch (amortizes the ~300 ns grid-step
         # cost, measured DMA-bound beyond ~32) whose per-tile padding
-        # waste stays under 15%
-        group = 8
-        for g in (64, 32, 16):
+        # waste stays under 15%; programs with ~1 slab per tile (e.g.
+        # clustered SpGEMM pair matrices) need the small-group tail or
+        # per-tile padding dominates fill
+        group = 1
+        for g in (64, 32, 16, 8, 4, 2):
             waste = ((-(-counts // g) * g).sum() - n_slabs) / max(n_slabs, 1)
             if waste <= 0.15:
                 group = g

@@ -245,8 +245,8 @@ inline int64_t entry_key(int32_t r, int32_t c, long n_win, long T) {
 extern "C" {
 
 // Phase 1: sort + size.  group_req == 0 selects automatically (largest of
-// 64/32/16 whose per-tile padding waste stays under 15%, else 8 — mirrors
-// the numpy packer).  Outputs: meta[0]=total_slots, meta[1]=n_groups,
+// 64/32/16/8/4/2 whose per-tile padding waste stays under 15%, else 1 —
+// mirrors the numpy packer).  Outputs: meta[0]=total_slots, meta[1]=n_groups,
 // meta[2]=group, meta[3]=n_tiles, meta[4]=n_win, meta[5]=n_slabs.
 long smtpu_rowlane_plan(const int32_t* r, const int32_t* c, long nnz,
                         long rows, long cols, int32_t group_req, int32_t L,
@@ -317,8 +317,8 @@ long smtpu_rowlane_plan(const int32_t* r, const int32_t* c, long nnz,
   }
   int32_t group = group_req;
   if (group <= 0) {
-    group = 8;
-    for (int32_t cand : {64, 32, 16}) {
+    group = 1;
+    for (int32_t cand : {64, 32, 16, 8, 4, 2}) {
       long padded = 0;
       for (long t = 0; t < s.n_tiles; ++t)
         padded += (s.counts[t] + cand - 1) / cand * cand;

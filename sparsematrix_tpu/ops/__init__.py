@@ -2,7 +2,8 @@ from .spmv import prepare_spmv, spmv, spmv_reference
 from .spmm import spmm, spmm_reference, spmm_right, spmm_densify
 from .addmatmat import add_mat_mat
 from .spgemm import (SpGEMMPacked, SpGEMMPlan, spgemm, spgemm_apply,
-                     spgemm_apply_packed, spgemm_densify, spgemm_extract,
+                     spgemm_apply_packed, spgemm_apply_packed_csc,
+                     spgemm_densify, spgemm_extract,
                      spgemm_plan, spgemm_plan_packed)
 from .trisolve import (
     TriFixPlan,
@@ -35,6 +36,7 @@ __all__ = [
     "SpGEMMPacked",
     "spgemm_plan_packed",
     "spgemm_apply_packed",
+    "spgemm_apply_packed_csc",
     "spgemm_apply",
     "spgemm_plan",
     "TriSolvePlan",

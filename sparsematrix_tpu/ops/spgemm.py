@@ -29,7 +29,7 @@ from ..formats.base import default_index_dtype, register_sparse_pytree
 
 __all__ = ["SpGEMMPlan", "spgemm_plan", "spgemm_apply", "spgemm",
            "SpGEMMPacked", "spgemm_plan_packed", "spgemm_apply_packed",
-           "spgemm_densify", "spgemm_extract"]
+           "spgemm_apply_packed_csc", "spgemm_densify", "spgemm_extract"]
 
 
 @register_sparse_pytree
@@ -204,6 +204,18 @@ def spgemm_extract(plan: SpGEMMPlan, dense) -> CSR:
 # row-lane Pallas kernel runs it at 25–49 Gnnz/s where the XLA
 # gather-multiply-scatter formulation measures 0.04 (500–1000×).
 # Build P once per (pattern, A-values); reuse for any B values.
+#
+# Fill rescue (``cluster=True``): raw P has ~k_matches scattered references
+# per row, so the row-lane packer's fill collapses (measured 0.01 at
+# n=2048, d=0.01).  But P has exploitable structure: the pairs hitting
+# output slot (i, j) reference only column j of B, so ordering P's rows by
+# C's column (CSC of C) and P's columns by B's column (CSC of B) makes P
+# block-diagonal — block j is A's pattern restricted to rows {C[:,j]≠0} ×
+# cols {B[:,j]≠0}.  Striping each block's few columns across the 8 sublane
+# chunks of a window (u = rank % 8) then spreads every P-row's references
+# across sublanes, so row-lane collision depth drops from ~k_matches to
+# ~1-2.  The permutations are absorbed at apply time by one b_cap scatter
+# (in) and one c_nnz scatter (out) — both trivially bandwidth-bound.
 # ---------------------------------------------------------------------------
 
 
@@ -216,13 +228,29 @@ class SpGEMMPacked:
     c_indptr: jnp.ndarray
     c_indices: jnp.ndarray
     c_row_ids: jnp.ndarray
+    # clustering permutations, stored as GATHER indices (XLA TPU scatters
+    # serialize at ~6 ns/elem — measured 4.6 ms for the 780k output
+    # permutation — while gathers run at bandwidth; identity when None)
+    b_gather: object  # (p_cols,) int32: B.data index feeding x[q], or None
+    c_gather: object  # (cap,) int32: kernel-output index of C.data[i], or None
+    # C^T structure (clustered plans only): the kernel output is already in
+    # CSC-of-C == CSR-of-C^T order, so a CSC result costs no permutation
+    ct_indptr: object
+    ct_indices: object
+    ct_row_ids: object
     shape: Tuple[int, int] = dataclasses.field(metadata={"static": True})
     c_nnz: int = dataclasses.field(metadata={"static": True})
 
 
-def spgemm_plan_packed(A: CSR, B: CSR, **pack_kwargs) -> SpGEMMPacked:
+def spgemm_plan_packed(A: CSR, B: CSR, cluster: bool = True,
+                       **pack_kwargs) -> SpGEMMPacked:
     """Symbolic phase + pack: fixes A's pattern AND values (and B's
-    pattern); ``spgemm_apply_packed`` then multiplies any B values."""
+    pattern); ``spgemm_apply_packed`` then multiplies any B values.
+
+    ``cluster`` reorders P into its CSC-of-C × CSC-of-B block-diagonal
+    form with sublane-striped block columns (see module comment) — the
+    same program at ~30× the slab fill of the raw ordering.
+    """
     import scipy.sparse as sps
 
     plan = spgemm_plan(A, B)
@@ -231,8 +259,51 @@ def spgemm_plan_packed(A: CSR, B: CSR, **pack_kwargs) -> SpGEMMPacked:
     tgt = np.asarray(plan.target)[: plan.n_pairs]
     a_host = np.asarray(A.data)
     b_cap = int(B.capacity)
+    b_gather = None
+    c_gather = None
+    ct_indptr = ct_indices = ct_row_ids = None
+    p_rows = max(plan.c_nnz, 1)
+    p_cols = b_cap
+    row_of = tgt
+    col_of = pb
+    if cluster and plan.c_nnz and plan.n_pairs:
+        # columns: CSC rank of each stored B entry, striped across the 8
+        # sublane chunks of its 1024-column window (u fastest)
+        sb = B.to_scipy().tocsr()
+        sb.sort_indices()
+        b_row = np.repeat(np.arange(sb.shape[0]), np.diff(sb.indptr))
+        b_key = sb.indices.astype(np.int64) * sb.shape[0] + b_row
+        rank = np.empty(len(b_key), np.int64)
+        rank[np.argsort(b_key, kind="stable")] = np.arange(len(b_key))
+        qq = rank % 1024
+        alloc = (rank // 1024) * 1024 + (qq % 8) * 128 + qq // 8
+        p_cols = int(-(-len(b_key) // 1024)) * 1024
+        # inverse map as a gather: x[q] = b_data[src[q]], sentinel b_cap → 0
+        src = np.full(p_cols, b_cap, np.int64)
+        src[alloc] = np.arange(len(b_key))
+        b_gather = jnp.asarray(src, jnp.int32)
+        # rows: C slots in CSC order (group P-rows by the block they hit)
+        c_rows = np.asarray(plan.c_row_ids)[: plan.c_nnz].astype(np.int64)
+        c_cols = np.asarray(plan.c_indices)[: plan.c_nnz].astype(np.int64)
+        order_r = np.argsort(c_cols * plan.shape[0] + c_rows, kind="stable")
+        rank_r = np.empty(plan.c_nnz, np.int64)
+        rank_r[order_r] = np.arange(plan.c_nnz)
+        # C.data[i] = y[rank_r[i]] — a gather, padded with a sentinel
+        cap = int(plan.c_indices.shape[0])
+        cg = np.full(cap, max(plan.c_nnz, 1), np.int64)
+        cg[: plan.c_nnz] = rank_r
+        c_gather = jnp.asarray(cg, jnp.int32)
+        row_of = rank_r[tgt]
+        col_of = alloc[pb]
+        # C^T CSR structure over the CSC-ordered slots
+        idt = default_index_dtype
+        ct_counts = np.bincount(c_cols, minlength=plan.shape[1])
+        ct_indptr = jnp.asarray(
+            np.concatenate([[0], np.cumsum(ct_counts)]), idt)
+        ct_indices = jnp.asarray(c_rows[order_r], idt)
+        ct_row_ids = jnp.asarray(c_cols[order_r], idt)
     P = sps.coo_matrix(
-        (a_host[pa], (tgt, pb)), shape=(max(plan.c_nnz, 1), b_cap)
+        (a_host[pa], (row_of, col_of)), shape=(p_rows, p_cols)
     ).tocsr()
     from ..kernels.spmv_rowlane import pack_sell_rowlane
 
@@ -242,24 +313,69 @@ def spgemm_plan_packed(A: CSR, B: CSR, **pack_kwargs) -> SpGEMMPacked:
         c_indptr=plan.c_indptr,
         c_indices=plan.c_indices,
         c_row_ids=plan.c_row_ids,
+        b_gather=b_gather,
+        c_gather=c_gather,
+        ct_indptr=ct_indptr,
+        ct_indices=ct_indices,
+        ct_row_ids=ct_row_ids,
         shape=plan.shape,
         c_nnz=plan.c_nnz,
     )
 
 
 def spgemm_apply_packed(pp: SpGEMMPacked, b_data) -> CSR:
-    """Numeric phase on the Pallas SpMV path (jittable)."""
+    """Numeric phase on the Pallas SpMV path (jittable, differentiable
+    in ``b_data`` through the kernel's custom VJP)."""
     from ..kernels.spmv_rowlane import spmv_sell_rowlane
 
-    c_data = spmv_sell_rowlane(pp.p_packed, b_data)
+    x = b_data
+    if pp.b_gather is not None:
+        # permute B values into the clustered column layout (gather form;
+        # the appended zero feeds every unallocated slot)
+        x = jnp.concatenate([b_data, jnp.zeros((1,), b_data.dtype)]
+                            )[pp.b_gather]
+    y = spmv_sell_rowlane(pp.p_packed, x)
     cap = pp.c_indices.shape[0]
-    c_data = jnp.zeros((cap,), c_data.dtype).at[: pp.c_nnz].set(
-        c_data[: pp.c_nnz])
+    if pp.c_gather is not None:
+        ypad = jnp.concatenate([y, jnp.zeros((1,), y.dtype)])
+        c_data = ypad[pp.c_gather]
+    else:
+        c_data = jnp.zeros((cap,), y.dtype).at[: pp.c_nnz].set(
+            y[: pp.c_nnz])
     return CSR(
         indptr=pp.c_indptr,
         indices=pp.c_indices,
         data=c_data,
         row_ids=pp.c_row_ids,
         shape=pp.shape,
+        nnz=pp.c_nnz,
+    )
+
+
+def spgemm_apply_packed_csc(pp: SpGEMMPacked, b_data) -> CSR:
+    """Numeric phase emitting ``C^T`` as CSR (i.e. C in CSC — the
+    ``CopyTo(trans)`` analogue, /root/reference/src/sparse/sparse-matrix.cc:124).
+
+    Clustered plans order the kernel output by C's column already, so the
+    CSC result skips the output permutation entirely (jittable,
+    differentiable in ``b_data``).
+    """
+    if pp.ct_indptr is None:
+        raise ValueError(
+            "CSC output needs a clustered plan "
+            "(spgemm_plan_packed(..., cluster=True))")
+    from ..kernels.spmv_rowlane import spmv_sell_rowlane
+
+    x = jnp.concatenate([b_data, jnp.zeros((1,), b_data.dtype)]
+                        )[pp.b_gather]
+    y = spmv_sell_rowlane(pp.p_packed, x)
+    cap = pp.ct_indices.shape[0]
+    c_data = jnp.zeros((cap,), y.dtype).at[: pp.c_nnz].set(y[: pp.c_nnz])
+    return CSR(
+        indptr=pp.ct_indptr,
+        indices=pp.ct_indices,
+        data=c_data,
+        row_ids=pp.ct_row_ids,
+        shape=(pp.shape[1], pp.shape[0]),
         nnz=pp.c_nnz,
     )

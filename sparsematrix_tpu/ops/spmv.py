@@ -159,7 +159,12 @@ def _auto_pack(A: "CSR"):
     entry = _AUTO_PACK_CACHE.get(key)
     if entry is not None and entry[0]() is A:
         return entry[1]
-    packed = prepare_spmv(A)
+    # the pack is host-side numpy, but its jnp.asarray outputs must stay
+    # CONCRETE even when this runs during a jit trace of the surrounding
+    # spmv (constants created inside a trace are tracers; caching a tracer
+    # leaks it into later traces)
+    with jax.ensure_compile_time_eval():
+        packed = prepare_spmv(A)
     ref = weakref.ref(A, lambda _unused, k=key: _AUTO_PACK_CACHE.pop(k, None))
     _AUTO_PACK_CACHE[key] = (ref, packed)
     return packed
