@@ -22,10 +22,20 @@ def main(argv=None):
     check = bool(int(argv[3])) if len(argv) > 3 else True
     filt = BenchFilter(argv[4] if len(argv) > 4 else None)
 
+    # session calibration first: installs the measured HBM bandwidth as the
+    # SoL denominator (and normalizes cross-session relay variance)
+    import jax
+
+    if jax.default_backend() != "cpu" and filt.accept("calibrate"):
+        from .suite import bench_calibrate
+
+        registry.rows.extend(bench_calibrate(check=check))
+
     for mi in m:
         for ni in n:
             for ki in k:
-                registry.run(filt, check=check, ref_m=mi, ref_n=ni, ref_k=ki)
+                registry.run(filt, check=check, ref_m=mi, ref_n=ni, ref_k=ki,
+                             skip={"calibrate"})
     registry.print_table()
 
     json_path = argv[5] if len(argv) > 5 else None

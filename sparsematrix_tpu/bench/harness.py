@@ -92,12 +92,12 @@ class BenchRegistry:
 
         return deco
 
-    def run(self, filt: BenchFilter, **kwargs) -> List[Row]:
+    def run(self, filt: BenchFilter, skip=None, **kwargs) -> List[Row]:
         import sys
         import traceback
 
         for name, fn in self._benches.items():
-            if not filt.accept(name):
+            if not filt.accept(name) or (skip and name in skip):
                 continue
             try:
                 rows = fn(**kwargs)

@@ -26,7 +26,7 @@ from ..utils.testutils import (
     gen_sparse_index_matrix,
     relative_check,
 )
-from ..utils.timer import bench_fn_slope
+from ..utils.timer import bench_chain_slope, bench_fn_slope
 from .harness import BenchRegistry, Row
 
 registry = BenchRegistry()
@@ -61,22 +61,57 @@ def bench_calibrate(check=True, **kw):
     sessions (host-latency noise through the tunnel); these two constants
     let any two result JSONs be normalized against each other — divide a
     kernel row by its session's calibration row before comparing.
-    Gnnz/s column = GFLOP/s (matmul) / GB/s (stream)."""
+
+    Timed as self-dependent chains (``bench_chain_slope``): `_looped`'s
+    additive-scalar perturbation is algebraically removable for a matmul
+    (XLA distributes ``dot(a+ε, a+ε)``), which collapsed the first
+    attempt at these rows to ~1 ns.
+    """
+    from ..utils.timer import bench_chain_slope
+
     rows = []
-    d = jnp.asarray(gen_matrix_random(np.random.default_rng(0), 2048, 2048))
+    rng0 = np.random.default_rng(0)
+    d = jnp.asarray(rng0.uniform(-1, 1, (2048, 2048)).astype(np.float32))
     for tag, mm in (("fp32", d), ("bf16", d.astype(jnp.bfloat16))):
-        f = jax.jit(lambda a: jnp.dot(a, a, precision=_mxu_precision(a.dtype)))
-        res = bench_fn_slope(f, mm, iters=6)
-        r = Row(f"calibrate/matmul-{tag}", "2048^3 fixed", res,
+        prec = _mxu_precision(mm.dtype)
+        scale = mm.dtype.type(2.0 ** -11)  # keep the chain O(1)
+
+        def step(y, _a=mm, _p=prec, _s=scale):
+            return jnp.dot(y, _a, precision=_p) * _s
+
+        res = bench_chain_slope(step, mm, iters=6)
+        r = Row(f"calibrate/matmul-{tag}", "2048^3 chained", res,
                 nnz=2 * 2048**3)  # nnz/s column reads as FLOP/s
         r.sol_frac = None
+        r.extras = {"tflops": 2 * 2048**3 / (res.min_ms * 1e-3) / 1e12,
+                    **res.extras}
         rows.append(r)
-    big = jnp.arange(64 * 2**20, dtype=jnp.float32)  # 256 MB
-    f = jax.jit(lambda a: a * 1.0001)
-    res = bench_fn_slope(f, big, iters=6)
-    r = Row("calibrate/hbm-stream", "256MB r+w", res, nnz=big.size)
+    # HBM stream via a PALLAS copy chain: plain-XLA elementwise programs
+    # mis-time through the relay (both `y*c` and `abs(y)*c+d` chains
+    # report impossible TB/s — the fori_loop collapses or readiness lies),
+    # while pallas calls and matmul chains time linearly and consistently.
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    BR, STEPS = 2048, 128  # 1 MB blocks × 128 = 128 MB
+    copy_call = pl.pallas_call(
+        lambda x_ref, o_ref: o_ref.__setitem__(slice(None), x_ref[:]),
+        grid=(STEPS,),
+        in_specs=[pl.BlockSpec((BR, 128), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((BR, 128), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BR * STEPS, 128), jnp.float32),
+    )
+    big = jnp.asarray(rng0.standard_normal((BR * STEPS, 128)), jnp.float32)
+    res = bench_chain_slope(lambda y: copy_call(y), big, iters=6)
+    r = Row("calibrate/hbm-stream", "128MB pallas copy chained", res,
+            nnz=big.size)
     r.sol_frac = None
-    r.extras = {"gb_per_s": 2 * big.size * 4 / (res.min_ms * 1e-3) / 1e9}
+    gbps = 2 * big.size * 4 / (res.min_ms * 1e-3) / 1e9
+    r.extras = {"gb_per_s": gbps, **res.extras}
     rows.append(r)
     return rows
 
@@ -393,17 +428,21 @@ def bench_csr_spmv_xl(check=True, n=32768, nnz_row=512, **kw):
     sol = speed_of_light_nnz_s(A.nnz, spmv_csr_bytes(A.nnz, n, n))
     f = jax.jit(lambda p, v: spmv_sell_rowlane(p, v))
     rows = []
-    # measured round-2 sweep: spill_depth=4 + recursive tail pack doubles
-    # fill (0.24 -> 0.48); bf16 storage halves the dominant vals stream
-    # (26.6 Gnnz/s vs 12.6 fp32 at 16.6M nnz)
+    # timing: VALUE CHAIN (y ← A·y, rescaled).  `_looped`-style slope
+    # timing perturbs EVERY float leaf per iteration — at 16.6 M nnz that
+    # rewrites the ~280 MB vals array each step, overstating the kernel
+    # 2.5× (measured 1.41 ms looped vs 0.55 ms chained, same pack)
+    chain_scale = jnp.float32(2.0 ** -20)
     for tag, kws in (("fp32", dict(group=128)),
                      ("fp32-sp4", dict(group=128, spill_depth=4)),
+                     ("bf16", dict(group=128, dtype=jnp.bfloat16)),
                      ("bf16-sp4", dict(group=128, spill_depth=4,
                                        dtype=jnp.bfloat16))):
         t0 = time.time()
         packed = pack_sell_rowlane(A, **kws)
         pack_s = time.time() - t0
-        res = bench_fn_slope(f, packed, xj, iters=6)
+        res = bench_chain_slope(
+            lambda y, p_: f(p_, y) * chain_scale, xj, packed, iters=6)
         checked = None
         if check:
             # bf16 rows judge against the bf16-ROUNDED oracle (the
@@ -416,7 +455,7 @@ def bench_csr_spmv_xl(check=True, n=32768, nnz_row=512, **kw):
                 f"fill={packed.fill_rate:.2f}",
                 res, nnz=A.nnz, checked=checked)
         r.sol_frac = r.nnz_per_s / sol
-        r.extras = {"pack_seconds": pack_s}
+        r.extras = {"pack_seconds": pack_s, **res.extras}
         rows.append(r)
     return rows
 
@@ -590,6 +629,22 @@ def bench_trisolve(check=True, n=4096, nnz_row=8, **kw):
              res2, nnz=nnz, checked=checked2)
     r2.sol_frac = r2.nnz_per_s / sol
     rows.append(r2)
+
+    # level-packed: one row-lane call per level, total slab work = one SpMV
+    from ..ops.trisolve import trisolve_level_apply, trisolve_level_plan
+
+    lplan = trisolve_level_plan(A, lower=True)
+    lf = jax.jit(trisolve_level_apply)
+    res3 = bench_fn_slope(lf, lplan, b, iters=6)
+    checked3 = None
+    if check:
+        checked3 = relative_check(np.asarray(lf(lplan, b)), want)
+    r3 = Row("trisolve/level-packed",
+             f"n={n},nnz={nnz},levels={lplan.s_idx.shape[0] + 1},"
+             f"g={lplan.group}",
+             res3, nnz=nnz, checked=checked3)
+    r3.sol_frac = r3.nnz_per_s / sol
+    rows.append(r3)
     return rows
 
 
@@ -623,8 +678,14 @@ def bench_ilu_cg(check=True, n=4096, iters=25, **kw):
     # (measured: same 25-iter CG residual as the exact 127-level solve)
     plans = ilu0_fixpoint_plans(A, n_iters=6)
     M = lambda r: ilu_apply(plans, r)
+    # level-packed alternative: exact solves, one row-lane call per level
+    from ..ops.ilu import ilu0_level_plans
+
+    lplans = ilu0_level_plans(A)
+    Ml = lambda r: ilu_apply(lplans, r)
     rows = []
-    for label, precond in (("plain", None), ("ilu0", M)):
+    for label, precond in (("plain", None), ("ilu0", M),
+                           ("ilu0-level", Ml)):
         f = jax.jit(lambda bb: cg(Ap, bb, maxiter=iters, M=precond,
                                   tol=0.0).x)
         res = bench_fn_slope(f, b, iters=4, inner_lo=2, inner_hi=10)

@@ -18,14 +18,18 @@ import numpy as np
 from ..formats import CSR
 from .trisolve import (
     TriFixPlan,
+    TriLevelPlan,
     TriSolvePlan,
     trisolve_apply,
     trisolve_fixpoint_apply,
     trisolve_fixpoint_plan,
+    trisolve_level_apply,
+    trisolve_level_plan,
     trisolve_plan,
 )
 
-__all__ = ["ilu0", "ilu0_plans", "ilu0_fixpoint_plans", "ilu_apply"]
+__all__ = ["ilu0", "ilu0_plans", "ilu0_fixpoint_plans", "ilu0_level_plans",
+           "ilu_apply"]
 
 
 def _ilu0_factor_python(indptr, indices, a, n):
@@ -144,11 +148,27 @@ def ilu0_fixpoint_plans(A: CSR, n_iters: int | None = None,
     )
 
 
+def ilu0_level_plans(A: CSR, **plan_kwargs) -> Tuple[TriLevelPlan,
+                                                     TriLevelPlan]:
+    """Factor + build level-packed solve plans (one row-lane kernel call
+    per dependency level; total slab work = one SpMV per solve)."""
+    L, U = ilu0(A)
+    return (
+        trisolve_level_plan(L, lower=True, unit_diagonal=True,
+                            **plan_kwargs),
+        trisolve_level_plan(U, lower=False, unit_diagonal=False,
+                            **plan_kwargs),
+    )
+
+
 def ilu_apply(plans, r):
     """Apply the preconditioner: ``M⁻¹ r`` (jittable).
 
-    Accepts either plan family (level-scheduled or fixed-point)."""
+    Accepts any plan family (level-scheduled, fixed-point, or
+    level-packed)."""
     lp, up = plans
     if isinstance(lp, TriFixPlan):
         return trisolve_fixpoint_apply(up, trisolve_fixpoint_apply(lp, r))
+    if isinstance(lp, TriLevelPlan):
+        return trisolve_level_apply(up, trisolve_level_apply(lp, r))
     return trisolve_apply(up, trisolve_apply(lp, r))

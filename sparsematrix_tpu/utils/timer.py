@@ -14,7 +14,7 @@ from typing import Any, Callable, Dict
 
 import jax
 
-__all__ = ["Timer", "bench_fn", "BenchResult"]
+__all__ = ["Timer", "bench_fn", "bench_chain_slope", "BenchResult"]
 
 
 class Timer:
@@ -79,6 +79,56 @@ def bench_fn(fn: Callable, *args, iters: int = 20, warmup: int = 3) -> BenchResu
         min_ms=min(times),
         compile_ms=compile_ms,
         iters=iters,
+    )
+
+
+def bench_chain_slope(step: Callable, x0, *extra, inner_lo: int = 8,
+                      inner_hi: int = 72, iters: int = 8) -> BenchResult:
+    """Slope-time a self-dependent chain ``y ← step(y)`` (y0 = x0).
+
+    For ops where `_looped`'s additive scalar perturbation is unsafe —
+    XLA's algebraic simplifier can distribute ``dot(a+ε, a+ε)`` into one
+    ``dot(a, a)`` plus rank-1 terms, collapsing the measurement (observed
+    on TPU: 8 "matmuls" in 73 µs).  A value chain admits no such rewrite
+    (floats don't reassociate), so each link costs one real op.  ``step``
+    must be shape-preserving and keep magnitudes bounded (e.g. scale a
+    matmul by ~1/n).
+
+    ``extra`` operands are threaded through as jit ARGUMENTS — pass any
+    large constants (packed matrices etc.) here rather than closing over
+    them, or they get embedded in the HLO (the axon remote-compile
+    endpoint rejects >~100 MB request bodies with HTTP 413).
+    """
+    import jax
+
+    def chained(inner):
+        @jax.jit
+        def run(y, *ex):
+            return jax.lax.fori_loop(0, inner, lambda i, y: step(y, *ex), y)
+
+        return run
+
+    lo, hi = chained(inner_lo), chained(inner_hi)
+    t0 = time.perf_counter()
+    _block(lo(x0, *extra))
+    _block(hi(x0, *extra))
+    compile_ms = (time.perf_counter() - t0) * 1e3
+
+    def sample(g):
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            _block(g(x0, *extra))
+            best = min(best, time.perf_counter() - t0)
+        return best * 1e3
+
+    t_lo, t_hi = sample(lo), sample(hi)
+    per_op = max((t_hi - t_lo) / (inner_hi - inner_lo), 1e-6)
+    return BenchResult(
+        mean_ms=per_op, min_ms=per_op, compile_ms=compile_ms, iters=iters,
+        extras={"t_lo_ms": t_lo, "t_hi_ms": t_hi,
+                "inner": (inner_lo, inner_hi),
+                "unreliable": bool(t_hi - t_lo < 0.5)},
     )
 
 

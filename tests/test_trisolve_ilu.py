@@ -224,3 +224,85 @@ def test_ilu_fixpoint_cg_poisson(rng):
     r_pre = np.linalg.norm(Apo @ x_pre - b)
     r_plain = np.linalg.norm(Apo @ x_plain - b)
     assert r_pre < 0.5 * r_plain
+
+
+# ---------------------------------------------------------------------------
+# Level-packed trisolve (one row-lane kernel call per level)
+# ---------------------------------------------------------------------------
+
+from sparsematrix_tpu.ops import (  # noqa: E402
+    trisolve_level_apply,
+    trisolve_level_plan,
+)
+
+
+@pytest.mark.parametrize("n", [16, 64, 150])
+@pytest.mark.parametrize("lower", [True, False])
+def test_trisolve_level_exact(rng, n, lower):
+    M = _rand_lower(rng, n)
+    if not lower:
+        M = M.T.copy()
+    b = rng.uniform(-1, 1, n).astype(np.float32)
+    plan = trisolve_level_plan(CSR.fromdense(M), lower=lower)
+    x = np.asarray(trisolve_level_apply(plan, jnp.asarray(b)))
+    oracle = spla.spsolve_triangular(sp.csr_matrix(M), b, lower=lower)
+    np.testing.assert_allclose(x, oracle, rtol=1e-3, atol=1e-3)
+
+
+def test_trisolve_level_jit_and_unit_diag(rng):
+    n = 130
+    L = _rand_lower(rng, n, unit=True)
+    b = rng.uniform(-1, 1, n).astype(np.float32)
+    plan = trisolve_level_plan(CSR.fromdense(L), lower=True,
+                               unit_diagonal=True)
+    f = jax.jit(trisolve_level_apply)
+    x = np.asarray(f(plan, jnp.asarray(b)))
+    np.testing.assert_allclose(L @ x, b, rtol=1e-3, atol=1e-3)
+    # new RHS reuses the compiled plan
+    b2 = rng.uniform(-1, 1, n).astype(np.float32)
+    x2 = np.asarray(f(plan, jnp.asarray(b2)))
+    np.testing.assert_allclose(L @ x2, b2, rtol=1e-3, atol=1e-3)
+
+
+def test_trisolve_level_diagonal_only(rng):
+    d = rng.uniform(1, 2, 8).astype(np.float32)
+    A = CSR.fromdense(np.diag(d))
+    b = rng.uniform(-1, 1, 8).astype(np.float32)
+    plan = trisolve_level_plan(A, lower=True)
+    x = np.asarray(trisolve_level_apply(plan, jnp.asarray(b)))
+    np.testing.assert_allclose(x, b / d, rtol=1e-5)
+
+
+def test_trisolve_level_deep_chain(rng):
+    # bidiagonal: n levels of width 1 — the worst case for level padding
+    n = 40
+    L = (np.diag(rng.uniform(1, 2, n))
+         + np.diag(rng.uniform(-1, 1, n - 1), -1)).astype(np.float32)
+    b = rng.uniform(-1, 1, n).astype(np.float32)
+    plan = trisolve_level_plan(CSR.fromdense(L), lower=True)
+    assert plan.s_idx.shape[0] == n - 1
+    x = np.asarray(trisolve_level_apply(plan, jnp.asarray(b)))
+    oracle = spla.spsolve_triangular(sp.csr_matrix(L), b, lower=True)
+    np.testing.assert_allclose(x, oracle, rtol=1e-3, atol=1e-3)
+
+
+def test_ilu_level_plans_cg_poisson(rng):
+    """Level-packed ILU(0) plans precondition CG like the other families."""
+    from sparsematrix_tpu.ops import ilu0_level_plans
+    from sparsematrix_tpu.solvers import cg
+
+    side = 16
+    n = side * side
+    Iq = sp.eye(side)
+    T = sp.diags([-1, 4, -1], [-1, 0, 1], (side, side))
+    Apo = (sp.kron(Iq, T)
+           + sp.kron(sp.diags([-1, -1], [-1, 1], (side, side)), Iq)).tocsr()
+    A = CSR.from_scipy(Apo.astype(np.float32))
+    b = rng.standard_normal(n).astype(np.float32)
+    plans = ilu0_level_plans(A)
+    M = lambda r: ilu_apply(plans, r)
+    x_pre = np.asarray(cg(A, jnp.asarray(b), maxiter=12, M=M, tol=0.0).x)
+    x_plain = np.asarray(cg(A, jnp.asarray(b), maxiter=12, tol=0.0).x)
+    r_pre = np.linalg.norm(Apo @ x_pre - b)
+    r_plain = np.linalg.norm(Apo @ x_plain - b)
+    assert r_pre < 0.5 * r_plain
