@@ -645,6 +645,22 @@ def bench_trisolve(check=True, n=4096, nnz_row=8, **kw):
              res3, nnz=nnz, checked=checked3)
     r3.sol_frac = r3.nnz_per_s / sol
     rows.append(r3)
+
+    # fused: ALL levels in one pallas call (sequential grid, x in VMEM)
+    from ..ops import trisolve_fused_apply, trisolve_fused_plan
+
+    fplan = trisolve_fused_plan(A, lower=True)
+    ff = jax.jit(trisolve_fused_apply)
+    res4 = bench_fn_slope(ff, fplan, b, iters=6)
+    checked4 = None
+    if check:
+        checked4 = relative_check(np.asarray(ff(fplan, b)), want)
+    r4 = Row("trisolve/fused",
+             f"n={n},nnz={nnz},levels={fplan.n_levels},"
+             f"groups={fplan.s_idx.shape[0]},g={fplan.group}",
+             res4, nnz=nnz, checked=checked4)
+    r4.sol_frac = r4.nnz_per_s / sol
+    rows.append(r4)
     return rows
 
 
@@ -678,14 +694,16 @@ def bench_ilu_cg(check=True, n=4096, iters=25, **kw):
     # (measured: same 25-iter CG residual as the exact 127-level solve)
     plans = ilu0_fixpoint_plans(A, n_iters=6)
     M = lambda r: ilu_apply(plans, r)
-    # level-packed alternative: exact solves, one row-lane call per level
-    from ..ops.ilu import ilu0_level_plans
+    # exact-solve alternative: all levels fused into one pallas call per
+    # solve (the scan-of-calls level plan measured 46 ms here — per-call
+    # dispatch × 127 levels × 2 solves × 25 iters dominates)
+    from ..ops.ilu import ilu0_fused_plans
 
-    lplans = ilu0_level_plans(A)
-    Ml = lambda r: ilu_apply(lplans, r)
+    fplans = ilu0_fused_plans(A)
+    Mf = lambda r: ilu_apply(fplans, r)
     rows = []
     for label, precond in (("plain", None), ("ilu0", M),
-                           ("ilu0-level", Ml)):
+                           ("ilu0-fused", Mf)):
         f = jax.jit(lambda bb: cg(Ap, bb, maxiter=iters, M=precond,
                                   tol=0.0).x)
         res = bench_fn_slope(f, b, iters=4, inner_lo=2, inner_hi=10)

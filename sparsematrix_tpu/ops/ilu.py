@@ -29,7 +29,7 @@ from .trisolve import (
 )
 
 __all__ = ["ilu0", "ilu0_plans", "ilu0_fixpoint_plans", "ilu0_level_plans",
-           "ilu_apply"]
+           "ilu0_fused_plans", "ilu_apply"]
 
 
 def _ilu0_factor_python(indptr, indices, a, n):
@@ -161,14 +161,32 @@ def ilu0_level_plans(A: CSR, **plan_kwargs) -> Tuple[TriLevelPlan,
     )
 
 
+def ilu0_fused_plans(A: CSR, **plan_kwargs):
+    """Factor + build single-pallas-call solve plans (all levels in one
+    kernel launch — the fast exact family for deep level structures)."""
+    from ..kernels.trisolve_fused import trisolve_fused_plan
+
+    L, U = ilu0(A)
+    return (
+        trisolve_fused_plan(L, lower=True, unit_diagonal=True,
+                            **plan_kwargs),
+        trisolve_fused_plan(U, lower=False, unit_diagonal=False,
+                            **plan_kwargs),
+    )
+
+
 def ilu_apply(plans, r):
     """Apply the preconditioner: ``M⁻¹ r`` (jittable).
 
-    Accepts any plan family (level-scheduled, fixed-point, or
-    level-packed)."""
+    Accepts any plan family (level-scheduled, fixed-point, level-packed,
+    or fused single-call)."""
+    from ..kernels.trisolve_fused import TriFusedPlan, trisolve_fused_apply
+
     lp, up = plans
     if isinstance(lp, TriFixPlan):
         return trisolve_fixpoint_apply(up, trisolve_fixpoint_apply(lp, r))
     if isinstance(lp, TriLevelPlan):
         return trisolve_level_apply(up, trisolve_level_apply(lp, r))
+    if isinstance(lp, TriFusedPlan):
+        return trisolve_fused_apply(up, trisolve_fused_apply(lp, r))
     return trisolve_apply(up, trisolve_apply(lp, r))

@@ -306,3 +306,100 @@ def test_ilu_level_plans_cg_poisson(rng):
     r_pre = np.linalg.norm(Apo @ x_pre - b)
     r_plain = np.linalg.norm(Apo @ x_plain - b)
     assert r_pre < 0.5 * r_plain
+
+
+# ---------------------------------------------------------------------------
+# Fused trisolve (ALL levels in one pallas call)
+# ---------------------------------------------------------------------------
+
+from sparsematrix_tpu.ops import (  # noqa: E402
+    trisolve_fused_apply,
+    trisolve_fused_plan,
+)
+
+
+@pytest.mark.parametrize("n", [16, 64, 150, 300])
+@pytest.mark.parametrize("lower", [True, False])
+def test_trisolve_fused_exact(rng, n, lower):
+    M = _rand_lower(rng, n)
+    if not lower:
+        M = M.T.copy()
+    b = rng.uniform(-1, 1, n).astype(np.float32)
+    plan = trisolve_fused_plan(CSR.fromdense(M), lower=lower)
+    x = np.asarray(trisolve_fused_apply(plan, jnp.asarray(b)))
+    oracle = spla.spsolve_triangular(sp.csr_matrix(M), b, lower=lower)
+    np.testing.assert_allclose(x, oracle, rtol=1e-3, atol=1e-3)
+
+
+def test_trisolve_fused_jit_and_unit_diag(rng):
+    n = 130
+    L = _rand_lower(rng, n, unit=True)
+    b = rng.uniform(-1, 1, n).astype(np.float32)
+    plan = trisolve_fused_plan(CSR.fromdense(L), lower=True,
+                               unit_diagonal=True)
+    f = jax.jit(trisolve_fused_apply)
+    x = np.asarray(f(plan, jnp.asarray(b)))
+    np.testing.assert_allclose(L @ x, b, rtol=1e-3, atol=1e-3)
+    b2 = rng.uniform(-1, 1, n).astype(np.float32)
+    x2 = np.asarray(f(plan, jnp.asarray(b2)))
+    np.testing.assert_allclose(L @ x2, b2, rtol=1e-3, atol=1e-3)
+
+
+def test_trisolve_fused_diagonal_only(rng):
+    d = rng.uniform(1, 2, 8).astype(np.float32)
+    plan = trisolve_fused_plan(CSR.fromdense(np.diag(d)), lower=True)
+    assert plan.s_idx.shape[0] == 0
+    b = rng.uniform(-1, 1, 8).astype(np.float32)
+    x = np.asarray(trisolve_fused_apply(plan, jnp.asarray(b)))
+    np.testing.assert_allclose(x, b / d, rtol=1e-5)
+
+
+def test_trisolve_fused_deep_chain(rng):
+    # bidiagonal: n levels of width 1 — the dispatch-bound worst case the
+    # fused kernel exists for
+    n = 200
+    L = (np.diag(rng.uniform(1, 2, n))
+         + np.diag(rng.uniform(-1, 1, n - 1), -1)).astype(np.float32)
+    b = rng.uniform(-1, 1, n).astype(np.float32)
+    plan = trisolve_fused_plan(CSR.fromdense(L), lower=True)
+    assert plan.n_levels == n
+    x = np.asarray(trisolve_fused_apply(plan, jnp.asarray(b)))
+    oracle = spla.spsolve_triangular(sp.csr_matrix(L), b, lower=True)
+    np.testing.assert_allclose(x, oracle, rtol=1e-3, atol=1e-3)
+
+
+def test_trisolve_fused_poisson_ilu_factors(rng):
+    # the exact workload that motivated the kernel: ILU(0) factors of a
+    # 2-D Poisson system (many levels, multiple tiles per level)
+    side = 20
+    n = side * side
+    Iq = sp.eye(side)
+    T = sp.diags([-1.0, 4.0, -1.0], [-1, 0, 1], (side, side))
+    Apo = (sp.kron(Iq, T)
+           + sp.kron(sp.diags([-1.0, -1.0], [-1, 1], (side, side)),
+                     Iq)).tocsr()
+    from sparsematrix_tpu.ops import ilu0
+
+    L, U = ilu0(CSR.from_scipy(Apo.astype(np.float32)))
+    b = rng.standard_normal(n).astype(np.float32)
+    lp = trisolve_fused_plan(L, lower=True, unit_diagonal=True)
+    up = trisolve_fused_plan(U, lower=False)
+    y = np.asarray(trisolve_fused_apply(lp, jnp.asarray(b)))
+    x = np.asarray(trisolve_fused_apply(up, jnp.asarray(y)))
+    Ls, Us = L.to_scipy().tocsr(), U.to_scipy().tocsr()
+    want_y = spla.spsolve_triangular(Ls, b, lower=True)
+    want_x = spla.spsolve_triangular(Us, want_y, lower=False)
+    np.testing.assert_allclose(y, want_y, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(x, want_x, rtol=1e-3, atol=1e-3)
+
+
+def test_trisolve_fused_bf16_storage(rng):
+    n = 120
+    L = _rand_lower(rng, n)
+    b = rng.uniform(-1, 1, n).astype(np.float32)
+    plan = trisolve_fused_plan(CSR.fromdense(L), lower=True,
+                               dtype=jnp.bfloat16)
+    assert plan.vals.dtype == jnp.bfloat16
+    x = np.asarray(trisolve_fused_apply(plan, jnp.asarray(b)))
+    oracle = spla.spsolve_triangular(sp.csr_matrix(L), b, lower=True)
+    np.testing.assert_allclose(x, oracle, rtol=3e-2, atol=3e-2)
