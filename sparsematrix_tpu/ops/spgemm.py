@@ -243,6 +243,7 @@ class SpGEMMPacked:
 
 
 def spgemm_plan_packed(A: CSR, B: CSR, cluster: bool = True,
+                       layout: str = "auto",
                        **pack_kwargs) -> SpGEMMPacked:
     """Symbolic phase + pack: fixes A's pattern AND values (and B's
     pattern); ``spgemm_apply_packed`` then multiplies any B values.
@@ -250,6 +251,14 @@ def spgemm_plan_packed(A: CSR, B: CSR, cluster: bool = True,
     ``cluster`` reorders P into its CSC-of-C × CSC-of-B block-diagonal
     form with sublane-striped block columns (see module comment) — the
     same program at ~30× the slab fill of the raw ordering.
+
+    ``layout``: ``"superblock"`` packs P for the superblock kernel (one
+    grid step batches slabs of 16 output tiles — clustered pair programs
+    average ~1.7 slabs/tile, so the per-tile rowlane kernel degenerates
+    to one ~0.5 µs grid step per slab and the measured numeric phase was
+    ~95 % grid-step overhead); ``"rowlane"`` forces the per-tile kernel;
+    ``"auto"`` = superblock when clustering (scattered-by-construction),
+    rowlane otherwise.
     """
     import scipy.sparse as sps
 
@@ -305,9 +314,16 @@ def spgemm_plan_packed(A: CSR, B: CSR, cluster: bool = True,
     P = sps.coo_matrix(
         (a_host[pa], (row_of, col_of)), shape=(p_rows, p_cols)
     ).tocsr()
-    from ..kernels.spmv_rowlane import pack_sell_rowlane
+    if layout not in ("auto", "superblock", "rowlane"):
+        raise ValueError(f"unknown layout {layout!r}")
+    if layout == "superblock" or (layout == "auto" and cluster):
+        from ..kernels.spmv_superblock import pack_superblock
 
-    packed = pack_sell_rowlane(CSR.from_scipy(P), **pack_kwargs)
+        packed = pack_superblock(CSR.from_scipy(P), **pack_kwargs)
+    else:
+        from ..kernels.spmv_rowlane import pack_sell_rowlane
+
+        packed = pack_sell_rowlane(CSR.from_scipy(P), **pack_kwargs)
     return SpGEMMPacked(
         p_packed=packed,
         c_indptr=plan.c_indptr,
@@ -323,18 +339,27 @@ def spgemm_plan_packed(A: CSR, B: CSR, cluster: bool = True,
     )
 
 
+def _p_spmv(p_packed, x):
+    """Dispatch the pair-program SpMV to the layout it was packed for."""
+    from ..kernels.spmv_superblock import SellSuperblock, spmv_superblock
+
+    if isinstance(p_packed, SellSuperblock):
+        return spmv_superblock(p_packed, x)
+    from ..kernels.spmv_rowlane import spmv_sell_rowlane
+
+    return spmv_sell_rowlane(p_packed, x)
+
+
 def spgemm_apply_packed(pp: SpGEMMPacked, b_data) -> CSR:
     """Numeric phase on the Pallas SpMV path (jittable, differentiable
     in ``b_data`` through the kernel's custom VJP)."""
-    from ..kernels.spmv_rowlane import spmv_sell_rowlane
-
     x = b_data
     if pp.b_gather is not None:
         # permute B values into the clustered column layout (gather form;
         # the appended zero feeds every unallocated slot)
         x = jnp.concatenate([b_data, jnp.zeros((1,), b_data.dtype)]
                             )[pp.b_gather]
-    y = spmv_sell_rowlane(pp.p_packed, x)
+    y = _p_spmv(pp.p_packed, x)
     cap = pp.c_indices.shape[0]
     if pp.c_gather is not None:
         ypad = jnp.concatenate([y, jnp.zeros((1,), y.dtype)])
@@ -364,11 +389,9 @@ def spgemm_apply_packed_csc(pp: SpGEMMPacked, b_data) -> CSR:
         raise ValueError(
             "CSC output needs a clustered plan "
             "(spgemm_plan_packed(..., cluster=True))")
-    from ..kernels.spmv_rowlane import spmv_sell_rowlane
-
     x = jnp.concatenate([b_data, jnp.zeros((1,), b_data.dtype)]
                         )[pp.b_gather]
-    y = spmv_sell_rowlane(pp.p_packed, x)
+    y = _p_spmv(pp.p_packed, x)
     cap = pp.ct_indices.shape[0]
     c_data = jnp.zeros((cap,), y.dtype).at[: pp.c_nnz].set(y[: pp.c_nnz])
     return CSR(

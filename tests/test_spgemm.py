@@ -191,3 +191,27 @@ def test_spgemm_densify_jittable(rng):
     got = np.asarray(f(Ac, Ac))
     want = np.asarray((A.astype(np.float64) @ A.astype(np.float64)).todense())
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_spgemm_packed_differentiable_in_b(rng):
+    """d/db_data flows through the packed numeric phase (kernel VJP)."""
+    from sparsematrix_tpu.ops import spgemm_apply_packed, spgemm_plan_packed
+
+    n = 96
+    A = CSR.fromdense(gen_random_dense_sparse(rng, n, n, density=0.08))
+    B = CSR.fromdense(gen_random_dense_sparse(rng, n, n, density=0.08))
+    pp = spgemm_plan_packed(A, B)
+    w = jnp.asarray(np.random.default_rng(1).standard_normal(
+        pp.c_indices.shape[0]).astype(np.float32))
+
+    def loss(bd):
+        return jnp.vdot(w, spgemm_apply_packed(pp, bd).data)
+
+    g = jax.grad(loss)(jnp.asarray(B.data))
+    # the numeric phase is LINEAR in b_data (C.data = P @ b_data), so the
+    # directional derivative equals the loss at the direction itself
+    v = np.random.default_rng(2).standard_normal(B.data.shape[0]).astype(
+        np.float32)
+    want = float(loss(jnp.asarray(v)))
+    got = float(np.dot(np.asarray(g), v))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3)

@@ -1,0 +1,57 @@
+"""Superblock row-lane SpMV: correctness vs dense oracle, regrouping."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparsematrix_tpu.formats import CSR
+from sparsematrix_tpu.kernels.spmv_superblock import (
+    pack_superblock,
+    spmv_superblock,
+)
+from sparsematrix_tpu.utils.testutils import gen_random_dense_sparse
+
+
+@pytest.mark.parametrize("n,density", [(300, 0.05), (1024, 0.02),
+                                       (2048, 0.005)])
+def test_superblock_matches_dense(rng, n, density):
+    d = gen_random_dense_sparse(rng, n, n, density=density)
+    A = CSR.fromdense(d)
+    x = rng.uniform(-1, 1, n).astype(np.float32)
+    packed = pack_superblock(A, group=8, k_tiles=8)
+    y = np.asarray(jax.jit(spmv_superblock)(packed, jnp.asarray(x)))
+    want = d.astype(np.float64) @ x
+    np.testing.assert_allclose(y, want, rtol=2e-3, atol=0.5)
+
+
+def test_superblock_rect_and_params(rng):
+    d = gen_random_dense_sparse(rng, 500, 1300, density=0.03)
+    A = CSR.fromdense(d)
+    x = rng.uniform(-1, 1, 1300).astype(np.float32)
+    for group, k in ((4, 4), (16, 16), (2, 32)):
+        packed = pack_superblock(A, group=group, k_tiles=k)
+        y = np.asarray(spmv_superblock(packed, jnp.asarray(x)))
+        np.testing.assert_allclose(y, d.astype(np.float64) @ x,
+                                   rtol=2e-3, atol=0.5)
+
+
+def test_superblock_empty_rows_and_tiny(rng):
+    d = np.zeros((260, 260), np.float32)
+    d[0, 5] = 2.0
+    d[259, 0] = -3.0
+    A = CSR.fromdense(d)
+    x = rng.uniform(-1, 1, 260).astype(np.float32)
+    packed = pack_superblock(A, group=4, k_tiles=4)
+    y = np.asarray(spmv_superblock(packed, jnp.asarray(x)))
+    np.testing.assert_allclose(y, d @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_superblock_bf16_storage(rng):
+    d = gen_random_dense_sparse(rng, 512, 512, density=0.03)
+    A = CSR.fromdense(d)
+    x = rng.uniform(-1, 1, 512).astype(np.float32)
+    packed = pack_superblock(A, group=8, k_tiles=8, dtype=jnp.bfloat16)
+    assert packed.vals.dtype == jnp.bfloat16
+    y = np.asarray(spmv_superblock(packed, jnp.asarray(x)))
+    ref = (d.astype(jnp.bfloat16).astype(np.float64)) @ x
+    np.testing.assert_allclose(y, ref, rtol=2e-2, atol=2.0)
