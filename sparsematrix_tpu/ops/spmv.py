@@ -133,17 +133,36 @@ _AUTO_PACK_MIN_NNZ_PER_ROW = 8
 _AUTO_PACK_MIN_NNZ = 4096
 
 
-def prepare_spmv(A: "CSR", **pack_kwargs):
+def prepare_spmv(A: "CSR", layout: str = "auto", **pack_kwargs):
     """Explicit build step: pack a CSR for the fast SpMV kernel.
 
     Returns a packed layout accepted by ``spmv``/the solvers.  Use this
     (instead of relying on the auto-pack cache) when ``spmv`` will be
     called inside ``jax.jit`` — packing is a host-side encode and cannot
     happen on traced arrays.
-    """
+
+    ``layout``: ``"rowlane"`` (per-tile grid steps — right when tiles own
+    many slabs), ``"superblock"`` (slabs of 16 tiles share a grid step —
+    right for scattered patterns at ~1-2 slabs/tile, where the rowlane
+    kernel is grid-step-bound), or ``"auto"`` (pack rowlane, then repack
+    superblock if the pack came out step-bound: auto-group ≤ 2 over many
+    tiles)."""
     from ..kernels.spmv_rowlane import pack_sell_rowlane
 
-    return pack_sell_rowlane(A, **pack_kwargs)
+    if layout == "superblock":
+        from ..kernels.spmv_superblock import pack_superblock
+
+        return pack_superblock(A, **pack_kwargs)
+    if layout not in ("auto", "rowlane"):
+        raise ValueError(f"unknown layout {layout!r}")
+    packed = pack_sell_rowlane(A, **pack_kwargs)
+    if (layout == "auto" and "group" not in pack_kwargs
+            and packed.group <= 2 and packed.n_tiles > 256):
+        from ..kernels.spmv_superblock import pack_superblock
+
+        sb_kwargs = {k: v for k, v in pack_kwargs.items() if k == "dtype"}
+        return pack_superblock(A, **sb_kwargs)
+    return packed
 
 
 def _auto_pack(A: "CSR"):
@@ -186,9 +205,12 @@ def spmv(A, x):
         spmv_sell_rowpure,
     )
     from ..kernels.spmv_rowlane import SellRowLane, spmv_sell_rowlane
+    from ..kernels.spmv_superblock import SellSuperblock, spmv_superblock
 
     if isinstance(A, SellRowLane):
         return spmv_sell_rowlane(A, x)
+    if isinstance(A, SellSuperblock):
+        return spmv_superblock(A, x)
     if isinstance(A, SellRowPure):
         return spmv_sell_rowpure(A, x)
     if isinstance(A, SellSpmv):

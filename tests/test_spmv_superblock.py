@@ -55,3 +55,53 @@ def test_superblock_bf16_storage(rng):
     y = np.asarray(spmv_superblock(packed, jnp.asarray(x)))
     ref = (d.astype(jnp.bfloat16).astype(np.float64)) @ x
     np.testing.assert_allclose(y, ref, rtol=2e-2, atol=2.0)
+
+
+def test_prepare_spmv_auto_selects_superblock(rng):
+    # step-bound shape (the clustered pair-program structure): many
+    # 128-row tiles whose few entries all land in one 1024-column window
+    # → 1-2 slabs per tile → rowlane auto-group collapses to ≤ 2
+    import scipy.sparse as sps
+
+    n_tiles, n = 512, 512 * 128
+    rows = rng.integers(0, n, size=80_000)
+    cols = rng.integers(0, 1024, size=rows.size)
+    vals = rng.uniform(-1, 1, rows.size).astype(np.float32)
+    d = sps.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    d.sum_duplicates()
+    A = CSR.from_scipy(d)
+    from sparsematrix_tpu.kernels.spmv_superblock import SellSuperblock
+    from sparsematrix_tpu.ops.spmv import prepare_spmv, spmv
+
+    packed = prepare_spmv(A)
+    assert isinstance(packed, SellSuperblock)
+    x = rng.uniform(-1, 1, n).astype(np.float32)
+    y = np.asarray(jax.jit(spmv)(packed, jnp.asarray(x)))
+    np.testing.assert_allclose(y, d.astype(np.float64) @ x, rtol=2e-3,
+                               atol=0.5)
+
+
+def test_prepare_spmv_keeps_rowlane_for_dense_rows(rng):
+    n = 2048
+    d = gen_random_dense_sparse(rng, n, n, density=0.05)  # ~100 nnz/row
+    from sparsematrix_tpu.kernels.spmv_rowlane import SellRowLane
+    from sparsematrix_tpu.ops.spmv import prepare_spmv
+
+    packed = prepare_spmv(CSR.fromdense(d))
+    assert isinstance(packed, SellRowLane)
+
+
+def test_superblock_grad_in_x(rng):
+    n = 600
+    d = gen_random_dense_sparse(rng, n, n, density=0.02)
+    A = CSR.fromdense(d)
+    packed = pack_superblock(A, group=8, k_tiles=8)
+    w = rng.standard_normal(n).astype(np.float32)
+
+    def loss(x):
+        return jnp.vdot(jnp.asarray(w), spmv_superblock(packed, x))
+
+    x = rng.uniform(-1, 1, n).astype(np.float32)
+    g = np.asarray(jax.grad(loss)(jnp.asarray(x)))
+    want = d.astype(np.float64).T @ w  # d(w·Ax)/dx = A^T w
+    np.testing.assert_allclose(g, want, rtol=2e-3, atol=0.5)
