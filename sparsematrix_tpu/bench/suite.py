@@ -582,6 +582,55 @@ def bench_spgemm(check=True, n=2048, density=0.01, **kw):
     return rows
 
 
+@registry.register("spgemm_xl")
+def bench_spgemm_xl(check=True, n=16384, density=0.001, **kw):
+    """SpGEMM at a scale where densify is off the table (n² dense product
+    = 1 GB fp32) — the packed pair program is the only path, on the
+    superblock kernel (clustered plans are ~1.7 slabs/tile → the
+    per-tile rowlane kernel is grid-step-bound here)."""
+    import time
+
+    import scipy.sparse as sps
+
+    from ..ops.spgemm import spgemm_apply_packed, spgemm_plan_packed
+
+    rng = np.random.default_rng(7)
+    sa = sps.random(n, n, density=density, random_state=7, format="csr",
+                    dtype=np.float32)
+    sb = sps.random(n, n, density=density, random_state=8, format="csr",
+                    dtype=np.float32)
+    sa.data = rng.uniform(-1000, 1000, sa.nnz).astype(np.float32)
+    sb.data = rng.uniform(-1000, 1000, sb.nnz).astype(np.float32)
+    A, B = CSR.from_scipy(sa), CSR.from_scipy(sb)
+    rows = []
+    want = None
+    if check:
+        want = (sa.astype(np.float64) @ sb.astype(np.float64)).tocsr()
+        want.sort_indices()
+    for label, layout in (("superblock", "superblock"),
+                          ("rowlane", "rowlane")):
+        t0 = time.time()
+        pp = spgemm_plan_packed(A, B, layout=layout)
+        pack_s = time.time() - t0
+        fp = jax.jit(lambda q, bd: spgemm_apply_packed(q, bd).data)
+        res = bench_fn_slope(fp, pp, B.data, iters=6)
+        checked = None
+        if check:
+            got = np.asarray(fp(pp, B.data))
+            checked = relative_check(got[: pp.c_nnz], want.data)
+        n_pairs = pp.p_packed.nnz
+        bytes_moved = n_pairs * (2 * 4 + 3 * 4) + pp.c_nnz * 4
+        sol = speed_of_light_nnz_s(n_pairs, bytes_moved)
+        r = Row(f"spgemm_xl/{label}",
+                f"n={n},d={density},pairs={n_pairs},"
+                f"fill={pp.p_packed.fill_rate:.2f}",
+                res, nnz=n_pairs, checked=checked)
+        r.sol_frac = r.nnz_per_s / sol
+        r.extras = {"pack_seconds": pack_s, "c_nnz": pp.c_nnz}
+        rows.append(r)
+    return rows
+
+
 @registry.register("trisolve")
 def bench_trisolve(check=True, n=4096, nnz_row=8, **kw):
     """Level-scheduled triangular solve (rows/s through the level scan)."""
