@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -66,6 +66,7 @@ class TriFusedPlan:
     commit: jnp.ndarray  # (n_groups,) int32 0/1 — last group of segment
     aux: jnp.ndarray  # (n_segs, 8, 128): sublane 0 gate, 1 gate*inv_diag
     inv_diag: jnp.ndarray  # (n,)
+    t_plan: Optional["TriFusedPlan"]  # plan of A^T for the solve VJP
     shape: Tuple[int, int] = dataclasses.field(metadata={"static": True})
     group: int = dataclasses.field(metadata={"static": True})
     n_win: int = dataclasses.field(metadata={"static": True})
@@ -77,6 +78,7 @@ class TriFusedPlan:
 def trisolve_fused_plan(A: CSR, lower: bool = True,
                         unit_diagonal: bool = False,
                         group: int | None = None,
+                        with_transpose: bool = False,
                         dtype=None) -> TriFusedPlan:
     """Stratify rows into levels, pack each level's off-diagonal entries
     row-lane (group=1), and splice the slabs into one level-ordered
@@ -138,6 +140,7 @@ def trisolve_fused_plan(A: CSR, lower: bool = True,
             commit=jnp.zeros((0,), idt),
             aux=jnp.zeros((0, 8, _LANES), jnp.float32),
             inv_diag=jnp.asarray(inv_d),
+            t_plan=None,
             shape=(n, n), group=1, n_win=n_win,
             lower=lower, unit_diagonal=unit_diagonal, n_levels=n_levels,
         )
@@ -237,6 +240,15 @@ def trisolve_fused_plan(A: CSR, lower: bool = True,
     aux[:, 1] = gate * inv2d[seg_tile_arr]
 
     idt = jnp.int32
+    t_plan = None
+    if with_transpose:
+        import scipy.sparse as sps
+
+        At = CSR.from_scipy(sps.csr_matrix(A.to_scipy().T))
+        t_plan = trisolve_fused_plan(At, lower=not lower,
+                                     unit_diagonal=unit_diagonal,
+                                     group=group, with_transpose=False,
+                                     dtype=dtype)
     return TriFusedPlan(
         s_idx=jnp.asarray(s_idx, jnp.int8),
         vals=jnp.asarray(vals, vdtype),
@@ -247,6 +259,7 @@ def trisolve_fused_plan(A: CSR, lower: bool = True,
         commit=jnp.asarray(np.asarray(scommit), idt),
         aux=jnp.asarray(aux),
         inv_diag=jnp.asarray(inv_d),
+        t_plan=t_plan,
         shape=(n, n), group=int(group), n_win=n_win,
         lower=lower, unit_diagonal=unit_diagonal, n_levels=n_levels,
     )
@@ -323,8 +336,7 @@ def _fused_call(group_tile, slab_win, seg_first, commit, seg_id, s_idx, vals,
       binv)
 
 
-def trisolve_fused_apply(plan: TriFusedPlan, b):
-    """Device solve: ONE pallas call for all levels (jittable)."""
+def _fused_forward(plan: TriFusedPlan, b):
     n = plan.shape[0]
     x0 = plan.inv_diag * b
     if plan.s_idx.shape[0] == 0:
@@ -338,3 +350,62 @@ def trisolve_fused_apply(plan: TriFusedPlan, b):
         group=plan.group, n_win=plan.n_win, interpret=config.interpret(),
     )
     return out.reshape(-1)[:n]
+
+
+@jax.custom_vjp
+def trisolve_fused_apply(plan: TriFusedPlan, b):
+    """Device solve: ONE pallas call for all levels (jittable).
+
+    Differentiable in ``b`` and ``plan.vals`` when the plan was built
+    with ``with_transpose=True``: for ``x = T⁻¹ b``, the cotangents are
+    ``ḡ_b = T⁻ᵀ g`` (a fused solve on the transposed plan) and
+    ``ḡ_vals[slot (r,c)] = −(T⁻ᵀ g)_r · x_c`` at the stored slots.
+    """
+    return _fused_forward(plan, b)
+
+
+def _fused_vjp_fwd(plan, b):
+    x = _fused_forward(plan, b)
+    return x, (plan, x)
+
+
+def _fused_vjp_bwd(res, g):
+    plan, x = res
+    if plan.s_idx.shape[0] == 0:
+        gb = plan.inv_diag * g
+        dpacked = jax.tree_util.tree_map(_ct_zero, plan)
+        return dpacked, gb
+    if plan.t_plan is None:
+        raise ValueError(
+            "trisolve_fused_apply backward pass needs the transposed plan "
+            "— build with trisolve_fused_plan(..., with_transpose=True)")
+    gbar = _fused_forward(plan.t_plan, g)  # T^{-T} g
+    # slot coordinates: lane→row within the group's tile, (win,u,sidx)→col
+    n_groups, GH, _ = plan.s_idx.shape
+    group = plan.group
+    lane = jnp.arange(_LANES)[None, None, :]
+    row = plan.group_tile[:, None, None] * _LANES + lane
+    subl = (jnp.arange(GH) % 8)[None, :, None]
+    winb = jnp.repeat(plan.slab_win.reshape(n_groups, group), 8,
+                      axis=1)[:, :, None]
+    col = winb * _W + subl * _LANES + plan.s_idx.astype(jnp.int32)
+    n = plan.shape[0]
+    pad = plan.n_win * _W
+    gpad = jnp.zeros((pad,), jnp.float32).at[:n].set(gbar)
+    xpad = jnp.zeros((pad,), jnp.float32).at[:n].set(x)
+    mask = plan.vals != 0
+    dvals = jnp.where(
+        mask, -gpad[jnp.broadcast_to(row, col.shape)] * xpad[col], 0
+    ).astype(plan.vals.dtype)
+    dpacked = jax.tree_util.tree_map(_ct_zero, plan)
+    dpacked = dataclasses.replace(dpacked, vals=dvals)
+    return dpacked, gbar
+
+
+def _ct_zero(p):
+    if jnp.issubdtype(jnp.asarray(p).dtype, jnp.inexact):
+        return jnp.zeros_like(p)
+    return np.zeros(jnp.shape(p), jax.dtypes.float0)
+
+
+trisolve_fused_apply.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
