@@ -60,3 +60,49 @@ def test_bf16_roundtrip_and_spmv():
     back = np.asarray(A.todense().astype(jnp.float32))
     # bf16 quantization error only
     np.testing.assert_allclose(back, dense, rtol=0.01, atol=4.0)
+
+
+@pytest.mark.parametrize("seed,n,density", [
+    (s, n, d) for s in (2, 9) for n, d in [(65, 0.3), (129, 0.08),
+                                           (400, 0.02), (1030, 0.01)]
+])
+def test_trisolve_fused_property(seed, n, density):
+    """Fused solve == scipy triangular solve across seeds/shapes/densities
+    (both orientations, including non-multiple-of-128 n)."""
+    import scipy.sparse as sps
+    import scipy.sparse.linalg as spla
+
+    from sparsematrix_tpu.ops import trisolve_fused_apply, trisolve_fused_plan
+
+    rng = np.random.default_rng(seed)
+    dense = gen_random_dense_sparse(rng, n, n, density=density) / 1000.0
+    for lower in (True, False):
+        tri = (np.tril(dense, -1) if lower else np.triu(dense, 1))
+        tri = tri + np.diag(rng.uniform(1, 2, n).astype(np.float32))
+        b = rng.uniform(-1, 1, n).astype(np.float32)
+        plan = trisolve_fused_plan(CSR.fromdense(tri), lower=lower)
+        x = np.asarray(trisolve_fused_apply(plan, jnp.asarray(b)))
+        want = spla.spsolve_triangular(sps.csr_matrix(tri), b, lower=lower)
+        np.testing.assert_allclose(x, want, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("seed,shape,density", [
+    (s, sh, d) for s in (4, 13) for sh, d in [((130, 1500), 0.05),
+                                              ((700, 300), 0.02),
+                                              ((2050, 2050), 0.004)]
+])
+def test_superblock_property(seed, shape, density):
+    """Superblock SpMV == fp64 oracle across odd shapes/densities."""
+    from sparsematrix_tpu.kernels.spmv_superblock import (
+        pack_superblock,
+        spmv_superblock,
+    )
+
+    rng = np.random.default_rng(seed)
+    dense = gen_random_dense_sparse(rng, *shape, density=density)
+    A = CSR.fromdense(dense)
+    x = rng.uniform(-1, 1, shape[1]).astype(np.float32)
+    packed = pack_superblock(A, group=4, k_tiles=8)
+    y = np.asarray(spmv_superblock(packed, jnp.asarray(x)))
+    np.testing.assert_allclose(y, dense.astype(np.float64) @ x,
+                               rtol=2e-3, atol=0.5)
