@@ -65,8 +65,10 @@ class TriFusedPlan:
     seg_first: jnp.ndarray  # (n_groups,) int32 0/1
     commit: jnp.ndarray  # (n_groups,) int32 0/1 — last group of segment
     aux: jnp.ndarray  # (n_segs, 8, 128): sublane 0 gate, 1 gate*inv_diag
-    inv_diag: jnp.ndarray  # (n,)
+    inv_diag: jnp.ndarray  # (n,) — in PERMUTED order when perm is set
     t_plan: Optional["TriFusedPlan"]  # plan of A^T for the solve VJP
+    perm: Optional[jnp.ndarray]  # (n,) new→old (level sort), or None
+    rank: Optional[jnp.ndarray]  # (n,) old→new inverse, or None
     shape: Tuple[int, int] = dataclasses.field(metadata={"static": True})
     group: int = dataclasses.field(metadata={"static": True})
     n_win: int = dataclasses.field(metadata={"static": True})
@@ -79,6 +81,7 @@ def trisolve_fused_plan(A: CSR, lower: bool = True,
                         unit_diagonal: bool = False,
                         group: int | None = None,
                         with_transpose: bool = False,
+                        level_sort: bool = True,
                         dtype=None) -> TriFusedPlan:
     """Stratify rows into levels, pack each level's off-diagonal entries
     row-lane (group=1), and splice the slabs into one level-ordered
@@ -125,6 +128,22 @@ def trisolve_fused_plan(A: CSR, lower: bool = True,
                                                       else dtype)
 
     er, ec, ev = rid[offd].astype(np.int64), indices[offd].astype(np.int64), data[offd]
+
+    perm = rank = None
+    if level_sort and n:
+        # topological (level-major, original-index-minor) symmetric
+        # permutation: every 128-row tile then spans ~1 level, so the
+        # segment count collapses from Σ_j tiles(j) to ~n_tiles+n_levels
+        # (the Poisson ILU factors: 2 265 → ~160 grid steps).  A stable
+        # level sort is a topological order, so PAPᵀ stays triangular
+        # and the solve is the same system in permuted coordinates.
+        perm = np.argsort(level, kind="stable")  # new → old
+        rank = np.empty(n, np.int64)  # old → new
+        rank[perm] = np.arange(n)
+        er, ec = rank[er], rank[ec]
+        inv_d = inv_d[perm]
+        level = level[perm]
+
     elvl = level[er]  # ≥ 1 by construction (level-0 rows have no deps)
     n_tiles = -(-n // _LANES)
 
@@ -141,6 +160,8 @@ def trisolve_fused_plan(A: CSR, lower: bool = True,
             aux=jnp.zeros((0, 8, _LANES), jnp.float32),
             inv_diag=jnp.asarray(inv_d),
             t_plan=None,
+            perm=None,
+            rank=None,
             shape=(n, n), group=1, n_win=n_win,
             lower=lower, unit_diagonal=unit_diagonal, n_levels=n_levels,
         )
@@ -248,7 +269,7 @@ def trisolve_fused_plan(A: CSR, lower: bool = True,
         t_plan = trisolve_fused_plan(At, lower=not lower,
                                      unit_diagonal=unit_diagonal,
                                      group=group, with_transpose=False,
-                                     dtype=dtype)
+                                     level_sort=level_sort, dtype=dtype)
     return TriFusedPlan(
         s_idx=jnp.asarray(s_idx, jnp.int8),
         vals=jnp.asarray(vals, vdtype),
@@ -260,6 +281,8 @@ def trisolve_fused_plan(A: CSR, lower: bool = True,
         aux=jnp.asarray(aux),
         inv_diag=jnp.asarray(inv_d),
         t_plan=t_plan,
+        perm=None if perm is None else jnp.asarray(perm, jnp.int32),
+        rank=None if rank is None else jnp.asarray(rank, jnp.int32),
         shape=(n, n), group=int(group), n_win=n_win,
         lower=lower, unit_diagonal=unit_diagonal, n_levels=n_levels,
     )
@@ -338,18 +361,25 @@ def _fused_call(group_tile, slab_win, seg_first, commit, seg_id, s_idx, vals,
 
 def _fused_forward(plan: TriFusedPlan, b):
     n = plan.shape[0]
+    if plan.perm is not None:
+        b = b[plan.perm]  # into the level-sorted coordinates
     x0 = plan.inv_diag * b
     if plan.s_idx.shape[0] == 0:
-        return x0
-    S = plan.n_win * 8
-    binv = (jnp.zeros((S * _LANES,), jnp.float32).at[:n].set(x0)
-            .reshape(S, _LANES))
-    out = _fused_call(
-        plan.group_tile, plan.slab_win, plan.seg_first, plan.commit,
-        plan.seg_id, plan.s_idx, plan.vals, plan.aux, binv,
-        group=plan.group, n_win=plan.n_win, interpret=config.interpret(),
-    )
-    return out.reshape(-1)[:n]
+        x = x0
+    else:
+        S = plan.n_win * 8
+        binv = (jnp.zeros((S * _LANES,), jnp.float32).at[:n].set(x0)
+                .reshape(S, _LANES))
+        out = _fused_call(
+            plan.group_tile, plan.slab_win, plan.seg_first, plan.commit,
+            plan.seg_id, plan.s_idx, plan.vals, plan.aux, binv,
+            group=plan.group, n_win=plan.n_win,
+            interpret=config.interpret(),
+        )
+        x = out.reshape(-1)[:n]
+    if plan.perm is not None:
+        x = x[plan.rank]  # back to the caller's coordinates
+    return x
 
 
 @jax.custom_vjp
@@ -372,14 +402,21 @@ def _fused_vjp_fwd(plan, b):
 def _fused_vjp_bwd(res, g):
     plan, x = res
     if plan.s_idx.shape[0] == 0:
-        gb = plan.inv_diag * g
+        # diagonal solve is self-transpose (in any symmetric permutation)
+        gb = _fused_forward(plan, g)
         dpacked = jax.tree_util.tree_map(_ct_zero, plan)
         return dpacked, gb
     if plan.t_plan is None:
         raise ValueError(
             "trisolve_fused_apply backward pass needs the transposed plan "
             "— build with trisolve_fused_plan(..., with_transpose=True)")
-    gbar = _fused_forward(plan.t_plan, g)  # T^{-T} g
+    gbar = _fused_forward(plan.t_plan, g)  # T^{-T} g, caller coordinates
+    if plan.perm is not None:
+        # slot coordinates below live in the plan's level-sorted space
+        x = x[plan.perm]
+        gbar_p = gbar[plan.perm]
+    else:
+        gbar_p = gbar
     # slot coordinates: lane→row within the group's tile, (win,u,sidx)→col
     n_groups, GH, _ = plan.s_idx.shape
     group = plan.group
@@ -391,7 +428,7 @@ def _fused_vjp_bwd(res, g):
     col = winb * _W + subl * _LANES + plan.s_idx.astype(jnp.int32)
     n = plan.shape[0]
     pad = plan.n_win * _W
-    gpad = jnp.zeros((pad,), jnp.float32).at[:n].set(gbar)
+    gpad = jnp.zeros((pad,), jnp.float32).at[:n].set(gbar_p)
     xpad = jnp.zeros((pad,), jnp.float32).at[:n].set(x)
     mask = plan.vals != 0
     dvals = jnp.where(

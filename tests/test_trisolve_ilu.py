@@ -440,6 +440,7 @@ def test_trisolve_fused_grad(rng):
     n_groups, GH, _ = sidx.shape
     gt = np.asarray(plan.group_tile)
     sw = np.asarray(plan.slab_win).reshape(n_groups, plan.group)
+    perm = (np.arange(n) if plan.perm is None else np.asarray(plan.perm))
     checked = 0
     for gi in range(n_groups):
         for hh in range(GH):
@@ -447,8 +448,10 @@ def test_trisolve_fused_grad(rng):
             for ll in range(128):
                 if vals[gi, hh, ll] == 0:
                     continue
-                r = gt[gi] * 128 + ll
-                c = sw[gi, bslab] * 1024 + u * 128 + int(sidx[gi, hh, ll])
+                # slot coordinates live in the plan's level-sorted space
+                r = perm[gt[gi] * 128 + ll]
+                c = perm[sw[gi, bslab] * 1024 + u * 128
+                         + int(sidx[gi, hh, ll])]
                 want = -gbar[r] * x[c]
                 np.testing.assert_allclose(gvn[gi, hh, ll], want,
                                            rtol=2e-3, atol=2e-3)
