@@ -222,6 +222,8 @@ def spmv(A, x):
     if config.use_pallas():
         if type(A) is CSR:
             packed = _auto_pack(A)
+            if isinstance(packed, SellSuperblock):
+                return spmv_superblock(packed, x)
             if packed is not None:
                 return spmv_sell_rowlane(packed, x)
         from ..kernels import spmv_pallas

@@ -105,3 +105,30 @@ def test_superblock_grad_in_x(rng):
     g = np.asarray(jax.grad(loss)(jnp.asarray(x)))
     want = d.astype(np.float64).T @ w  # d(w·Ax)/dx = A^T w
     np.testing.assert_allclose(g, want, rtol=2e-3, atol=0.5)
+
+
+def test_auto_pack_dispatches_superblock(rng, monkeypatch):
+    """spmv(CSR) on the pallas path must dispatch whichever container the
+    auto-pack selected (regression: superblock pack fed to the rowlane
+    kernel)."""
+    import scipy.sparse as sps
+
+    from sparsematrix_tpu.config import config as config_obj
+    from sparsematrix_tpu.ops import spmv as spmv_mod
+
+    n_tiles, n = 512, 512 * 128
+    rows = rng.integers(0, n, size=80_000)
+    cols = rng.integers(0, 1024, size=rows.size)
+    vals = rng.uniform(-1, 1, rows.size).astype(np.float32)
+    d = sps.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    d.sum_duplicates()
+    A = CSR.from_scipy(d)
+    monkeypatch.setattr(config_obj, "kernel_impl", "pallas",
+                        raising=False)
+    monkeypatch.setattr(spmv_mod, "_AUTO_PACK_MIN_NNZ", 0, raising=False)
+    monkeypatch.setattr(spmv_mod, "_AUTO_PACK_MIN_NNZ_PER_ROW", 0,
+                        raising=False)
+    x = rng.uniform(-1, 1, n).astype(np.float32)
+    y = np.asarray(spmv_mod.spmv(A, jnp.asarray(x)))
+    np.testing.assert_allclose(y, d.astype(np.float64) @ x, rtol=2e-3,
+                               atol=0.5)
