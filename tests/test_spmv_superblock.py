@@ -113,8 +113,8 @@ def test_auto_pack_dispatches_superblock(rng, monkeypatch):
     kernel)."""
     import scipy.sparse as sps
 
+    import sparsematrix_tpu.ops.spmv as spmv_mod
     from sparsematrix_tpu.config import config as config_obj
-    from sparsematrix_tpu.ops import spmv as spmv_mod
 
     n_tiles, n = 512, 512 * 128
     rows = rng.integers(0, n, size=80_000)
