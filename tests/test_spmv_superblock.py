@@ -113,7 +113,9 @@ def test_auto_pack_dispatches_superblock(rng, monkeypatch):
     kernel)."""
     import scipy.sparse as sps
 
-    import sparsematrix_tpu.ops.spmv as spmv_mod
+    import importlib
+
+    spmv_mod = importlib.import_module("sparsematrix_tpu.ops.spmv")
     from sparsematrix_tpu.config import config as config_obj
 
     n_tiles, n = 512, 512 * 128
