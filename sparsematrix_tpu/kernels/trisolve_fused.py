@@ -46,7 +46,8 @@ from ..config import config
 from ..formats.base import register_sparse_pytree
 from ..formats.csr import CSR
 
-__all__ = ["TriFusedPlan", "trisolve_fused_plan", "trisolve_fused_apply"]
+__all__ = ["TriFusedPlan", "trisolve_fused_plan", "trisolve_fused_apply",
+           "trisolve_fused_apply_batched"]
 
 _LANES = 128
 _W = 1024
@@ -446,3 +447,22 @@ def _ct_zero(p):
 
 
 trisolve_fused_apply.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
+
+
+def trisolve_fused_apply_batched(plan: TriFusedPlan, B):
+    """Multi-RHS solve ``X = T⁻¹ B`` for B of shape (n, k).
+
+    Sequential ``lax.scan`` over the k right-hand sides — each is one
+    fused kernel call, so total device work is k × the single solve (a
+    lane-batched kernel would need a different x layout; at the typical
+    preconditioner k ≤ 32 the scan is within ~2× of that bound).
+    Differentiable like the single-RHS solve.
+    """
+    if B.ndim == 1:
+        return trisolve_fused_apply(plan, B)
+
+    def step(_, b_col):
+        return None, trisolve_fused_apply(plan, b_col)
+
+    _, cols = jax.lax.scan(step, None, B.T)
+    return cols.T

@@ -457,3 +457,16 @@ def test_trisolve_fused_grad(rng):
                                            rtol=2e-3, atol=2e-3)
                 checked += 1
     assert checked > 50
+
+
+def test_trisolve_fused_batched(rng):
+    from sparsematrix_tpu.ops import trisolve_fused_apply_batched
+
+    n, k = 150, 5
+    L = _rand_lower(rng, n)
+    B = rng.uniform(-1, 1, (n, k)).astype(np.float32)
+    plan = trisolve_fused_plan(CSR.fromdense(L), lower=True)
+    X = np.asarray(jax.jit(trisolve_fused_apply_batched)(plan,
+                                                         jnp.asarray(B)))
+    want = spla.spsolve_triangular(sp.csr_matrix(L), B, lower=True)
+    np.testing.assert_allclose(X, want, rtol=1e-3, atol=1e-3)
