@@ -20,7 +20,8 @@ def main():
     # comparison matrix lives in the suite CLI
     rows = bench_codebook_gemm(
         check=True,
-        variants=("fused-pallas", "dense-dequant", "fused-pallas-bf16"),
+        variants=("fused-pallas", "dense-dequant", "dense-dequant-bf16",
+                  "fused-pallas-bf16"),
     )
     # headline = fastest path that passes the reference's oracle check
     ok = [r for r in rows if r.checked] or rows

@@ -825,8 +825,20 @@ def bench_codebook_gemm(check=True, density=0.25, **kw):
         "fused-pallas-bf16": jax.jit(
             lambda aa, cc: cc + codebook_matmul(
                 aa.astype(jnp.bfloat16), b_dns).astype(jnp.float32)),
+        # bf16 dequant: the dense-dequant path is HBM-bound (~20 MB at
+        # fp32), so dequantizing the LUT to bf16 halves the dominant
+        # B-materialization traffic (~12 MB); same quantized-oracle check
+        # as the fused bf16 kernel
+        "dense-dequant-bf16": jax.jit(
+            lambda aa, cc: cc + jnp.dot(
+                aa.astype(jnp.bfloat16),
+                b_dns.val_table.astype(jnp.bfloat16)[
+                    b_dns.idx.astype(jnp.int32)].T,
+            ).astype(jnp.float32)),
     }
-    names = kw.get("variants") or ("csr-auto", "dense-dequant", "fused-pallas", "fused-pallas-bf16")
+    names = kw.get("variants") or ("csr-auto", "dense-dequant",
+                                   "dense-dequant-bf16", "fused-pallas",
+                                   "fused-pallas-bf16")
     for vname in names:
         f = all_variants[vname]
         name = f"codebook_gemm/{vname}"
