@@ -242,8 +242,63 @@ class SpGEMMPacked:
     c_nnz: int = dataclasses.field(metadata={"static": True})
 
 
+def _color_b_ranks(row_of: np.ndarray, q: np.ndarray, n_ranks: int):
+    """Assign each B-entry rank a (sublane, slot) inside its 1024-rank
+    window so that every P-row's references within a window land on
+    DISTINCT sublanes — a greedy capacity-respecting 8-coloring of the
+    per-window rank-conflict graph (ranks conflict iff some output slot
+    references both).
+
+    The naive ``rank % 8`` striping leaves ~2 collisions per tile and the
+    packer must open a second slab for every (tile, window); coloring
+    reaches the structural bound of ONE slab per nonempty (tile, window)
+    (measured n=2048 d=0.01: 10 412 → 6 255 slabs, fill 0.081 → 0.134,
+    vs a lower bound of 6 221).  Returns ``alloc``: the window-relative
+    position ``w*1024 + color*128 + slot`` per rank.
+    """
+    order = np.argsort(q, kind="stable")
+    q_s, row_s = q[order], row_of[order]
+    starts = np.searchsorted(q_s, np.arange(n_ranks))
+    ends = np.searchsorted(q_s, np.arange(n_ranks) + 1)
+    n_rows = int(row_of.max()) + 1 if len(row_of) else 1
+    used = np.zeros(n_rows, np.uint16)  # per-row color bitmask (this window)
+    stamp = np.full(n_rows, -1, np.int64)
+    capc = np.zeros(8, np.int64)
+    color = np.zeros(n_ranks, np.int8)
+    slot_in = np.zeros(n_ranks, np.int64)
+    cur_w = -1
+    for qq in range(n_ranks):
+        w = qq >> 10
+        if w != cur_w:
+            cur_w = w
+            capc[:] = 0
+        rows = row_s[starts[qq]:ends[qq]]
+        if len(rows):
+            fresh = stamp[rows] != w
+            if fresh.any():
+                used[rows[fresh]] = 0
+            stamp[rows] = w
+            forbid = int(np.bitwise_or.reduce(used[rows]))
+        else:
+            forbid = 0
+        best, bestload = 0, 1 << 30
+        for c in range(8):
+            if capc[c] >= 128:
+                continue
+            load = capc[c] + (100000 if (forbid >> c) & 1 else 0)
+            if load < bestload:
+                best, bestload = c, load
+        color[qq] = best
+        slot_in[qq] = capc[best]
+        capc[best] += 1
+        if len(rows):
+            used[rows] |= np.uint16(1 << best)
+    return ((np.arange(n_ranks) // 1024) * 1024
+            + color.astype(np.int64) * 128 + slot_in)
+
+
 def spgemm_plan_packed(A: CSR, B: CSR, cluster: bool = True,
-                       layout: str = "auto",
+                       layout: str = "auto", stripe: str = "color",
                        **pack_kwargs) -> SpGEMMPacked:
     """Symbolic phase + pack: fixes A's pattern AND values (and B's
     pattern); ``spgemm_apply_packed`` then multiplies any B values.
@@ -275,22 +330,16 @@ def spgemm_plan_packed(A: CSR, B: CSR, cluster: bool = True,
     p_cols = b_cap
     row_of = tgt
     col_of = pb
+    if stripe not in ("color", "mod"):
+        raise ValueError(f"unknown stripe {stripe!r}")
     if cluster and plan.c_nnz and plan.n_pairs:
-        # columns: CSC rank of each stored B entry, striped across the 8
-        # sublane chunks of its 1024-column window (u fastest)
+        # columns: CSC rank of each stored B entry
         sb = B.to_scipy().tocsr()
         sb.sort_indices()
         b_row = np.repeat(np.arange(sb.shape[0]), np.diff(sb.indptr))
         b_key = sb.indices.astype(np.int64) * sb.shape[0] + b_row
         rank = np.empty(len(b_key), np.int64)
         rank[np.argsort(b_key, kind="stable")] = np.arange(len(b_key))
-        qq = rank % 1024
-        alloc = (rank // 1024) * 1024 + (qq % 8) * 128 + qq // 8
-        p_cols = int(-(-len(b_key) // 1024)) * 1024
-        # inverse map as a gather: x[q] = b_data[src[q]], sentinel b_cap → 0
-        src = np.full(p_cols, b_cap, np.int64)
-        src[alloc] = np.arange(len(b_key))
-        b_gather = jnp.asarray(src, jnp.int32)
         # rows: C slots in CSC order (group P-rows by the block they hit)
         c_rows = np.asarray(plan.c_row_ids)[: plan.c_nnz].astype(np.int64)
         c_cols = np.asarray(plan.c_indices)[: plan.c_nnz].astype(np.int64)
@@ -303,6 +352,20 @@ def spgemm_plan_packed(A: CSR, B: CSR, cluster: bool = True,
         cg[: plan.c_nnz] = rank_r
         c_gather = jnp.asarray(cg, jnp.int32)
         row_of = rank_r[tgt]
+        # sublane position of each rank within its 1024-rank window:
+        # conflict-graph coloring (one slab per (tile, window)), or the
+        # legacy round-robin stripe
+        if stripe == "color":
+            # _color_b_ranks is rank-indexed; re-index by entry id
+            alloc = _color_b_ranks(row_of, rank[pb], len(b_key))[rank]
+        else:
+            qq = rank % 1024
+            alloc = (rank // 1024) * 1024 + (qq % 8) * 128 + qq // 8
+        p_cols = int(-(-len(b_key) // 1024)) * 1024
+        # inverse map as a gather: x[q] = b_data[src[q]], sentinel b_cap → 0
+        src = np.full(p_cols, b_cap, np.int64)
+        src[alloc] = np.arange(len(b_key))
+        b_gather = jnp.asarray(src, jnp.int32)
         col_of = alloc[pb]
         # C^T CSR structure over the CSC-ordered slots
         idt = default_index_dtype

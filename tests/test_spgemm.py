@@ -215,3 +215,29 @@ def test_spgemm_packed_differentiable_in_b(rng):
     want = float(loss(jnp.asarray(v)))
     got = float(np.dot(np.asarray(g), v))
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3)
+
+
+def test_spgemm_packed_coloring_fill(rng):
+    """The conflict-graph coloring (stripe='color', default) must not
+    change results and must pack at least as densely as the legacy
+    round-robin stripe."""
+    from sparsematrix_tpu.ops import spgemm_apply_packed, spgemm_plan_packed
+
+    n = 512
+    A = CSR.fromdense(gen_random_dense_sparse(rng, n, n, density=0.02))
+    B = CSR.fromdense(gen_random_dense_sparse(rng, n, n, density=0.02))
+    pc = spgemm_plan_packed(A, B, stripe="color")
+    pm = spgemm_plan_packed(A, B, stripe="mod")
+    got_c = np.asarray(spgemm_apply_packed(pc, B.data).data)[: pc.c_nnz]
+    got_m = np.asarray(spgemm_apply_packed(pm, B.data).data)[: pm.c_nnz]
+    np.testing.assert_allclose(got_c, got_m, rtol=1e-5, atol=1e-5)
+    assert pc.p_packed.fill_rate >= pm.p_packed.fill_rate
+    # coloring invariant: within a window each (sublane) holds <= 128 ranks
+    # (capacity respected) is implied by a valid pack; check correctness vs
+    # scipy too
+    import scipy.sparse as sps
+
+    want = (A.to_scipy().astype(np.float64)
+            @ B.to_scipy().astype(np.float64)).tocsr()
+    want.sort_indices()
+    np.testing.assert_allclose(got_c, want.data, rtol=1e-4, atol=1e-4)
