@@ -784,7 +784,7 @@ def bench_codebook_gemm(check=True, density=0.25, **kw):
     n = kw.get("ref_n", REF_N)
     k = kw.get("ref_k", REF_K)
     from ..formats import CodebookDense
-    from ..ops import spmm
+    from ..ops import add_mat_mat_int8, quantize_codebook, spmm
 
     rng = np.random.default_rng(4)
     a = jnp.asarray(gen_matrix_random(rng, m, k))
@@ -804,6 +804,13 @@ def bench_codebook_gemm(check=True, density=0.25, **kw):
         scale = np.abs(oracle).max()
         rel = np.abs(got - oracle) / (np.abs(oracle) + 0.02 * scale)
         return bool(np.median(rel) < 0.02 and np.quantile(rel, 0.99) < 0.1)
+
+    def _int8_check(got):
+        # per-tensor symmetric int8 on both operands: ~0.8 % per-operand
+        # grid error, judged on the same scale-floored basis
+        scale = np.abs(oracle).max()
+        rel = np.abs(got - oracle) / (np.abs(oracle) + 0.02 * scale)
+        return bool(np.median(rel) < 0.04 and np.quantile(rel, 0.99) < 0.2)
 
     from ..kernels.codebook_pallas import codebook_matmul
 
@@ -835,10 +842,15 @@ def bench_codebook_gemm(check=True, density=0.25, **kw):
                 b_dns.val_table.astype(jnp.bfloat16)[
                     b_dns.idx.astype(jnp.int32)].T,
             ).astype(jnp.float32)),
+        # int8 activations x int8 codebook on the MXU's integer path —
+        # the analogue of the fork-only cblas_wgemm_plus
+        # (/root/reference/openblas_darwin_plus/include/cblas.h:252-257)
+        "int8-gemm": (lambda b_q=quantize_codebook(b_dns): jax.jit(
+            lambda aa, cc: add_mat_mat_int8(aa, b_q, cc, 1.0, 1.0)))(),
     }
     names = kw.get("variants") or ("csr-auto", "dense-dequant",
                                    "dense-dequant-bf16", "fused-pallas",
-                                   "fused-pallas-bf16")
+                                   "fused-pallas-bf16", "int8-gemm")
     for vname in names:
         f = all_variants[vname]
         name = f"codebook_gemm/{vname}"
@@ -851,6 +863,8 @@ def bench_codebook_gemm(check=True, density=0.25, **kw):
                 checked = None
             elif vname.endswith("bf16"):
                 checked = _bf16_check(np.asarray(f(a, c)))
+            elif vname == "int8-gemm":
+                checked = _int8_check(np.asarray(f(a, c)))
             else:
                 checked = relative_check(np.asarray(f(a, c)), oracle)
         except Exception as e:  # a variant failing to compile must not
