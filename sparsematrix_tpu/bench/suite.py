@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..formats import CSR, CodebookCSR, csr_to_blocked_ell, csr_to_bsr
-from ..ops import add_mat_mat, spmm, spmm_densify, spmm_reference, spmv
+from ..ops import (add_mat_mat, spmm, spmm_densify, spmm_reference, spmv,
+                   spmv_reference)
 from ..utils.roofline import speed_of_light_nnz_s, spmm_bytes, spmv_csr_bytes
 from ..utils.testutils import (
     gen_matrix_random,
@@ -355,6 +356,67 @@ def bench_spmm_bell(check=True, n=2048, density=0.05, ks=(128, 512), **kw):
             rows.append(r)
         # race each input against plain dense on the MXU
         rows.append(_dense_race_row(f"spmm_bell/{tag}", dense, X, nnz))
+    return rows
+
+
+@registry.register("spmm_banded")
+def bench_spmm_banded(check=True, n=4096, k=128, **kw):
+    """Band-local structure (block-tridiagonal, the FEM/stencil shape):
+    StripDense locally densifies each 128-row strip and batch-matmuls it
+    on full MXU tiles, vs the (8,128) blocked-ELL kernel on the same
+    matrix, vs the dense race.  (The round-1 review's "stack ≥16
+    block-rows per grid step" MXU-occupancy ask, answered with a layout
+    instead of a kernel.)"""
+    from ..formats import StripDense
+
+    rng = np.random.default_rng(12)
+    bs = 128  # block size: block-tridiagonal -> strips span <= 3 blocks
+    nb = n // bs
+    mask = np.zeros((nb, nb), bool)
+    for o in (-1, 0, 1):
+        idx = np.arange(max(0, -o), nb - max(0, o))
+        mask[idx, idx + o] = True
+    dense = (np.kron(mask, np.ones((bs, bs))).astype(np.float32)
+             * gen_matrix_random(rng, n, n))
+    csr = CSR.fromdense(dense)
+    nnz = csr.nnz
+    S = StripDense.from_csr(csr)
+    bell = csr_to_blocked_ell(csr, block_shape=(8, 128))
+    X = jnp.asarray(gen_matrix_random(rng, n, k))
+    x = jnp.asarray(gen_matrix_random(rng, n, 1)[:, 0])
+    oracle = dense.astype(np.float64) @ np.asarray(X)
+    rows = []
+
+    from ..kernels.spmm_pallas import spmm_blocked_ell
+
+    for tag, f, args, eff, idxb in (
+        ("strip-spmm", jax.jit(spmm_reference), (S, X), S.strips.size, 0),
+        ("bell-spmm", jax.jit(spmm_blocked_ell), (bell, X),
+         bell.num_block_rows * bell.max_blocks_per_row * 8 * 128, 0),
+    ):
+        res = bench_fn_slope(f, *args, iters=6)
+        checked = (relative_check(np.asarray(f(*args)), oracle)
+                   if check else None)
+        sol = speed_of_light_nnz_s(nnz, spmm_bytes(eff, n, n, k,
+                                                   idx_bytes=idxb))
+        r = Row(f"spmm_banded/{tag}",
+                f"n={n},k={k},band=3x{bs},width={S.width}", res, nnz=nnz,
+                checked=checked)
+        r.sol_frac = r.nnz_per_s / sol
+        rows.append(r)
+    # spmv on the same structure (strip matvec vs auto-packed CSR kernel)
+    fv = jax.jit(spmv_reference)
+    res = bench_fn_slope(fv, S, x, iters=6)
+    checked = (relative_check(np.asarray(fv(S, x)),
+                              dense.astype(np.float64) @ np.asarray(x))
+               if check else None)
+    sol = speed_of_light_nnz_s(
+        nnz, spmv_csr_bytes(S.strips.size, n, n, idx_bytes=0))
+    r = Row("spmm_banded/strip-spmv", f"n={n},band=3x{bs},width={S.width}",
+            res, nnz=nnz, checked=checked)
+    r.sol_frac = r.nnz_per_s / sol
+    rows.append(r)
+    rows.append(_dense_race_row("spmm_banded", dense, X, nnz))
     return rows
 
 

@@ -4,6 +4,7 @@ from .csr import CSR, CSC
 from .ell import ELL, BlockedELL
 from .bsr import BSR
 from .dense import Dense
+from .stripdense import StripDense
 from .codebook_dense import CodebookDense
 from .codebook import (
     CodebookCSR,
@@ -34,6 +35,7 @@ __all__ = [
     "CodebookCSR",
     "CodebookDense",
     "Dense",
+    "StripDense",
     "CodebookStream",
     "encode_stream",
     "decode_stream",

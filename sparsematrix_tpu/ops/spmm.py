@@ -11,7 +11,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import config
-from ..formats import BSR, COO, CSR, ELL, BlockedELL, CodebookCSR, CodebookDense, Dense
+from ..formats import (BSR, COO, CSR, ELL, BlockedELL, CodebookCSR,
+                       CodebookDense, Dense, StripDense)
 
 __all__ = ["spmm", "spmm_reference", "spmm_right"]
 
@@ -99,6 +100,17 @@ def _spmm_dense_jnp(A: Dense, X):
                    precision=_mxu_precision(A.data.dtype))
 
 
+def _spmm_strip_jnp(A: StripDense, X):
+    # one RHS row-gather per strip window, then a single batched matmul
+    # that feeds the MXU full 128-row tiles (the jnp formulation IS the
+    # fast path — XLA maps it straight onto the systolic array)
+    idx = A.first_col[:, None] + jnp.arange(A.width)[None, :]
+    Xg = X[idx]  # (n_strips, width, k)
+    Y = jnp.einsum("srw,swk->srk", A.strips, Xg,
+                   precision=_mxu_precision(A.strips.dtype))
+    return Y.reshape(-1, X.shape[1])[: A.shape[0]]
+
+
 _JNP_IMPLS = {
     CSR: _spmm_csr_jnp,
     COO: _spmm_coo_jnp,
@@ -108,6 +120,7 @@ _JNP_IMPLS = {
     CodebookCSR: _spmm_codebook_jnp,
     CodebookDense: _spmm_codebook_dense_jnp,
     Dense: _spmm_dense_jnp,
+    StripDense: _spmm_strip_jnp,
 }
 
 

@@ -15,7 +15,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import config
-from ..formats import BSR, COO, CSR, ELL, BlockedELL, CodebookCSR, CodebookDense, Dense
+from ..formats import (BSR, COO, CSR, ELL, BlockedELL, CodebookCSR,
+                       CodebookDense, Dense, StripDense)
 
 __all__ = ["spmv", "spmv_reference", "prepare_spmv"]
 
@@ -97,6 +98,16 @@ def _spmv_dense_jnp(A: Dense, x):
     return jnp.dot(A.data, x, precision=_mxu_precision(A.data.dtype))
 
 
+def _spmv_strip_jnp(A: StripDense, x):
+    # per-strip window gather + batched matvec (MXU path; the jnp
+    # formulation IS the fast path — see formats/stripdense.py)
+    idx = A.first_col[:, None] + jnp.arange(A.width)[None, :]
+    xg = x[idx]  # (n_strips, width)
+    y = jnp.einsum("srw,sw->sr", A.strips, xg,
+                   precision=_mxu_precision(A.strips.dtype))
+    return y.reshape(-1)[: A.shape[0]]
+
+
 _JNP_IMPLS = {
     CSR: _spmv_csr_jnp,
     COO: _spmv_coo_jnp,
@@ -106,6 +117,7 @@ _JNP_IMPLS = {
     CodebookCSR: _spmv_codebook_jnp,
     CodebookDense: _spmv_codebook_dense_jnp,
     Dense: _spmv_dense_jnp,
+    StripDense: _spmv_strip_jnp,
 }
 
 
