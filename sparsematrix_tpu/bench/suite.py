@@ -228,6 +228,24 @@ def bench_csr_spmv(check=True, sizes=(4096,), **kw):
                     checked=checked)
             r.sol_frac = r.nnz_per_s / sol
             rows.append(r)
+            # the band-local layout: strip-dense batched matvec on the MXU
+            from ..formats import StripDense
+
+            S = StripDense.from_csr(A)
+            fs = jax.jit(spmv_reference)
+            res = bench_fn_slope(fs, S, x, iters=6)
+            checked = (
+                relative_check(np.asarray(fs(S, x)), dense @ np.asarray(x))
+                if check
+                else None
+            )
+            sol = speed_of_light_nnz_s(
+                A.nnz, spmv_csr_bytes(S.strips.size, n, n, idx_bytes=0))
+            r = Row("csr_spmv/banded-strip",
+                    f"n={n},band={bw},width={S.width}", res, nnz=A.nnz,
+                    checked=checked)
+            r.sol_frac = r.nnz_per_s / sol
+            rows.append(r)
     return rows
 
 
