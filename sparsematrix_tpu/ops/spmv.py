@@ -156,17 +156,27 @@ def prepare_spmv(A: "CSR", layout: str = "auto", **pack_kwargs):
     ``layout``: ``"rowlane"`` (per-tile grid steps — right when tiles own
     many slabs), ``"superblock"`` (slabs of 16 tiles share a grid step —
     right for scattered patterns at ~1-2 slabs/tile, where the rowlane
-    kernel is grid-step-bound), or ``"auto"`` (pack rowlane, then repack
-    superblock if the pack came out step-bound: auto-group ≤ 2 over many
-    tiles)."""
+    kernel is grid-step-bound), ``"strip"`` (locally-densified strips for
+    band-local matrices — batched full-tile MXU matvecs), or ``"auto"``
+    (strip when the matrix is band-local and dense enough within the band;
+    else rowlane, repacked superblock if the pack came out step-bound:
+    auto-group ≤ 2 over many tiles)."""
     from ..kernels.spmv_rowlane import pack_sell_rowlane
 
     if layout == "superblock":
         from ..kernels.spmv_superblock import pack_superblock
 
         return pack_superblock(A, **pack_kwargs)
+    if layout == "strip":
+        from ..formats import StripDense
+
+        return StripDense.from_csr(A, **pack_kwargs)
     if layout not in ("auto", "rowlane"):
         raise ValueError(f"unknown layout {layout!r}")
+    if layout == "auto" and not pack_kwargs:
+        strip = _maybe_strip(A)
+        if strip is not None:
+            return strip
     packed = pack_sell_rowlane(A, **pack_kwargs)
     if (layout == "auto" and "group" not in pack_kwargs
             and packed.group <= 2 and packed.n_tiles > 256):
@@ -175,6 +185,34 @@ def prepare_spmv(A: "CSR", layout: str = "auto", **pack_kwargs):
         sb_kwargs = {k: v for k, v in pack_kwargs.items() if k == "dtype"}
         return pack_superblock(A, **sb_kwargs)
     return packed
+
+
+def _maybe_strip(A: "CSR"):
+    """StripDense pack when the matrix is band-local AND dense within the
+    band (strip fill ≥ 0.25 — where the dense batched matvec's extra
+    zero-FLOPs cost less than slab-gather machinery); None otherwise."""
+    import numpy as np
+
+    from ..formats import StripDense
+
+    sp = A.to_scipy().tocsr()
+    rows, cols = sp.shape
+    if sp.nnz == 0 or rows < 128:
+        return None
+    r = np.repeat(np.arange(rows), np.diff(sp.indptr))
+    s = r // 128
+    n_strips = -(-rows // 128)
+    lo = np.full(n_strips, cols, np.int64)
+    hi = np.full(n_strips, -1, np.int64)
+    np.minimum.at(lo, s, sp.indices)
+    np.maximum.at(hi, s, sp.indices)
+    span = int(np.where(hi >= 0, hi - lo + 1, 0).max(initial=0))
+    if span == 0 or span > 2048:
+        return None
+    width = min(max(-(-span // 128), 1) * 128, cols)
+    if sp.nnz / (n_strips * 128 * width) < 0.25:
+        return None
+    return StripDense.from_csr(A)
 
 
 def _auto_pack(A: "CSR"):
@@ -236,6 +274,8 @@ def spmv(A, x):
             packed = _auto_pack(A)
             if isinstance(packed, SellSuperblock):
                 return spmv_superblock(packed, x)
+            if isinstance(packed, StripDense):
+                return _spmv_strip_jnp(packed, x)
             if packed is not None:
                 return spmv_sell_rowlane(packed, x)
         from ..kernels import spmv_pallas

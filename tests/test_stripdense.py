@@ -79,3 +79,22 @@ def test_stripdense_bf16_and_rect(rng):
     y = np.asarray(ops.spmv(Sb, jnp.asarray(x, jnp.bfloat16)))
     np.testing.assert_allclose(
         y.astype(np.float32), A @ x, rtol=0.03, atol=0.05)
+
+
+def test_prepare_spmv_auto_selects_strip(rng):
+    from sparsematrix_tpu.ops.spmv import prepare_spmv
+
+    n = 1024
+    A = _banded(n, tuple(range(-40, 41)), rng)  # dense 81-band
+    c = CSR.from_scipy(A)
+    packed = prepare_spmv(c, layout="auto")
+    assert isinstance(packed, StripDense)
+    x = rng.uniform(-1, 1, n).astype(np.float32)
+    y = np.asarray(ops.spmv(packed, jnp.asarray(x)))
+    np.testing.assert_allclose(y, A @ x, rtol=2e-4, atol=1e-4)
+    # scattered-random matrices must NOT take the strip path
+    import scipy.sparse as sp2
+    R = sp2.random(n, n, density=0.02, format="csr",
+                   random_state=np.random.RandomState(3), dtype=np.float32)
+    packed_r = prepare_spmv(CSR.from_scipy(R), layout="auto")
+    assert not isinstance(packed_r, StripDense)
