@@ -48,7 +48,7 @@ def _dense_race_row(tag, dense_np, rhs, nnz):
     work per second) so rows are directly comparable."""
     dd = jnp.asarray(dense_np)
     f = jax.jit(lambda m, v: jnp.dot(m, v, precision=_mxu_precision(m.dtype)))
-    res = bench_fn_slope(f, dd, rhs, iters=6)
+    res = bench_fn_slope(f, dd, rhs, iters=6, perturb_max_bytes=1 << 20)
     n, m = dense_np.shape
     r = Row(f"{tag}/dense-race", f"{n}x{m} dense on-MXU", res, nnz=nnz)
     r.sol_frac = None  # roofline basis differs; Gnnz/s column is the race
@@ -159,7 +159,7 @@ def bench_csr_spmv(check=True, sizes=(4096,), **kw):
             packed = pack_sell(A, tr=tr)
             x = jnp.asarray(gen_matrix_random(rng, n, 1)[:, 0])
             f = jax.jit(lambda p, v: spmv_sell(p, v))
-            res = bench_fn_slope(f, packed, x, iters=6)
+            res = bench_fn_slope(f, packed, x, iters=6, perturb_max_bytes=1 << 20)
             checked = (
                 relative_check(np.asarray(f(packed, x)), dense @ np.asarray(x))
                 if check
@@ -177,7 +177,7 @@ def bench_csr_spmv(check=True, sizes=(4096,), **kw):
             packed = pack_sell_rowpure(A, group=4, rows_per_sublane=R)
             x = jnp.asarray(gen_matrix_random(rng, n, 1)[:, 0])
             f = jax.jit(lambda p, v: spmv_sell_rowpure(p, v))
-            res = bench_fn_slope(f, packed, x, iters=6)
+            res = bench_fn_slope(f, packed, x, iters=6, perturb_max_bytes=1 << 20)
             checked = (
                 relative_check(np.asarray(f(packed, x)), dense @ np.asarray(x))
                 if check
@@ -198,7 +198,7 @@ def bench_csr_spmv(check=True, sizes=(4096,), **kw):
             packed = pack_sell_rowlane(A)
             x = jnp.asarray(gen_matrix_random(rng, n, 1)[:, 0])
             f = jax.jit(lambda p, v: spmv_sell_rowlane(p, v))
-            res = bench_fn_slope(f, packed, x, iters=6)
+            res = bench_fn_slope(f, packed, x, iters=6, perturb_max_bytes=1 << 20)
             checked = (
                 relative_check(np.asarray(f(packed, x)), dense @ np.asarray(x))
                 if check else None
@@ -233,7 +233,7 @@ def bench_csr_spmv(check=True, sizes=(4096,), **kw):
 
             S = StripDense.from_csr(A)
             fs = jax.jit(spmv_reference)
-            res = bench_fn_slope(fs, S, x, iters=6)
+            res = bench_fn_slope(fs, S, x, iters=6, perturb_max_bytes=1 << 20)
             checked = (
                 relative_check(np.asarray(fs(S, x)), dense @ np.asarray(x))
                 if check
@@ -268,7 +268,12 @@ def bench_csr_spmv_large(check=True, n=8192, nnz_row=256, **kw):
                 else np.asarray(jnp.asarray(dense).astype(dt)).astype(np.float64))
         want = dref.astype(np.float64) @ np.asarray(x)
         f = jax.jit(lambda p, v: spmv_sell_rowlane(p, v))
-        res = bench_fn_slope(f, packed, x, iters=6)
+        # VALUE CHAIN (y ← A·y rescaled): `_looped` perturbation rewrites
+        # the ~26 MB vals plane every iteration, overstating the kernel
+        # (same artifact as csr_spmv_xl, measured 2.5× there)
+        chain_scale = jnp.float32(2.0 ** -16)
+        res = bench_chain_slope(
+            lambda y, p_: f(p_, y) * chain_scale, x, packed, iters=6)
         checked = (relative_check(np.asarray(f(packed, x)), want)
                    if check else None)
         sol = speed_of_light_nnz_s(A.nnz, spmv_csr_bytes(A.nnz, n, n))
@@ -315,7 +320,7 @@ def bench_spmm_csr(check=True, n=2048, density=0.05, ks=(32, 128, 512), **kw):
 
             packed = pack_sell_rowlane(A)
             fr = jax.jit(lambda p, x: spmm_rowlane(p, x))
-            res = bench_fn_slope(fr, packed, X, iters=6)
+            res = bench_fn_slope(fr, packed, X, iters=6, perturb_max_bytes=1 << 20)
             checked = None
             if check:
                 checked = relative_check(
@@ -357,7 +362,7 @@ def bench_spmm_bell(check=True, n=2048, density=0.05, ks=(128, 512), **kw):
         for k in ks:
             X = jnp.asarray(gen_matrix_random(rng, n, k))
             f = jax.jit(spmm_blocked_ell)
-            res = bench_fn_slope(f, bell, X, iters=6)
+            res = bench_fn_slope(f, bell, X, iters=6, perturb_max_bytes=1 << 20)
             checked = None
             if check:
                 checked = relative_check(
@@ -412,7 +417,7 @@ def bench_spmm_banded(check=True, n=4096, k=128, **kw):
         ("bell-spmm", jax.jit(spmm_blocked_ell), (bell, X),
          bell.num_block_rows * bell.max_blocks_per_row * 8 * 128, 0),
     ):
-        res = bench_fn_slope(f, *args, iters=6)
+        res = bench_fn_slope(f, *args, iters=6, perturb_max_bytes=1 << 20)
         checked = (relative_check(np.asarray(f(*args)), oracle)
                    if check else None)
         sol = speed_of_light_nnz_s(nnz, spmm_bytes(eff, n, n, k,
@@ -424,7 +429,7 @@ def bench_spmm_banded(check=True, n=4096, k=128, **kw):
         rows.append(r)
     # spmv on the same structure (strip matvec vs auto-packed CSR kernel)
     fv = jax.jit(spmv_reference)
-    res = bench_fn_slope(fv, S, x, iters=6)
+    res = bench_fn_slope(fv, S, x, iters=6, perturb_max_bytes=1 << 20)
     checked = (relative_check(np.asarray(fv(S, x)),
                               dense.astype(np.float64) @ np.asarray(x))
                if check else None)
@@ -453,14 +458,14 @@ def bench_bsr(check=True, n=2048, block=(8, 8), density=0.05, k=128, **kw):
     X = jnp.asarray(gen_matrix_random(rng, n, k))
     rows = []
     f1 = jax.jit(lambda a, v: spmv(a, v))
-    res = bench_fn_slope(f1, A, x, iters=6)
+    res = bench_fn_slope(f1, A, x, iters=6, perturb_max_bytes=1 << 20)
     chk = relative_check(np.asarray(f1(A, x)), dense @ np.asarray(x)) if check else None
     sol = speed_of_light_nnz_s(A.nnz, spmv_csr_bytes(A.nnz, n, n, idx_bytes=4 / (block[0] * block[1])))
     r = Row("bsr/spmv", f"n={n},b={block},d={density}", res, nnz=A.nnz, checked=chk)
     r.sol_frac = r.nnz_per_s / sol
     rows.append(r)
     f2 = jax.jit(lambda a, m: spmm(a, m, method="sparse"))
-    res = bench_fn_slope(f2, A, X, iters=6)
+    res = bench_fn_slope(f2, A, X, iters=6, perturb_max_bytes=1 << 20)
     chk = (
         relative_check(np.asarray(f2(A, X)), dense.astype(np.float64) @ np.asarray(X))
         if check
@@ -616,7 +621,7 @@ def bench_spgemm(check=True, n=2048, density=0.01, **kw):
     pp = spgemm_plan_packed(A, B)
     pack_s = _time.time() - t0
     fp = jax.jit(lambda q, bd: spgemm_apply_packed(q, bd).data)
-    res = bench_fn_slope(fp, pp, B.data, iters=6)
+    res = bench_fn_slope(fp, pp, B.data, iters=6, perturb_max_bytes=1 << 20)
     checked = None
     if check:
         got = np.asarray(fp(pp, B.data))
@@ -693,7 +698,7 @@ def bench_spgemm_xl(check=True, n=16384, density=0.001, **kw):
         pp = spgemm_plan_packed(A, B, layout=layout)
         pack_s = time.time() - t0
         fp = jax.jit(lambda q, bd: spgemm_apply_packed(q, bd).data)
-        res = bench_fn_slope(fp, pp, B.data, iters=6)
+        res = bench_fn_slope(fp, pp, B.data, iters=6, perturb_max_bytes=1 << 20)
         checked = None
         if check:
             got = np.asarray(fp(pp, B.data))
@@ -727,7 +732,7 @@ def bench_trisolve(check=True, n=4096, nnz_row=8, **kw):
     plan = trisolve_plan(A, lower=True)
     b = jnp.asarray(gen_matrix_random(rng, n, 1)[:, 0])
     f = jax.jit(lambda p, v: trisolve_apply(p, v))
-    res = bench_fn_slope(f, plan, b, iters=6)
+    res = bench_fn_slope(f, plan, b, iters=6, perturb_max_bytes=1 << 20)
     checked = None
     if check:
         import scipy.sparse.linalg as spla
@@ -748,7 +753,7 @@ def bench_trisolve(check=True, n=4096, nnz_row=8, **kw):
 
     fplan = trisolve_fixpoint_plan(A, lower=True)
     ff = jax.jit(trisolve_fixpoint_apply)
-    res2 = bench_fn_slope(ff, fplan, b, iters=6)
+    res2 = bench_fn_slope(ff, fplan, b, iters=6, perturb_max_bytes=1 << 20)
     checked2 = None
     if check:
         checked2 = relative_check(np.asarray(ff(fplan, b)), want)
@@ -764,7 +769,7 @@ def bench_trisolve(check=True, n=4096, nnz_row=8, **kw):
 
     lplan = trisolve_level_plan(A, lower=True)
     lf = jax.jit(trisolve_level_apply)
-    res3 = bench_fn_slope(lf, lplan, b, iters=6)
+    res3 = bench_fn_slope(lf, lplan, b, iters=6, perturb_max_bytes=1 << 20)
     checked3 = None
     if check:
         checked3 = relative_check(np.asarray(lf(lplan, b)), want)
@@ -780,7 +785,7 @@ def bench_trisolve(check=True, n=4096, nnz_row=8, **kw):
 
     fplan = trisolve_fused_plan(A, lower=True)
     ff = jax.jit(trisolve_fused_apply)
-    res4 = bench_fn_slope(ff, fplan, b, iters=6)
+    res4 = bench_fn_slope(ff, fplan, b, iters=6, perturb_max_bytes=1 << 20)
     checked4 = None
     if check:
         checked4 = relative_check(np.asarray(ff(fplan, b)), want)

@@ -132,13 +132,23 @@ def bench_chain_slope(step: Callable, x0, *extra, inner_lo: int = 8,
     )
 
 
-def _looped(fn: Callable, n_args: int, inner: int):
+def _looped(fn: Callable, n_args: int, inner: int,
+            perturb_max_bytes: int | None = None):
     """Build a jitted wrapper running ``fn`` ``inner`` times in one device
     computation.  The loop counter perturbs **every** float leaf of every
     argument by a denormal-scale epsilon so XLA cannot hoist any part of
     the body out of the loop (an unperturbed operand makes its whole
     dataflow cone loop-invariant); a scalar probe of each output forces
-    full evaluation."""
+    full evaluation.
+
+    ``perturb_max_bytes``: leaves LARGER than this are left unperturbed.
+    Perturbing an operand materializes a fresh copy of it every
+    iteration — for a packed-kernel argument holding hundreds of MB of
+    slab values, that rewrite dwarfs the kernel itself (measured 2.5×
+    overstatement at 16.6 M nnz).  Only set it when the big operand feeds
+    the timed op DIRECTLY (no host-visible preprocessing XLA could hoist
+    out of the loop — e.g. NOT for densify/dequant paths, whose
+    A-transform is part of what's being timed)."""
     import jax
     import jax.numpy as jnp
 
@@ -169,12 +179,16 @@ def _looped(fn: Callable, n_args: int, inner: int):
                 jnp.asarray(i, jnp.float32) * jnp.float32(1e-30)
                 + acc * jnp.float32(1e-45)
             )
-            perturbed = jax.tree_util.tree_map(
-                lambda a: a + eps.astype(a.dtype)
-                if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
-                else a,
-                args,
-            )
+            def _maybe_perturb(a):
+                aj = jnp.asarray(a)
+                if not jnp.issubdtype(aj.dtype, jnp.floating):
+                    return a
+                if (perturb_max_bytes is not None
+                        and aj.size * aj.dtype.itemsize > perturb_max_bytes):
+                    return a
+                return a + eps.astype(aj.dtype)
+
+            perturbed = jax.tree_util.tree_map(_maybe_perturb, args)
             out = fn(*perturbed)
             return acc + probe(out)
 
@@ -185,7 +199,8 @@ def _looped(fn: Callable, n_args: int, inner: int):
 
 def bench_fn_slope(fn: Callable, *args, inner_lo: int = 8, inner_hi: int = 72,
                    iters: int = 8, warmup: int = 1,
-                   max_escalations: int = 2) -> BenchResult:
+                   max_escalations: int = 2,
+                   perturb_max_bytes: int | None = None) -> BenchResult:
     """Dispatch-latency-immune timing: run ``fn`` inner_lo and inner_hi
     times inside single device computations; the per-op time is the slope
     (T_hi - T_lo) / (inner_hi - inner_lo), which cancels any constant
@@ -199,8 +214,8 @@ def bench_fn_slope(fn: Callable, *args, inner_lo: int = 8, inner_hi: int = 72,
 
     def measure(n_lo, n_hi):
         nonlocal total_compile
-        lo = _looped(fn, len(args), n_lo)
-        hi = _looped(fn, len(args), n_hi)
+        lo = _looped(fn, len(args), n_lo, perturb_max_bytes)
+        hi = _looped(fn, len(args), n_hi, perturb_max_bytes)
         t0 = time.perf_counter()
         lo(*args).block_until_ready()
         hi(*args).block_until_ready()

@@ -98,3 +98,17 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     )
     back = load_checkpoint(path, abstract)
     np.testing.assert_array_equal(np.asarray(back["A"].todense()), dense)
+
+
+def test_bench_fn_slope_perturb_cap():
+    """perturb_max_bytes leaves big operands unperturbed but the loop must
+    still run every iteration (chained via the small args)."""
+    import jax.numpy as jnp
+
+    from sparsematrix_tpu.utils.timer import bench_fn_slope
+
+    big = jnp.ones((512, 512), jnp.float32)  # 1 MB > cap
+    x = jnp.ones((512,), jnp.float32)
+    r = bench_fn_slope(lambda a, v: a @ v, big, x, iters=2,
+                       inner_lo=2, inner_hi=6, perturb_max_bytes=1 << 18)
+    assert r.min_ms > 0
