@@ -92,5 +92,9 @@ def get_lib():
             c_i32p, c_i32p, c_long, c_long, c_long,
             ctypes.c_int32, ctypes.c_int32, c_u8p,
         ]
+        lib.smtpu_color_ranks.restype = c_long
+        lib.smtpu_color_ranks.argtypes = [
+            c_i32p, c_i32p, c_long, c_long, c_long, c_i64p,
+        ]
         _lib = lib
         return _lib

@@ -458,4 +458,64 @@ long smtpu_rowlane_fill(const int32_t* r, const int32_t* c, const uint8_t* v,
   return 0;
 }
 
+}  // extern "C"\n
+// ---------------------------------------------------------------------------
+// Sublane coloring for packed-SpGEMM pair programs
+// (ops/spgemm.py::_color_b_ranks — bit-identical greedy).
+//
+// Each B-entry rank inside its 1024-rank window gets a (sublane, slot) so
+// that every output slot's references land on distinct sublanes: greedy
+// over ranks in order; a rank's forbidden set is the OR of the colors
+// already used by the rows (output slots) referencing it within the
+// current window; pick the least-loaded non-full color, +100000 penalty
+// when forbidden; ties break to the lowest color index.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// pair arrays: q[i] = B-entry rank of pair i, row[i] = P-row of pair i.
+// alloc (out, n_ranks int64): window-absolute position per rank.
+long smtpu_color_ranks(const int32_t* q, const int32_t* row, long n_pairs,
+                       long n_ranks, long n_rows, int64_t* alloc) {
+  if (n_ranks <= 0) return 0;
+  // counting-sort pairs by rank (stable) -> per-rank row lists
+  std::vector<int64_t> start(n_ranks + 1, 0);
+  for (long i = 0; i < n_pairs; ++i) ++start[(int64_t)q[i] + 1];
+  for (long k = 0; k < n_ranks; ++k) start[k + 1] += start[k];
+  std::vector<int32_t> rows_s(n_pairs);
+  {
+    std::vector<int64_t> cur(start.begin(), start.end() - 1);
+    for (long i = 0; i < n_pairs; ++i) rows_s[cur[q[i]]++] = row[i];
+  }
+  std::vector<uint16_t> used(n_rows, 0);
+  std::vector<int64_t> stamp(n_rows, -1);
+  int64_t capc[8];
+  int64_t cur_w = -1;
+  for (long qq = 0; qq < n_ranks; ++qq) {
+    const int64_t w = qq >> 10;
+    if (w != cur_w) {
+      cur_w = w;
+      for (int c = 0; c < 8; ++c) capc[c] = 0;
+    }
+    unsigned forbid = 0;
+    for (int64_t j = start[qq]; j < start[qq + 1]; ++j) {
+      const int32_t rr = rows_s[j];
+      if (stamp[rr] != w) { used[rr] = 0; stamp[rr] = w; }
+      forbid |= used[rr];
+    }
+    int best = 0;
+    int64_t bestload = (int64_t)1 << 30;
+    for (int c = 0; c < 8; ++c) {
+      if (capc[c] >= 128) continue;
+      const int64_t load = capc[c] + (((forbid >> c) & 1u) ? 100000 : 0);
+      if (load < bestload) { best = c; bestload = load; }
+    }
+    alloc[qq] = (qq >> 10 << 10) + (int64_t)best * 128 + capc[best];
+    ++capc[best];
+    const uint16_t bit = (uint16_t)(1u << best);
+    for (int64_t j = start[qq]; j < start[qq + 1]; ++j) used[rows_s[j]] |= bit;
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -242,6 +242,30 @@ class SpGEMMPacked:
     c_nnz: int = dataclasses.field(metadata={"static": True})
 
 
+def _color_b_ranks_native(row_of: np.ndarray, q: np.ndarray, n_ranks: int):
+    """ctypes call into smtpu_color_ranks; None when unavailable."""
+    from .. import native as native_mod
+
+    lib = native_mod.get_lib()
+    if (lib is None or not hasattr(lib, "smtpu_color_ranks")
+            or n_ranks >= 2**31 or len(q) >= 2**31):
+        return None
+    import ctypes
+
+    q32 = np.ascontiguousarray(q, np.int32)
+    r32 = np.ascontiguousarray(row_of, np.int32)
+    alloc = np.zeros(n_ranks, np.int64)
+    n_rows = int(row_of.max()) + 1 if len(row_of) else 1
+    rc = lib.smtpu_color_ranks(
+        q32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        r32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(q32), n_ranks, n_rows,
+        alloc.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if rc != 0:
+        return None
+    return alloc
+
+
 def _color_b_ranks(row_of: np.ndarray, q: np.ndarray, n_ranks: int):
     """Assign each B-entry rank a (sublane, slot) inside its 1024-rank
     window so that every P-row's references within a window land on
@@ -255,7 +279,13 @@ def _color_b_ranks(row_of: np.ndarray, q: np.ndarray, n_ranks: int):
     (measured n=2048 d=0.01: 10 412 → 6 255 slabs, fill 0.081 → 0.134,
     vs a lower bound of 6 221).  Returns ``alloc``: the window-relative
     position ``w*1024 + color*128 + slot`` per rank.
+
+    Native C++ fast path (native/codec.cc: smtpu_color_ranks,
+    bit-identical greedy) with this numpy/python fallback.
     """
+    native_alloc = _color_b_ranks_native(row_of, q, n_ranks)
+    if native_alloc is not None:
+        return native_alloc
     order = np.argsort(q, kind="stable")
     q_s, row_s = q[order], row_of[order]
     starts = np.searchsorted(q_s, np.arange(n_ranks))
