@@ -36,9 +36,14 @@ from .spmm_pallas import _matmul_precision
 __all__ = ["codebook_matmul"]
 
 _LANES = 128
-_TN = 128  # output rows (of C^T) per grid step; measured fastest
-# (TN=8 → 104 µs, TN=32 → 136, TN=64 → 122, TN=128 → 53 µs on the
-# reference workload: wider tiles feed the 128-row systolic array fully)
+# Per-grid-step panel sizes.  Round-1 sweep on the reference workload:
+# TN=8 → 104 µs, TN=32 → 136, TN=64 → 122, TN=128 → 53 µs (wider tiles
+# feed the 128-row systolic array fully).  Round-2: at TN=128/KT=512 the
+# reference shape runs 32 grid steps whose ~0.3-0.6 µs step cost is a
+# large fraction of the 24 µs total — bigger panels trade VMEM for fewer
+# steps (idx (512, 2048) int8 is only 1 MB).  Module-level so the bench
+# sweep can retune; threaded as static args so jit caches stay correct.
+_TN = 128  # output rows (of C^T) per grid step
 _KT = 512  # k-panel per grid step (VMEM holds only per-step panels)
 _MT = 512  # m-panel per grid step (m itself padded to ≥128 MXU rows)
 
@@ -83,20 +88,22 @@ def _cb_kernel(idx_ref, tlo_ref, thi_ref, at_ref, o_ref, *, tn: int,
     o_ref[:] = o_ref[:] + acc.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _cb_call(idx_pad, table_lo, table_hi, a_t_pad, *, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("interpret", "tn", "kt_max",
+                                              "mt_max"))
+def _cb_call(idx_pad, table_lo, table_hi, a_t_pad, *, interpret: bool,
+             tn: int, kt_max: int, mt_max: int):
     """3-D grid (n-tile, m-tile, k-tile): every operand streams through
     VMEM one (TN, KT)/(KT, MT) panel at a time, so arbitrary production
     m/k fit; k is innermost so each output tile stays VMEM-resident
     across its accumulation (Pallas revisiting)."""
     n_pad, k_pad = idx_pad.shape
     m_pad = a_t_pad.shape[1]
-    kt = min(_KT, k_pad)
-    mt = min(_MT, m_pad)
+    kt = min(kt_max, k_pad)
+    mt = min(mt_max, m_pad)
     grid_spec = pl.GridSpec(
-        grid=(n_pad // _TN, m_pad // mt, k_pad // kt),
+        grid=(n_pad // tn, m_pad // mt, k_pad // kt),
         in_specs=[
-            pl.BlockSpec((_TN, kt), lambda i, j, c: (i, c),
+            pl.BlockSpec((tn, kt), lambda i, j, c: (i, c),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, _LANES), lambda i, j, c: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -105,13 +112,13 @@ def _cb_call(idx_pad, table_lo, table_hi, a_t_pad, *, interpret: bool):
             pl.BlockSpec((kt, mt), lambda i, j, c: (c, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_TN, mt), lambda i, j, c: (i, j),
+        out_specs=pl.BlockSpec((tn, mt), lambda i, j, c: (i, j),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
         functools.partial(
             _cb_kernel,
-            tn=_TN,
+            tn=tn,
             kt=kt,
             precision=_matmul_precision(a_t_pad.dtype),
         ),
@@ -144,12 +151,13 @@ def codebook_matmul(a, b_t: CodebookDense):
 def _codebook_matmul_impl(a, b_t: CodebookDense):
     n, k = b_t.shape
     m = a.shape[0]
-    # k tiles at _KT when large; m is padded to the full 128-row MXU even
+    tn, kt_max, mt_max = _TN, _KT, _MT
+    # k tiles at KT when large; m is padded to the full 128-row MXU even
     # for the reference's m=117 (pad rows of A^T are zero → pad C columns
     # are zero and sliced away)
-    k_pad = _round_up(k, _KT if k > _KT else _LANES)
-    n_pad = _round_up(n, _TN)
-    m_pad = _round_up(max(m, _LANES), _MT if m > _MT else _LANES)
+    k_pad = _round_up(k, kt_max if k > kt_max else _LANES)
+    n_pad = _round_up(n, tn)
+    m_pad = _round_up(max(m, _LANES), mt_max if m > mt_max else _LANES)
     ts = b_t.table_size
     # int8 plane: modular truncation of the uint8 index (sentinel ts maps
     # to a zero table slot either way)
@@ -164,7 +172,8 @@ def _codebook_matmul_impl(a, b_t: CodebookDense):
     table_hi = jnp.broadcast_to(table256[_LANES:], (8, _LANES))
     a_t_pad = jnp.zeros((k_pad, m_pad), a.dtype).at[:k, :m].set(a.T)
     out = _cb_call(idx_pad, table_lo, table_hi, a_t_pad,
-                   interpret=config.interpret())
+                   interpret=config.interpret(), tn=tn, kt_max=kt_max,
+                   mt_max=mt_max)
     return out[:n, :m].astype(a.dtype).T  # (m, n)
 
 
