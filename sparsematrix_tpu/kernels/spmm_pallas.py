@@ -27,21 +27,27 @@ from ..formats import BlockedELL
 __all__ = ["spmm_blocked_ell", "PALLAS_IMPLS"]
 
 
-def _bell_kernel(bc_ref, blocks_ref, x_ref, o_ref, *, bk: int, n_blocks: int,
-                 precision):
-    i = pl.program_id(0)
+def _bell_kernel(bc_ref, blocks_ref, x_ref, o_ref, *, bk: int, bm: int,
+                 n_blocks: int, rows_per_step: int, precision):
+    step = pl.program_id(0)
+    # ``rows_per_step`` block-rows share one grid step (fewer ~0.3-0.6 µs
+    # step costs; at the MXU-native (128,128) block shape one block-row
+    # per step spent roughly half the kernel in step overhead)
+    for g in range(rows_per_step):
+        i = step * rows_per_step + g
 
-    def body(m, acc):
-        bc = bc_ref[i, m]
-        xt = x_ref[pl.ds(bc * bk, bk), :]
-        blk = blocks_ref[0, m]
-        return acc + jnp.dot(
-            blk, xt, preferred_element_type=jnp.float32, precision=precision
-        )
+        def body(m, acc, i=i, g=g):
+            bc = bc_ref[i, m]
+            xt = x_ref[pl.ds(bc * bk, bk), :]
+            blk = blocks_ref[0, g, m]
+            return acc + jnp.dot(
+                blk, xt, preferred_element_type=jnp.float32,
+                precision=precision,
+            )
 
-    acc0 = jnp.zeros(o_ref.shape, jnp.float32)
-    acc = jax.lax.fori_loop(0, n_blocks, body, acc0)
-    o_ref[:] = acc.astype(o_ref.dtype)
+        acc0 = jnp.zeros((bm, o_ref.shape[1]), jnp.float32)
+        acc = jax.lax.fori_loop(0, n_blocks, body, acc0)
+        o_ref[pl.ds(g * bm, bm), :] = acc.astype(o_ref.dtype)
 
 
 def _matmul_precision(dtype):
@@ -55,44 +61,66 @@ def _matmul_precision(dtype):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _spmm_bell_call(block_cols, blocks, Xp, *, interpret=False):
+# block-rows batched per grid step (module knob; sweepable on chip —
+# static arg keeps jit caches correct)
+_ROWS_PER_STEP = 4
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "rows_per_step"))
+def _spmm_bell_call(block_cols, blocks, Xp, *, interpret=False,
+                    rows_per_step=1):
     nbr, M, bm, bk = blocks.shape
     k = Xp.shape[1]
+    G = rows_per_step
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # block_cols
-        grid=(nbr,),
+        grid=(nbr // G,),
         in_specs=[
             pl.BlockSpec(
-                (1, M, bm, bk),
-                lambda i, bc: (i, 0, 0, 0),
+                (1, G, M, bm, bk),
+                lambda i, bc: (i, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # full X
         ],
         out_specs=pl.BlockSpec(
-            (bm, k), lambda i, bc: (i, 0), memory_space=pltpu.VMEM
+            (G * bm, k), lambda i, bc: (i, 0), memory_space=pltpu.VMEM
         ),
     )
     return pl.pallas_call(
         functools.partial(
             _bell_kernel,
             bk=bk,
+            bm=bm,
             n_blocks=M,
+            rows_per_step=G,
             precision=_matmul_precision(Xp.dtype),
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nbr * bm, k), Xp.dtype),
         interpret=interpret,
-    )(block_cols, blocks, Xp)
+    )(block_cols, blocks.reshape(nbr // G, G, M, bm, bk), Xp)
 
 
 def _spmm_bell_forward(A: BlockedELL, X):
     bm, bk = A.block_shape
+    nbr, M = A.block_cols.shape
     nbc = -(-A.shape[1] // bk)
     k = X.shape[1]
     Xp = jnp.zeros((nbc * bk, k), X.dtype).at[: A.shape[1]].set(X)
-    out = _spmm_bell_call(A.block_cols, A.blocks, Xp, interpret=config.interpret())
+    # pad block-rows to a multiple of the step batch (padding rows carry
+    # zero blocks and in-range block_col 0 — harmless, rows sliced away)
+    G = max(1, min(_ROWS_PER_STEP, nbr))
+    nbr_pad = -(-nbr // G) * G
+    bc, blocks = A.block_cols, A.blocks
+    if nbr_pad != nbr:
+        bc = jnp.concatenate(
+            [bc, jnp.zeros((nbr_pad - nbr, M), bc.dtype)], axis=0)
+        blocks = jnp.concatenate(
+            [blocks, jnp.zeros((nbr_pad - nbr, M, bm, bk), blocks.dtype)],
+            axis=0)
+    out = _spmm_bell_call(bc, blocks, Xp, interpret=config.interpret(),
+                          rows_per_step=G)
     return out[: A.shape[0]]
 
 
