@@ -68,12 +68,142 @@ def _spmm_bsr_call(brow, bcol, blocks, Xp, *, nbr: int, interpret=False):
     )(brow, bcol, blocks, Xp)
 
 
+# ---------------------------------------------------------------------------
+# Panel path: one grid step per block-row, ONE MXU dot per step.
+#
+# The grouped-matmul kernel above issues a tiny (bm, bn) @ (bn, k) dot per
+# STORED block — at (8, 8) blocks that is a 3 000+-step grid of 8×8
+# contractions using 8 of the MXU's 128 rows.  The panel layout instead
+# stores each block-row's blocks horizontally as a (bm, M*bn) panel
+# (encode-once, host) and the kernel assembles the matching (M*bn, k) RHS
+# from M sublane-aligned x slices, closing the row with a single wide dot.
+# Padding slots: zero panel columns + block-col 0 (sentinel-zero stance,
+# /root/reference/src/sparse/sparse-matrix.cc:29-31).
+# ---------------------------------------------------------------------------
+
+import dataclasses as _dc
+from typing import Tuple as _Tuple
+
+from ..formats.base import register_sparse_pytree as _register
+
+
+@_register
+@_dc.dataclass(frozen=True)
+class BSRPanels:
+    panels: jnp.ndarray  # (nbr, bm, M*bn)
+    bcols: jnp.ndarray  # (nbr, M) int32 — padding slots point at tile 0
+    shape: _Tuple[int, int] = _dc.field(metadata={"static": True})
+    block_shape: _Tuple[int, int] = _dc.field(metadata={"static": True})
+    nnz: int = _dc.field(metadata={"static": True})
+
+
+def pack_bsr_panels(A: BSR) -> BSRPanels:
+    """Host-side encode of the panel layout (one-time, cached by spmm)."""
+    import numpy as np
+
+    bm, bn = A.block_shape
+    nbr = A.num_block_rows
+    indptr = np.asarray(A.indptr)
+    indices = np.asarray(A.indices)
+    data = np.asarray(A.data)
+    counts = np.diff(indptr)
+    # ignore padding slots beyond the real block count
+    n_real = int(indptr[-1])
+    M = max(int(counts.max()) if nbr else 1, 1)
+    brow = np.repeat(np.arange(nbr), counts)
+    slot = np.arange(n_real) - indptr[brow]
+    p4 = np.zeros((nbr, M, bm, bn), data.dtype)
+    p4[brow, slot] = data[:n_real]
+    bcols = np.zeros((nbr, M), np.int32)
+    bcols[brow, slot] = indices[:n_real]
+    return BSRPanels(
+        panels=jnp.asarray(p4.transpose(0, 2, 1, 3).reshape(nbr, bm, M * bn)),
+        bcols=jnp.asarray(bcols),
+        shape=A.shape,
+        block_shape=(bm, bn),
+        nnz=A.nnz,
+    )
+
+
+def _bsr_panel_kernel(bcol_ref, panels_ref, x_ref, o_ref, *, bn: int, M: int,
+                      precision):
+    i = pl.program_id(0)
+    xs = [
+        x_ref[pl.ds(pl.multiple_of(bcol_ref[i, m] * bn, bn), bn), :]
+        for m in range(M)
+    ]
+    xt = jnp.concatenate(xs, axis=0) if M > 1 else xs[0]  # (M*bn, k)
+    o_ref[:] = jnp.dot(
+        panels_ref[0], xt, preferred_element_type=jnp.float32,
+        precision=precision,
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _spmm_bsr_panel_call(bcols, panels, Xp, *, interpret=False):
+    nbr, bm, mbn = panels.shape
+    M = bcols.shape[1]
+    bn = mbn // M
+    k = Xp.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # bcols
+        grid=(nbr,),
+        in_specs=[
+            pl.BlockSpec((1, bm, mbn), lambda i, bc: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # full X
+        ],
+        out_specs=pl.BlockSpec((bm, k), lambda i, bc: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_bsr_panel_kernel, bn=bn, M=M,
+                          precision=_matmul_precision(Xp.dtype)),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nbr * bm, k), Xp.dtype),
+        interpret=interpret,
+    )(bcols, panels, Xp)
+
+
+import weakref as _weakref
+
+_PANEL_CACHE: dict = {}
+
+
+def _panels_for(A: BSR):
+    """Pack-and-cache (weakref-evicted) for concrete BSR containers."""
+    import jax.core
+
+    if isinstance(A.data, jax.core.Tracer):
+        return None
+    key = id(A)
+    entry = _PANEL_CACHE.get(key)
+    if entry is not None and entry[0]() is A:
+        return entry[1]
+    with jax.ensure_compile_time_eval():
+        packed = pack_bsr_panels(A)
+    ref = _weakref.ref(A, lambda _u, k=key: _PANEL_CACHE.pop(k, None))
+    _PANEL_CACHE[key] = (ref, packed)
+    return packed
+
+
 def _spmm_bsr_forward(A: BSR, X):
     bm, bn = A.block_shape
     nbr = A.num_block_rows
     nbc = -(-A.shape[1] // bn)
     k = X.shape[1]
     Xp = jnp.zeros((nbc * bn, k), X.dtype).at[: A.shape[1]].set(X)
+    # panel path needs sublane-aligned RHS slices (bn multiple of 8) and a
+    # bounded unrolled slice count; otherwise the grouped kernel serves
+    packed = None
+    if bn % 8 == 0:
+        packed = _panels_for(A)
+        if packed is not None and packed.bcols.shape[1] > 64:
+            packed = None
+    if packed is not None:
+        out = _spmm_bsr_panel_call(packed.bcols, packed.panels, Xp,
+                                   interpret=config.interpret())
+        return out[: A.shape[0]]
     brow = (
         A.block_row_ids
         if A.block_row_ids is not None

@@ -56,3 +56,30 @@ def test_codebook_matmul_kernel_interpret(rng, mnk):
     got = np.asarray(codebook_matmul(a, b_t))
     want = np.asarray(a).astype(np.float64) @ np.asarray(b_t.todense()).T
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=0.5)
+
+
+def test_bsr_panel_path_matches_grouped(rng):
+    """The panel layout (one wide dot per block-row) must equal the
+    grouped per-block kernel, including empty block-rows and padding."""
+    import numpy as np
+
+    from sparsematrix_tpu.formats import CSR, csr_to_bsr
+    from sparsematrix_tpu.kernels.bsr_pallas import (
+        _panels_for, pack_bsr_panels, spmm_bsr)
+
+    n = 256
+    dense = np.zeros((n, n), np.float32)
+    mask = rng.random((n // 8, n // 8)) < 0.08
+    mask[3, :] = False  # an empty block-row
+    dense = (np.kron(mask, np.ones((8, 8))).astype(np.float32)
+             * rng.uniform(-5, 5, (n, n)).astype(np.float32))
+    A = csr_to_bsr(CSR.fromdense(dense), block_shape=(8, 8))
+    X = rng.uniform(-1, 1, (n, 32)).astype(np.float32)
+    got = np.asarray(spmm_bsr(A, jnp.asarray(X)))  # concrete → panel path
+    assert _panels_for(A) is not None
+    np.testing.assert_allclose(got, dense @ X, rtol=2e-4, atol=1e-4)
+    # traced path (grouped kernel) must agree
+    import jax
+
+    got_traced = np.asarray(jax.jit(spmm_bsr)(A, jnp.asarray(X)))
+    np.testing.assert_allclose(got, got_traced, rtol=1e-5, atol=1e-5)
