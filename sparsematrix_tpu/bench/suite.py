@@ -475,6 +475,21 @@ def bench_bsr(check=True, n=2048, block=(8, 8), density=0.05, k=128, **kw):
     r = Row("bsr/spmm", f"n={n},b={block},k={k}", res, nnz=A.nnz, checked=chk)
     r.sol_frac = r.nnz_per_s / sol
     rows.append(r)
+    # encode-once convention (closure over the container, like codebook):
+    # the concrete BSR auto-packs the panel layout — one wide MXU dot per
+    # block-row instead of one 8x8 dot per stored block
+    f3 = jax.jit(lambda m: spmm(A, m, method="sparse"))
+    res = bench_fn_slope(f3, X, iters=6, perturb_max_bytes=1 << 20)
+    chk = (
+        relative_check(np.asarray(f3(X)),
+                       dense.astype(np.float64) @ np.asarray(X))
+        if check
+        else None
+    )
+    r = Row("bsr/spmm-panel", f"n={n},b={block},k={k}", res, nnz=A.nnz,
+            checked=chk)
+    r.sol_frac = r.nnz_per_s / sol
+    rows.append(r)
     return rows
 
 
