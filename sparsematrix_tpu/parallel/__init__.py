@@ -1,5 +1,10 @@
 from .partition import PartitionedCSR, partition_csr_rows, partition_csr_cols
 from .dist_ops import dist_spmv, dist_spmm, shard_partitioned, make_mesh
+from .dist_rowlane import (
+    PartitionedRowLane,
+    partition_rowlane,
+    dist_spmv_rowlane,
+)
 from .dist_block import (
     PartitionedBlockedELL,
     partition_bell_rows,
@@ -34,6 +39,9 @@ from .dist_spgemm import (
 )
 
 __all__ = [
+    "PartitionedRowLane",
+    "partition_rowlane",
+    "dist_spmv_rowlane",
     "PartitionedCSR",
     "partition_csr_rows",
     "partition_csr_cols",

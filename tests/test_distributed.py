@@ -271,3 +271,25 @@ def test_scaling_accounting_matches_partition(rng):
     assert len(table) == 4
     assert table[0]["weak_scaling_efficiency"] == 1.0
     assert all(0 < row["weak_scaling_efficiency"] <= 1.0 for row in table)
+
+
+def test_dist_spmv_rowlane_kernel():
+    """Distributed SpMV with the row-lane Pallas kernel as local compute
+    (all-gather RHS + per-shard slab kernel inside shard_map)."""
+    import scipy.sparse as sps
+
+    from sparsematrix_tpu.parallel import (
+        dist_spmv_rowlane, make_mesh, partition_rowlane)
+
+    rng = np.random.default_rng(17)
+    n = 1100  # odd: bands pad to 128-multiples, last band partial
+    A = sps.random(n, n, density=0.03, format="csr",
+                   random_state=np.random.RandomState(2), dtype=np.float32)
+    A.data = rng.uniform(-10, 10, A.nnz).astype(np.float32)
+    x = rng.uniform(-1, 1, n).astype(np.float32)
+    for shards in (2, 8):
+        part = partition_rowlane(CSR.from_scipy(A), shards, group=8)
+        mesh = make_mesh(shards)
+        y = np.asarray(jax.jit(
+            lambda p, v: dist_spmv_rowlane(p, v, mesh))(part, jnp.asarray(x)))
+        np.testing.assert_allclose(y, A @ x, rtol=2e-4, atol=1e-4)
