@@ -106,3 +106,56 @@ def test_superblock_property(seed, shape, density):
     y = np.asarray(spmv_superblock(packed, jnp.asarray(x)))
     np.testing.assert_allclose(y, dense.astype(np.float64) @ x,
                                rtol=2e-3, atol=0.5)
+
+
+@pytest.mark.parametrize("seed,n,offsets", [
+    (2, 400, (-3, 0, 3)),
+    (9, 1030, (-65, -1, 0, 1, 64)),
+    (21, 513, tuple(range(-10, 11))),
+])
+def test_stripdense_property(seed, n, offsets):
+    """StripDense spmv/spmm == fp64 oracle across band structures and
+    non-multiple-of-128 sizes."""
+    import scipy.sparse as sps
+
+    from sparsematrix_tpu.formats import StripDense
+    from sparsematrix_tpu.ops import spmm, spmv
+
+    rng = np.random.default_rng(seed)
+    mats = [rng.uniform(-10, 10, n - abs(o)).astype(np.float32)
+            for o in offsets]
+    A = sps.diags(mats, offsets, (n, n)).tocsr().astype(np.float32)
+    S = StripDense.from_csr(CSR.from_scipy(A))
+    x = rng.uniform(-1, 1, n).astype(np.float32)
+    X = rng.uniform(-1, 1, (n, 8)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(spmv(S, jnp.asarray(x))),
+        A.astype(np.float64) @ x, rtol=2e-3, atol=0.5)
+    np.testing.assert_allclose(
+        np.asarray(spmm(S, jnp.asarray(X))),
+        A.astype(np.float64) @ X, rtol=2e-3, atol=0.5)
+
+
+@pytest.mark.parametrize("seed,n,density", [
+    (1, 300, 0.03), (7, 1100, 0.01),
+])
+def test_spgemm_coloring_property(seed, n, density):
+    """Colored packed SpGEMM == scipy across shapes; fill never worse
+    than the legacy stripe."""
+    import scipy.sparse as sps
+
+    from sparsematrix_tpu.ops import spgemm_apply_packed, spgemm_plan_packed
+
+    rs = np.random.RandomState(seed)
+    A = sps.random(n, n, density=density, format="csr", random_state=rs,
+                   dtype=np.float32)
+    B = sps.random(n, n, density=density, format="csr", random_state=rs,
+                   dtype=np.float32)
+    Ac, Bc = CSR.from_scipy(A), CSR.from_scipy(B)
+    pp = spgemm_plan_packed(Ac, Bc)
+    got = np.asarray(spgemm_apply_packed(pp, Bc.data).data)[: pp.c_nnz]
+    want = (A.astype(np.float64) @ B.astype(np.float64)).tocsr()
+    want.sort_indices()
+    np.testing.assert_allclose(got, want.data, rtol=2e-4, atol=1e-4)
+    pm = spgemm_plan_packed(Ac, Bc, stripe="mod")
+    assert pp.p_packed.fill_rate >= pm.p_packed.fill_rate
