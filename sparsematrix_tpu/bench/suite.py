@@ -282,6 +282,12 @@ def bench_csr_spmv_large(check=True, n=8192, nnz_row=256, **kw):
                 f"fill={packed.fill_rate:.2f}",
                 res, nnz=A.nnz, checked=checked)
         r.sol_frac = r.nnz_per_s / sol
+        from ..utils.roofline import active_chip
+
+        slab_bytes = (packed.vals.size * packed.vals.dtype.itemsize
+                      + packed.s_idx.size)
+        r.extras = {"bw_util": slab_bytes / (res.min_ms * 1e-3) / 1e9
+                    / active_chip().hbm_gbps, **res.extras}
         rows.append(r)
     rows.append(_dense_race_row("csr_spmv_large", dense, x, A.nnz))
     return rows
@@ -555,7 +561,17 @@ def bench_csr_spmv_xl(check=True, n=32768, nnz_row=512, **kw):
                 f"fill={packed.fill_rate:.2f}",
                 res, nnz=A.nnz, checked=checked)
         r.sol_frac = r.nnz_per_s / sol
-        r.extras = {"pack_seconds": pack_s, **res.extras}
+        # honest split of the SoL gap: kernel HBM utilization (actual slab
+        # bytes streamed / time / spec bandwidth) vs the packing fill,
+        # which is structural for uniform-random patterns (DESIGN.md)
+        slab_bytes = (packed.vals.size * packed.vals.dtype.itemsize
+                      + packed.s_idx.size)
+        from ..utils.roofline import active_chip
+
+        r.extras = {"pack_seconds": pack_s,
+                    "bw_util": slab_bytes / (res.min_ms * 1e-3) / 1e9
+                    / active_chip().hbm_gbps,
+                    **res.extras}
         rows.append(r)
     return rows
 
