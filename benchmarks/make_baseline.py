@@ -57,6 +57,9 @@ def generate(path: str) -> str:
             extra = ""
             if r.get("extras", {}).get("vs_baseline"):
                 extra = f" ({r['extras']['vs_baseline']:.0f}× ref)"
+            bw = r.get("extras", {}).get("bw_util")
+            shape = r["shape"] + (f",bw={100*bw:.0f}%" if bw else "")
+            r = dict(r, shape=shape)
             out.append(
                 f"| {r['name']} | {r['shape']} | {fmt_ms(r['min_ms'])}{extra} "
                 f"| {r['gnnz_per_s']:.2f} | {sol} | {chk} |")
