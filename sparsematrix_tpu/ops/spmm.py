@@ -247,10 +247,19 @@ def _pallas_impl(cls):
             # small blocks underutilize the MXU in the per-block grid
             # (measured: (8,8) blocks → 0.5 Gnnz/s pallas vs jnp batched
             # einsum ~4x faster); the grouped-matmul kernel pays off only
-            # for MXU-sized blocks.
+            # for MXU-sized blocks.  Concrete small-block containers take
+            # the PANEL layout instead (one wide dot per block-row,
+            # encode-once cached) — the fast path spmm_bsr selects
+            # internally.
             bm, bn = A.block_shape
             if bm * bn >= 4096:
                 return raw(A, X)
+            if bn % 8 == 0:
+                from ..kernels.bsr_pallas import _panels_for
+
+                packed = _panels_for(A)
+                if packed is not None and packed.bcols.shape[1] <= 64:
+                    return raw(A, X)
             return _spmm_bsr_jnp(A, X)
 
         impl = bsr_dispatch

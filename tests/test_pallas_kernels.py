@@ -83,3 +83,31 @@ def test_bsr_panel_path_matches_grouped(rng):
 
     got_traced = np.asarray(jax.jit(spmm_bsr)(A, jnp.asarray(X)))
     np.testing.assert_allclose(got, got_traced, rtol=1e-5, atol=1e-5)
+
+
+def test_spmm_dispatch_uses_bsr_panels(rng):
+    """ops.spmm on a concrete small-block BSR must reach the panel layout
+    (cache populated) and match the oracle."""
+    import numpy as np
+
+    from sparsematrix_tpu.formats import CSR, csr_to_bsr
+    from sparsematrix_tpu.kernels import bsr_pallas as bp
+    from sparsematrix_tpu.ops import spmm
+
+    n = 256
+    mask = rng.random((n // 8, n // 8)) < 0.1
+    dense = (np.kron(mask, np.ones((8, 8))).astype(np.float32)
+             * rng.uniform(-5, 5, (n, n)).astype(np.float32))
+    A = csr_to_bsr(CSR.fromdense(dense), block_shape=(8, 8))
+    X = rng.uniform(-1, 1, (n, 16)).astype(np.float32)
+    bp._PANEL_CACHE.clear()
+    from sparsematrix_tpu.config import config
+
+    old = config.kernel_impl
+    config.kernel_impl = "pallas"  # CPU: dispatch as the TPU would
+    try:
+        Y = np.asarray(spmm(A, jnp.asarray(X), method="sparse"))
+    finally:
+        config.kernel_impl = old
+    assert len(bp._PANEL_CACHE) == 1, "panel layout not engaged"
+    np.testing.assert_allclose(Y, dense @ X, rtol=2e-4, atol=1e-4)
