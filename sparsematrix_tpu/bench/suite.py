@@ -958,17 +958,24 @@ def bench_codebook_gemm(check=True, density=0.25, **kw):
                 b_dns.val_table.astype(jnp.bfloat16)[
                     b_dns.idx.astype(jnp.int32)].T,
             ).astype(jnp.float32)),
+    }
+
+    def _int8_variant():
         # int8 activations x int8 codebook on the MXU's integer path —
         # the analogue of the fork-only cblas_wgemm_plus
-        # (/root/reference/openblas_darwin_plus/include/cblas.h:252-257)
-        "int8-gemm": (lambda b_q=quantize_codebook(b_dns): jax.jit(
-            lambda aa, cc: add_mat_mat_int8(aa, b_q, cc, 1.0, 1.0)))(),
-    }
+        # (/root/reference/openblas_darwin_plus/include/cblas.h:252-257);
+        # quantized lazily so unrelated headline runs don't pay the encode
+        b_q = quantize_codebook(b_dns)
+        return jax.jit(lambda aa, cc: add_mat_mat_int8(aa, b_q, cc, 1.0, 1.0))
+
+    all_variants["int8-gemm"] = _int8_variant
     names = kw.get("variants") or ("csr-auto", "dense-dequant",
                                    "dense-dequant-bf16", "fused-pallas",
                                    "fused-pallas-bf16", "int8-gemm")
     for vname in names:
         f = all_variants[vname]
+        if vname == "int8-gemm":
+            f = f()  # lazy factory
         name = f"codebook_gemm/{vname}"
         # fast variants need more in-graph reps to rise above the ~28 ms
         # relay-latency noise floor

@@ -171,18 +171,22 @@ _PANEL_CACHE: dict = {}
 
 
 def _panels_for(A: BSR):
-    """Pack-and-cache (weakref-evicted) for concrete BSR containers."""
+    """Pack-and-cache (weakref-evicted) for concrete BSR containers.
+
+    Keyed on the DATA LEAF, not the container: pytree round-trips (e.g.
+    the custom_vjp boundary) reconstruct the dataclass per call but reuse
+    the same underlying arrays, so the leaf id is the stable identity."""
     import jax.core
 
     if isinstance(A.data, jax.core.Tracer):
         return None
-    key = id(A)
+    key = id(A.data)
     entry = _PANEL_CACHE.get(key)
-    if entry is not None and entry[0]() is A:
+    if entry is not None and entry[0]() is A.data:
         return entry[1]
     with jax.ensure_compile_time_eval():
         packed = pack_bsr_panels(A)
-    ref = _weakref.ref(A, lambda _u, k=key: _PANEL_CACHE.pop(k, None))
+    ref = _weakref.ref(A.data, lambda _u, k=key: _PANEL_CACHE.pop(k, None))
     _PANEL_CACHE[key] = (ref, packed)
     return packed
 
@@ -193,10 +197,11 @@ def _spmm_bsr_forward(A: BSR, X):
     nbc = -(-A.shape[1] // bn)
     k = X.shape[1]
     Xp = jnp.zeros((nbc * bn, k), X.dtype).at[: A.shape[1]].set(X)
-    # panel path needs sublane-aligned RHS slices (bn multiple of 8) and a
-    # bounded unrolled slice count; otherwise the grouped kernel serves
+    # panel path: small blocks only (MXU-sized blocks keep the measured
+    # grouped kernel, matching the ops.spmm dispatch), sublane-aligned RHS
+    # slices (bn multiple of 8), bounded unrolled slice count
     packed = None
-    if bn % 8 == 0:
+    if bn % 8 == 0 and bm * bn < 4096:
         packed = _panels_for(A)
         if packed is not None and packed.bcols.shape[1] > 64:
             packed = None

@@ -108,19 +108,15 @@ def _spmm_bell_forward(A: BlockedELL, X):
     nbc = -(-A.shape[1] // bk)
     k = X.shape[1]
     Xp = jnp.zeros((nbc * bk, k), X.dtype).at[: A.shape[1]].set(X)
-    # pad block-rows to a multiple of the step batch (padding rows carry
-    # zero blocks and in-range block_col 0 — harmless, rows sliced away)
-    G = max(1, min(_ROWS_PER_STEP, nbr))
-    nbr_pad = -(-nbr // G) * G
-    bc, blocks = A.block_cols, A.blocks
-    if nbr_pad != nbr:
-        bc = jnp.concatenate(
-            [bc, jnp.zeros((nbr_pad - nbr, M), bc.dtype)], axis=0)
-        blocks = jnp.concatenate(
-            [blocks, jnp.zeros((nbr_pad - nbr, M, bm, bk), blocks.dtype)],
-            axis=0)
-    out = _spmm_bell_call(bc, blocks, Xp, interpret=config.interpret(),
-                          rows_per_step=G)
+    # largest batch that divides the block-row count — padding instead
+    # would concatenate a fresh copy of the whole blocks array per call
+    G = 1
+    for g in range(min(_ROWS_PER_STEP, nbr), 0, -1):
+        if nbr % g == 0:
+            G = g
+            break
+    out = _spmm_bell_call(A.block_cols, A.blocks, Xp,
+                          interpret=config.interpret(), rows_per_step=G)
     return out[: A.shape[0]]
 
 

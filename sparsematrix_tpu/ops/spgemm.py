@@ -286,6 +286,10 @@ def _color_b_ranks(row_of: np.ndarray, q: np.ndarray, n_ranks: int):
     native_alloc = _color_b_ranks_native(row_of, q, n_ranks)
     if native_alloc is not None:
         return native_alloc
+    if n_ranks > 200_000:
+        # the python fallback is an interpreted per-rank loop (~25 µs/rank);
+        # without the native lib, large plans keep the vectorized stripe
+        return None
     order = np.argsort(q, kind="stable")
     q_s, row_s = q[order], row_of[order]
     starts = np.searchsorted(q_s, np.arange(n_ranks))
@@ -385,9 +389,11 @@ def spgemm_plan_packed(A: CSR, B: CSR, cluster: bool = True,
         # sublane position of each rank within its 1024-rank window:
         # conflict-graph coloring (one slab per (tile, window)), or the
         # legacy round-robin stripe
-        if stripe == "color":
+        alloc_r = (_color_b_ranks(row_of, rank[pb], len(b_key))
+                   if stripe == "color" else None)
+        if alloc_r is not None:
             # _color_b_ranks is rank-indexed; re-index by entry id
-            alloc = _color_b_ranks(row_of, rank[pb], len(b_key))[rank]
+            alloc = alloc_r[rank]
         else:
             qq = rank % 1024
             alloc = (rank // 1024) * 1024 + (qq % 8) * 128 + qq // 8

@@ -190,29 +190,21 @@ def prepare_spmv(A: "CSR", layout: str = "auto", **pack_kwargs):
 def _maybe_strip(A: "CSR"):
     """StripDense pack when the matrix is band-local AND dense within the
     band (strip fill ≥ 0.25 — where the dense batched matvec's extra
-    zero-FLOPs cost less than slab-gather machinery); None otherwise."""
-    import numpy as np
+    zero-FLOPs cost less than slab-gather machinery); None otherwise.
 
+    Band-locality is judged by ``from_csr`` itself (one scan, one rule —
+    a 2048-column window cap here vs its 8192 default)."""
     from ..formats import StripDense
 
-    sp = A.to_scipy().tocsr()
-    rows, cols = sp.shape
-    if sp.nnz == 0 or rows < 128:
+    if A.nnz == 0 or A.shape[0] < 128:
         return None
-    r = np.repeat(np.arange(rows), np.diff(sp.indptr))
-    s = r // 128
-    n_strips = -(-rows // 128)
-    lo = np.full(n_strips, cols, np.int64)
-    hi = np.full(n_strips, -1, np.int64)
-    np.minimum.at(lo, s, sp.indices)
-    np.maximum.at(hi, s, sp.indices)
-    span = int(np.where(hi >= 0, hi - lo + 1, 0).max(initial=0))
-    if span == 0 or span > 2048:
+    try:
+        S = StripDense.from_csr(A, max_width=2048)
+    except ValueError:
         return None
-    width = min(max(-(-span // 128), 1) * 128, cols)
-    if sp.nnz / (n_strips * 128 * width) < 0.25:
+    if S.fill_rate < 0.25:
         return None
-    return StripDense.from_csr(A)
+    return S
 
 
 def _auto_pack(A: "CSR"):

@@ -148,7 +148,10 @@ def _looped(fn: Callable, n_args: int, inner: int,
     overstatement at 16.6 M nnz).  Only set it when the big operand feeds
     the timed op DIRECTLY (no host-visible preprocessing XLA could hoist
     out of the loop — e.g. NOT for densify/dequant paths, whose
-    A-transform is part of what's being timed)."""
+    A-transform is part of what's being timed).  The SMALLEST float leaf
+    is always perturbed regardless of the cap — with every operand
+    loop-invariant XLA hoists the whole op and the measurement collapses
+    to ~0 (measured 3500× understatement)."""
     import jax
     import jax.numpy as jnp
 
@@ -179,16 +182,26 @@ def _looped(fn: Callable, n_args: int, inner: int,
                 jnp.asarray(i, jnp.float32) * jnp.float32(1e-30)
                 + acc * jnp.float32(1e-45)
             )
-            def _maybe_perturb(a):
-                aj = jnp.asarray(a)
-                if not jnp.issubdtype(aj.dtype, jnp.floating):
+            flat, treedef = jax.tree_util.tree_flatten(args)
+            fsizes = [
+                (jnp.asarray(a).size * jnp.asarray(a).dtype.itemsize
+                 if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+                 else None)
+                for a in flat
+            ]
+            fvals = [sz for sz in fsizes if sz is not None]
+            min_f = min(fvals) if fvals else None
+
+            def _maybe_perturb(a, sz):
+                if sz is None:
                     return a
                 if (perturb_max_bytes is not None
-                        and aj.size * aj.dtype.itemsize > perturb_max_bytes):
+                        and sz > perturb_max_bytes and sz != min_f):
                     return a
-                return a + eps.astype(aj.dtype)
+                return a + eps.astype(jnp.asarray(a).dtype)
 
-            perturbed = jax.tree_util.tree_map(_maybe_perturb, args)
+            perturbed = treedef.unflatten(
+                [_maybe_perturb(a, sz) for a, sz in zip(flat, fsizes)])
             out = fn(*perturbed)
             return acc + probe(out)
 
