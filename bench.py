@@ -14,6 +14,10 @@ sys.path.insert(0, "/root/repo")
 
 
 def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from sparsematrix_tpu.bench.suite import bench_codebook_gemm
 
     # the framework's recommended paths for this workload; the full

@@ -26,6 +26,11 @@ def main(argv=None):
     # SoL denominator (and normalizes cross-session relay variance)
     import jax
 
+    # persistent executable cache: axon's remote compiles are 2-5 min per
+    # kernel; serialized executables reload in ~20 ms across processes
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     if jax.default_backend() != "cpu" and filt.accept("calibrate"):
         from .suite import bench_calibrate
 

@@ -71,6 +71,10 @@ def get_lib():
         lib.smtpu_ilu0.argtypes = [
             c_i64p, c_i32p, ctypes.POINTER(ctypes.c_double), c_long,
         ]
+        lib.smtpu_ic0.restype = c_long
+        lib.smtpu_ic0.argtypes = [
+            c_i64p, c_i32p, ctypes.POINTER(ctypes.c_double), c_long,
+        ]
         lib.smtpu_index_matrix_to_csr.restype = c_long
         lib.smtpu_index_matrix_to_csr.argtypes = [
             c_i32p, c_long, c_long, ctypes.c_int32,

@@ -14,6 +14,7 @@
 //   * per non-empty panel: (row_off=0, col_off) origin and [start, end)
 //     bounds into the streams.
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -191,6 +192,45 @@ long smtpu_ilu0(const int64_t* indptr, const int32_t* indices, double* a,
         if (indices[t] < indices[p]) ++t;
         else if (indices[t] > indices[p]) ++p;
         else a[p++] -= lik * a[t++];
+      }
+    }
+  }
+  return 0;
+}
+
+// IC(0): incomplete Cholesky on the fixed pattern of tril(A).  CSR must
+// have sorted indices with the diagonal present (last entry of each row).
+// a[] holds tril(A) values on entry and L values on exit (row-wise
+// up-looking walk; the row-i/row-j dot over columns < j is a two-pointer
+// merge, mirroring smtpu_ilu0's update loop).
+// Returns 0 on success, -1-i for a missing diagonal at row i, and
+// -(n+1+i) for a non-positive pivot at row i (matrix not SPD-compatible).
+long smtpu_ic0(const int64_t* indptr, const int32_t* indices, double* a,
+               long n) {
+  for (long i = 0; i < n; ++i) {
+    const long end = indptr[i + 1];
+    if (end == indptr[i] || indices[end - 1] != i) return -1 - i;
+    for (long s = indptr[i]; s < end; ++s) {
+      const long j = indices[s];
+      // dot of rows i and j over columns < j; both diagonals are the
+      // final entries of their rows, so the merge bounds exclude them
+      double sum = 0.0;
+      long p = indptr[i];
+      long t = indptr[j];
+      const long tend = indptr[j + 1] - 1;
+      while (p < s && t < tend) {
+        if (indices[p] < indices[t]) ++p;
+        else if (indices[p] > indices[t]) ++t;
+        else sum += a[p++] * a[t++];
+      }
+      if (j < i) {
+        const double piv = a[tend];  // L[j][j]
+        if (piv <= 0.0) return -(n + 1 + j);
+        a[s] = (a[s] - sum) / piv;
+      } else {  // j == i: the diagonal closes the row
+        const double d = a[s] - sum;
+        if (d <= 0.0) return -(n + 1 + i);
+        a[s] = std::sqrt(d);
       }
     }
   }
