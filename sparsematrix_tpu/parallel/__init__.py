@@ -31,6 +31,7 @@ from .scaling import (
     weak_scaling_table,
 )
 from .halo import shard_halo
+from .dist_solve import dist_cg
 from .dist_spgemm import (
     DistSpGEMMPlan,
     dist_spgemm_plan,
@@ -47,6 +48,7 @@ __all__ = [
     "partition_csr_cols",
     "dist_spmv",
     "dist_spmm",
+    "dist_cg",
     "shard_partitioned",
     "make_mesh",
     "DistSpGEMMPlan",
