@@ -3,20 +3,43 @@
 
 Later passes override earlier rows with the same (name, shape) key —
 re-running a single bench (e.g. after an oracle fix) replaces just its
-rows.  Usage:
+rows.  When a bench group was fully re-run its old rows may carry stale
+shape strings (fill/levels change with the packer), so ``--fresh
+group1,group2`` evicts every earlier row of those groups before merging
+the later files.  Usage:
 
-    python benchmarks/merge_results.py out.json in1.json in2.json ...
+    python benchmarks/merge_results.py [--fresh g1,g2] out.json in1.json ...
 """
 import json
 import sys
 
 
 def main():
-    out_path, *ins = sys.argv[1:]
+    args = sys.argv[1:]
+    fresh: set[str] = set()
+    if args and args[0] == "--fresh":
+        fresh = set(args[1].split(","))
+        args = args[2:]
+    out_path, *ins = args
     rows: dict[tuple, dict] = {}
     order: list[tuple] = []
-    for path in ins:
+    # groups seen in files AFTER the first are "re-run" groups; --fresh
+    # names which of them evict their older same-group rows wholesale
+    later_groups: set[str] = set()
+    for i, path in enumerate(ins):
+        if i > 0:
+            for r in json.load(open(path)):
+                later_groups.add(r["name"].split("/")[0])
+    evict = fresh & later_groups
+    if fresh - later_groups:
+        print(f"warning: --fresh groups never re-measured: "
+              f"{sorted(fresh - later_groups)}", file=sys.stderr)
+
+    for i, path in enumerate(ins):
         for r in json.load(open(path)):
+            group = r["name"].split("/")[0]
+            if i == 0 and group in evict:
+                continue
             key = (r["name"], r["shape"])
             if key not in rows:
                 order.append(key)
@@ -34,7 +57,8 @@ def main():
     merged = [rows[k] for k in order]
     with open(out_path, "w") as f:
         json.dump(merged, f, indent=1)
-    print(f"{out_path}: {len(merged)} rows from {len(ins)} files")
+    print(f"{out_path}: {len(merged)} rows from {len(ins)} files"
+          + (f" (evicted stale groups: {sorted(evict)})" if evict else ""))
 
 
 if __name__ == "__main__":
