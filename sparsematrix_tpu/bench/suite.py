@@ -866,9 +866,15 @@ def bench_ilu_cg(check=True, n=4096, iters=25, **kw):
 
     fplans = ilu0_fused_plans(A)
     Mf = lambda r: ilu_apply(fplans, r)
+    # the SPD system also admits IC(0): half the triangular work of ILU(0)
+    # (one factor, L^T reused for the upper solve)
+    from ..ops.ichol import ic0_fused_plans, ic_apply
+
+    icplans = ic0_fused_plans(A)
+    Mic = lambda r: ic_apply(icplans, r)
     rows = []
     for label, precond in (("plain", None), ("ilu0", M),
-                           ("ilu0-fused", Mf)):
+                           ("ilu0-fused", Mf), ("ic0-fused", Mic)):
         f = jax.jit(lambda bb: cg(Ap, bb, maxiter=iters, M=precond,
                                   tol=0.0).x)
         res = bench_fn_slope(f, b, iters=4, inner_lo=2, inner_hi=10)
