@@ -50,7 +50,10 @@ def _dense_race_row(tag, dense_np, rhs, nnz):
     f = jax.jit(lambda m, v: jnp.dot(m, v, precision=_mxu_precision(m.dtype)))
     res = bench_fn_slope(f, dd, rhs, iters=6, perturb_max_bytes=1 << 20)
     n, m = dense_np.shape
-    r = Row(f"{tag}/dense-race", f"{n}x{m} dense on-MXU", res, nnz=nnz)
+    # include the RHS width so per-k races stay distinct rows in merges
+    k_str = f",k={rhs.shape[1]}" if rhs.ndim == 2 else ""
+    r = Row(f"{tag}/dense-race", f"{n}x{m}{k_str} dense on-MXU", res,
+            nnz=nnz)
     r.sol_frac = None  # roofline basis differs; Gnnz/s column is the race
     return r
 
@@ -145,6 +148,22 @@ def bench_csr_spmv(check=True, sizes=(4096,), **kw):
                     nnz=A.nnz, checked=checked)
             r.sol_frac = r.nnz_per_s / sol
             rows.append(r)
+        # encode-once convention: jit closes over the CONCRETE container,
+        # so the auto-pack dispatch engages (the reference's one-call
+        # contract, sparse-matrix.cc:140 — no user-side packing)
+        dense = gen_random_dense_sparse(rng, n, n, density=128 / n)
+        A = CSR.fromdense(dense)
+        x = jnp.asarray(gen_matrix_random(rng, n, 1)[:, 0])
+        fa = jax.jit(lambda v: spmv(A, v))
+        res = bench_fn_slope(fa, x, iters=6)
+        checked = None
+        if check:
+            checked = relative_check(np.asarray(fa(x)), dense @ np.asarray(x))
+        sol = speed_of_light_nnz_s(A.nnz, spmv_csr_bytes(A.nnz, n, n))
+        r = Row("csr_spmv/auto", f"n={n},nnz/row=128 (auto-pack dispatch)",
+                res, nnz=A.nnz, checked=checked)
+        r.sol_frac = r.nnz_per_s / sol
+        rows.append(r)
         # SELL pallas kernel rows (the packed fast paths)
         from ..kernels.spmv_pallas import (
             pack_sell,
