@@ -49,9 +49,13 @@ def main():
             # identical config measured in multiple sessions: keep the
             # faster one IF both passed their checks (relay variance can
             # be ~2x between sessions); otherwise the later row wins
-            # (oracle/check fixes change `checked`)
-            if (prev.get("checked") is True and r.get("checked") is True
-                    and prev["min_ms"] < r["min_ms"]):
+            # (oracle/check fixes change `checked`).  Dense-race rows
+            # carry no check but must ALSO keep their fastest session —
+            # replacing a fast race with a slow-session one would
+            # overstate the sparse win against it.
+            both_ok = prev.get("checked") is True and r.get("checked") is True
+            race = "dense-race" in r["name"]
+            if (both_ok or race) and prev["min_ms"] < r["min_ms"]:
                 continue
             rows[key] = r
     merged = [rows[k] for k in order]

@@ -558,10 +558,12 @@ def bench_csr_spmv_xl(check=True, n=32768, nnz_row=512, **kw):
     # rewrites the ~280 MB vals array each step, overstating the kernel
     # 2.5× (measured 1.41 ms looped vs 0.55 ms chained, same pack)
     chain_scale = jnp.float32(2.0 ** -20)
-    for tag, kws in (("fp32", dict(group=128)),
-                     ("fp32-sp4", dict(group=128, spill_depth=4)),
-                     ("bf16", dict(group=128, dtype=jnp.bfloat16)),
-                     ("bf16-sp4", dict(group=128, spill_depth=4,
+    # group=256 measured best (probe_xl_chain: fp32 91.6% HBM util vs
+    # 79.7% at g128; bf16 42.3 Gnnz/s)
+    for tag, kws in (("fp32", dict(group=256)),
+                     ("fp32-sp4", dict(group=256, spill_depth=4)),
+                     ("bf16", dict(group=256, dtype=jnp.bfloat16)),
+                     ("bf16-sp4", dict(group=256, spill_depth=4,
                                        dtype=jnp.bfloat16))):
         t0 = time.time()
         packed = pack_sell_rowlane(A, **kws)

@@ -94,11 +94,12 @@ def spmm_rowlane(packed: SellRowLane, X):
     Xp = jnp.zeros((S * _LANES, k), X.dtype).at[:cols].set(X)
     xt = Xp.T.reshape(k * S, _LANES)
     n_groups = packed.s_idx.shape[0]
-    from .spmv_rowlane import _MAX_GROUPS_PER_CALL
+    from .spmv_rowlane import _max_groups_per_call
 
+    chunk = _max_groups_per_call(packed.group)
     y = jnp.zeros((packed.n_tiles, k, _LANES), jnp.float32)
-    for g0 in range(0, n_groups, _MAX_GROUPS_PER_CALL):
-        g1 = min(g0 + _MAX_GROUPS_PER_CALL, n_groups)
+    for g0 in range(0, n_groups, chunk):
+        g1 = min(g0 + chunk, n_groups)
         out = _rowlane_mm_call(
             packed.group_tile[g0:g1], packed.slab_win[g0:g1],
             packed.s_idx[g0:g1], packed.vals[g0:g1], xt,

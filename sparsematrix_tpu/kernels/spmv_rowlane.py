@@ -196,7 +196,7 @@ def _pack_arrays(r, c, v, rows, cols, group, L, dtype):
         # clustered SpGEMM pair matrices) need the small-group tail or
         # per-tile padding dominates fill
         group = 1
-        for g in (64, 32, 16, 8, 4, 2):
+        for g in (256, 128, 64, 32, 16, 8, 4, 2):
             waste = ((-(-counts // g) * g).sum() - n_slabs) / max(n_slabs, 1)
             if waste <= 0.15:
                 group = g
@@ -405,8 +405,14 @@ def _rowlane_call(group_tile, slab_win, s_idx, vals, xp, *, group, n_tiles,
 
 
 # scalar-prefetch metadata lives in SMEM (~1 MB); chunk calls so
-# group_tile + slab_win stay well under it
-_MAX_GROUPS_PER_CALL = 24_000
+# group_tile + slab_win stay well under it.  slab_win is (groups, group)
+# int32, so the per-call group budget shrinks with the group size
+# (group=8 → 24k groups/call as before; group=256 → 780).
+_SMEM_PREFETCH_BUDGET = 800_000  # bytes
+
+
+def _max_groups_per_call(group: int) -> int:
+    return max(1, _SMEM_PREFETCH_BUDGET // (4 * (group + 1)))
 
 
 def _rowlane_forward(packed: SellRowLane, x):
@@ -417,8 +423,9 @@ def _rowlane_forward(packed: SellRowLane, x):
     xp = jnp.zeros((S * _LANES,), x.dtype).at[:cols].set(x).reshape(S, _LANES)
     n_groups = packed.s_idx.shape[0]
     y = jnp.zeros((packed.n_tiles, T), jnp.float32)
-    for g0 in range(0, n_groups, _MAX_GROUPS_PER_CALL):
-        g1 = min(g0 + _MAX_GROUPS_PER_CALL, n_groups)
+    chunk = _max_groups_per_call(packed.group)
+    for g0 in range(0, n_groups, chunk):
+        g1 = min(g0 + chunk, n_groups)
         out = _rowlane_call(
             packed.group_tile[g0:g1], packed.slab_win[g0:g1],
             packed.s_idx[g0:g1], packed.vals[g0:g1], xp,

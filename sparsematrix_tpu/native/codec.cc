@@ -358,7 +358,7 @@ long smtpu_rowlane_plan(const int32_t* r, const int32_t* c, long nnz,
   int32_t group = group_req;
   if (group <= 0) {
     group = 1;
-    for (int32_t cand : {64, 32, 16, 8, 4, 2}) {
+    for (int32_t cand : {256, 128, 64, 32, 16, 8, 4, 2}) {
       long padded = 0;
       for (long t = 0; t < s.n_tiles; ++t)
         padded += (s.counts[t] + cand - 1) / cand * cand;

@@ -68,7 +68,9 @@ def test_rowlane_spill(rng):
     packed = pack_sell_rowlane(A, spill_depth=4)
     assert packed.spill is not None and packed.spill.nnz > 0
     deep = pack_sell_rowlane(A)
-    assert packed.vals.shape[0] < deep.vals.shape[0]  # fewer slabs
+    # fewer stored slab slots in the main body (groups may coincide now
+    # that auto-group reaches 256)
+    assert packed.vals.size < deep.vals.size
     assert packed.fill_rate > deep.fill_rate
     x = rng.standard_normal(512).astype(np.float32)
     np.testing.assert_allclose(np.asarray(spmv_sell_rowlane(packed, jnp.asarray(x))),
