@@ -23,22 +23,23 @@ def main():
     out_path, *ins = args
     rows: dict[tuple, dict] = {}
     order: list[tuple] = []
-    # groups seen in files AFTER the first are "re-run" groups; --fresh
-    # names which of them evict their older same-group rows wholesale
-    later_groups: set[str] = set()
+    # for each --fresh group, find the LAST input file containing it; all
+    # of that group's rows in EARLIER files are evicted wholesale (stale
+    # shape strings from any prior session, not just the base file)
+    last_file_of_group: dict[str, int] = {}
     for i, path in enumerate(ins):
-        if i > 0:
-            for r in json.load(open(path)):
-                later_groups.add(r["name"].split("/")[0])
-    evict = fresh & later_groups
-    if fresh - later_groups:
-        print(f"warning: --fresh groups never re-measured: "
-              f"{sorted(fresh - later_groups)}", file=sys.stderr)
+        for r in json.load(open(path)):
+            last_file_of_group[r["name"].split("/")[0]] = i
+    evict = {g for g in fresh
+             if g in last_file_of_group and last_file_of_group[g] > 0}
+    if fresh - set(last_file_of_group):
+        print(f"warning: --fresh groups never measured at all: "
+              f"{sorted(fresh - set(last_file_of_group))}", file=sys.stderr)
 
     for i, path in enumerate(ins):
         for r in json.load(open(path)):
             group = r["name"].split("/")[0]
-            if i == 0 and group in evict:
+            if group in evict and i < last_file_of_group[group]:
                 continue
             key = (r["name"], r["shape"])
             if key not in rows:

@@ -92,14 +92,11 @@ def _spmm_codebook_dense_jnp(A: CodebookDense, X):
     # fallback.  For non-fp32 RHS the table is cast FIRST so the
     # materialized B plane is half-width (dominant HBM traffic,
     # dense-dequant-bf16 9.7 µs — faster than the dense bf16 race).
-    if X.dtype == jnp.float32:
-        table, precision = A.val_table, jax.lax.Precision.HIGHEST
-    else:
-        table, precision = (A.val_table.astype(X.dtype),
-                            jax.lax.Precision.DEFAULT)
+    table = (A.val_table if X.dtype == jnp.float32
+             else A.val_table.astype(X.dtype))
     B = table[A.idx.astype(jnp.int32)]
     return jnp.dot(B, X, preferred_element_type=X.dtype,
-                   precision=precision)
+                   precision=_mxu_precision(X.dtype))
 
 
 def _spmm_dense_jnp(A: Dense, X):

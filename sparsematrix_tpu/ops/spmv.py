@@ -93,12 +93,10 @@ def _spmv_codebook_jnp(A: CodebookCSR, x):
 def _spmv_codebook_dense_jnp(A: CodebookDense, x):
     # dtype-aware dequant (same policy as spmm): casting the 256-entry
     # table FIRST halves the materialized-B traffic for bf16 x
-    if x.dtype == jnp.float32:
-        table, precision = A.val_table, jax.lax.Precision.HIGHEST
-    else:
-        table, precision = (A.val_table.astype(x.dtype),
-                            jax.lax.Precision.DEFAULT)
-    return jnp.dot(table[A.idx.astype(jnp.int32)], x, precision=precision)
+    table = (A.val_table if x.dtype == jnp.float32
+             else A.val_table.astype(x.dtype))
+    return jnp.dot(table[A.idx.astype(jnp.int32)], x,
+                   precision=_mxu_precision(x.dtype))
 
 
 def _spmv_dense_jnp(A: Dense, x):

@@ -6,7 +6,9 @@ region, so per iteration the only communication is
 
   * one tiled ``all_gather`` of the search direction (the x-halo exchange
     riding ICI), and
-  * two scalar ``psum``s for the global dot products.
+  * two scalar ``psum``s: one for ``p·Ap`` and ONE stacked psum carrying
+    both ``r·z`` and ``r·r`` (the convergence test reuses the carried
+    ``r·r`` — no extra collective in ``cond``).
 
 State (x, r, p, z) stays sharded by row band the entire solve — nothing
 device-global ever materializes except the gathered direction vector, and
@@ -66,8 +68,11 @@ def dist_cg(part: PartitionedCSR, b, mesh: Mesh, axis_name: str = "shard",
     """
     if part.partition_axis != "rows":
         raise ValueError("dist_cg requires a row-partitioned matrix")
-    n = part.n_shards
     rows, cols = part.shape
+    if rows != cols:
+        raise ValueError(f"dist_cg requires a square (SPD) matrix, got "
+                         f"{part.shape}")
+    n = part.n_shards
     pad_len = n * part.local_rows
     b_pad = _pad_vec(b, pad_len)
     x0_pad = _pad_vec(x0, pad_len) if x0 is not None else jnp.zeros_like(b_pad)
@@ -100,33 +105,38 @@ def dist_cg(part: PartitionedCSR, b, mesh: Mesh, axis_name: str = "shard",
             return jax.ops.segment_sum(prod, rid,
                                        num_segments=part.local_rows)
 
+        def _dots2(a, c, d, e):
+            # both global dots in ONE collective (stacked scalar psum)
+            return jax.lax.psum(
+                jnp.stack([jnp.vdot(a, c), jnp.vdot(d, e)]), axis_name)
+
         r = b_loc - matvec(x_loc)
         z = apply_M(r)
         p = z
-        rz = _psum_dot(r, z)
+        rz, rr = _dots2(r, z, r, r)
         bnorm = jnp.sqrt(jnp.maximum(_psum_dot(b_loc, b_loc), 1e-60))
 
         def cond(state):
-            x, r, p, rz, k = state
-            rnorm = jnp.sqrt(jnp.maximum(_psum_dot(r, r), 0.0))
-            return jnp.logical_and(k < maxiter, rnorm / bnorm > tol)
+            x, r, p, rz, rr, k = state
+            return jnp.logical_and(k < maxiter,
+                                   jnp.sqrt(jnp.maximum(rr, 0.0)) / bnorm
+                                   > tol)
 
         def body(state):
-            x, r, p, rz, k = state
+            x, r, p, rz, rr, k = state
             Ap = matvec(p)
             alpha = rz / jnp.maximum(_psum_dot(p, Ap), 1e-30)
             x = x + alpha * p
             r = r - alpha * Ap
             z = apply_M(r)
-            rz_new = _psum_dot(r, z)
+            rz_new, rr_new = _dots2(r, z, r, r)
             beta = rz_new / jnp.maximum(rz, 1e-30)
             p = z + beta * p
-            return (x, r, p, rz_new, k + 1)
+            return (x, r, p, rz_new, rr_new, k + 1)
 
-        x_loc, r, p, rz, k = jax.lax.while_loop(
-            cond, body, (x_loc, r, p, rz, 0))
-        rnorm = jnp.sqrt(jnp.maximum(_psum_dot(r, r), 0.0))
-        return x_loc, k, rnorm
+        x_loc, r, p, rz, rr, k = jax.lax.while_loop(
+            cond, body, (x_loc, r, p, rz, rr, 0))
+        return x_loc, k, jnp.sqrt(jnp.maximum(rr, 0.0))
 
     x, iters, residual = run(part, b_pad, x0_pad)
     return SolveResult(x=x.reshape(-1)[:rows], iters=iters,

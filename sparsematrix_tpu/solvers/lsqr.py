@@ -100,7 +100,10 @@ def lsqr(A, b, x0=None, atol: float = 1e-6, btol: float = 1e-6,
         phibar_new = s * phibar1
         x = x + (phi / jnp.maximum(rho, 1e-30)) * w
         w = v_new - (theta / jnp.maximum(rho, 1e-30)) * w
-        arnorm = alpha_new * jnp.abs(s * phibar1)
+        # ||A^T r|| = alpha_{k+1}|s_k c_k phibar1| (Paige–Saunders eq. 5.2;
+        # scipy's tau = sn*phi) — dropping the cosine overestimates it and
+        # the loop runs far past the LS solution on inconsistent systems
+        arnorm = alpha_new * jnp.abs(s * phi)
         return (x, u_new, v_new, w, alpha_new, phibar_new, rhobar_new,
                 anorm, k + 1, arnorm)
 

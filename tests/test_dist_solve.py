@@ -102,3 +102,12 @@ def test_dist_cg_rejects_col_partition(rng, mesh):
     part = partition_csr_cols(CSR.from_scipy(P), 8)
     with pytest.raises(ValueError):
         dist_cg(part, jnp.zeros(P.shape[0], jnp.float32), mesh)
+
+
+def test_dist_cg_rejects_rectangular(rng, mesh):
+    from sparsematrix_tpu.utils.testutils import gen_random_dense_sparse
+
+    d = gen_random_dense_sparse(rng, 64, 96, density=0.2)
+    part = shard_partitioned(partition_csr_rows(CSR.fromdense(d), 8), mesh)
+    with pytest.raises(ValueError, match="square"):
+        dist_cg(part, jnp.zeros(64, jnp.float32), mesh)

@@ -125,3 +125,25 @@ def test_eigsh_lanczos_jittable(rng):
     w = np.linalg.eigvalsh(d.astype(np.float64))
     theta = np.asarray(f(v0))
     assert abs(theta[-1] - w[-1]) < 1e-2
+
+
+def test_lsqr_inconsistent_stops_at_ls_solution(rng):
+    """Regression: the ||A^T r|| estimate must include the Givens cosine
+    (Paige-Saunders tau = s*c*phibar); without it, inconsistent systems
+    run ~5x past the LS solution and report a bogus tiny residual."""
+    import scipy.sparse.linalg as spla
+
+    m, n = 120, 40
+    d = _sparse_rect(rng, m, n)
+    b = rng.uniform(-1, 1, m).astype(np.float32)  # not in range(A)
+    res = lsqr(CSR.fromdense(d), jnp.asarray(b), maxiter=200,
+               atol=1e-6, btol=1e-6)
+    ref = spla.lsqr(d.astype(np.float64), b, atol=1e-6, btol=1e-6)
+    # stops in the same regime as scipy (not running to breakdown)
+    assert int(res.iters) <= 3 * ref[2] + 5
+    # reported residual matches the TRUE |Ax - b| (was 3.5e-7 vs 5.34)
+    true_r = np.linalg.norm(d.astype(np.float64) @ np.asarray(res.x) - b)
+    assert abs(float(res.residual) - true_r) / true_r < 0.05
+    # and the solution is the least-squares solution
+    want, *_ = np.linalg.lstsq(d.astype(np.float64), b, rcond=None)
+    np.testing.assert_allclose(np.asarray(res.x), want, rtol=5e-3, atol=5e-3)
