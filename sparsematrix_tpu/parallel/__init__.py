@@ -31,7 +31,7 @@ from .scaling import (
     weak_scaling_table,
 )
 from .halo import shard_halo
-from .dist_solve import dist_cg
+from .dist_solve import dist_bicgstab, dist_cg, dist_gmres
 from .dist_spgemm import (
     DistSpGEMMPlan,
     dist_spgemm_plan,
@@ -48,7 +48,9 @@ __all__ = [
     "partition_csr_cols",
     "dist_spmv",
     "dist_spmm",
+    "dist_bicgstab",
     "dist_cg",
+    "dist_gmres",
     "shard_partitioned",
     "make_mesh",
     "DistSpGEMMPlan",

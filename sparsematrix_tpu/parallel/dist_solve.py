@@ -33,7 +33,7 @@ from ..solvers.krylov import SolveResult
 from .dist_ops import _pad_vec
 from .partition import PartitionedCSR
 
-__all__ = ["dist_cg"]
+__all__ = ["dist_cg", "dist_bicgstab", "dist_gmres"]
 
 
 def _local_diag_inv(ip, ix, dd, rid, local_rows, row0):
@@ -48,6 +48,38 @@ def _local_diag_inv(ip, ix, dd, rid, local_rows, row0):
         jnp.where(is_diag, dd, 0.0), rid, num_segments=local_rows)
     safe = jnp.where(jnp.abs(diag) > 1e-30, diag, 1.0)
     return jnp.where(jnp.abs(diag) > 1e-30, 1.0 / safe, 1.0)
+
+
+def _local_env(part, p_local, precond, axis_name):
+    """Per-shard matvec + preconditioner closures (shared by every dist
+    solver).  ``p_local`` is the PartitionedCSR slice seen inside shard_map
+    (leading dim 1)."""
+    ip, ix, dd, rid = part.local_csr_arrays(p_local)
+    cols = part.shape[1]
+    row0 = jax.lax.axis_index(axis_name) * part.local_rows
+
+    if precond == "jacobi":
+        dinv = _local_diag_inv(ip, ix, dd, rid, part.local_rows, row0)
+        apply_M = lambda r: r * dinv
+    elif callable(precond):
+        apply_M = lambda r: precond(r, jax.lax.axis_index(axis_name))
+    else:
+        apply_M = lambda r: r
+
+    def matvec(v_local):
+        v_full = jax.lax.all_gather(v_local, axis_name, tiled=True)
+        prod = dd * v_full[:cols][ix]
+        return jax.ops.segment_sum(prod, rid, num_segments=part.local_rows)
+
+    return matvec, apply_M
+
+
+def _check_square_rows(part, name):
+    if part.partition_axis != "rows":
+        raise ValueError(f"{name} requires a row-partitioned matrix")
+    rows, cols = part.shape
+    if rows != cols:
+        raise ValueError(f"{name} requires a square matrix, got {part.shape}")
 
 
 def dist_cg(part: PartitionedCSR, b, mesh: Mesh, axis_name: str = "shard",
@@ -66,12 +98,8 @@ def dist_cg(part: PartitionedCSR, b, mesh: Mesh, axis_name: str = "shard",
       SolveResult with the GLOBAL solution vector (sharded output,
       reassembled to length rows).
     """
-    if part.partition_axis != "rows":
-        raise ValueError("dist_cg requires a row-partitioned matrix")
+    _check_square_rows(part, "dist_cg")
     rows, cols = part.shape
-    if rows != cols:
-        raise ValueError(f"dist_cg requires a square (SPD) matrix, got "
-                         f"{part.shape}")
     n = part.n_shards
     pad_len = n * part.local_rows
     b_pad = _pad_vec(b, pad_len)
@@ -86,24 +114,9 @@ def dist_cg(part: PartitionedCSR, b, mesh: Mesh, axis_name: str = "shard",
         out_specs=(P(axis_name), P(), P()),
     )
     def run(p_local, b_local, x_local):
-        ip, ix, dd, rid = part.local_csr_arrays(p_local)
+        matvec, apply_M = _local_env(part, p_local, precond, axis_name)
         b_loc = b_local
         x_loc = x_local
-        row0 = jax.lax.axis_index(axis_name) * part.local_rows
-
-        if precond == "jacobi":
-            dinv = _local_diag_inv(ip, ix, dd, rid, part.local_rows, row0)
-            apply_M = lambda r: r * dinv
-        elif callable(precond):
-            apply_M = lambda r: precond(r, jax.lax.axis_index(axis_name))
-        else:
-            apply_M = lambda r: r
-
-        def matvec(v_local):
-            v_full = jax.lax.all_gather(v_local, axis_name, tiled=True)
-            prod = dd * v_full[:cols][ix]
-            return jax.ops.segment_sum(prod, rid,
-                                       num_segments=part.local_rows)
 
         def _dots2(a, c, d, e):
             # both global dots in ONE collective (stacked scalar psum)
@@ -137,6 +150,177 @@ def dist_cg(part: PartitionedCSR, b, mesh: Mesh, axis_name: str = "shard",
         x_loc, r, p, rz, rr, k = jax.lax.while_loop(
             cond, body, (x_loc, r, p, rz, rr, 0))
         return x_loc, k, jnp.sqrt(jnp.maximum(rr, 0.0))
+
+    x, iters, residual = run(part, b_pad, x0_pad)
+    return SolveResult(x=x.reshape(-1)[:rows], iters=iters,
+                       residual=residual)
+
+
+def dist_bicgstab(part: PartitionedCSR, b, mesh: Mesh,
+                  axis_name: str = "shard",
+                  precond: Union[None, str, Callable] = None,
+                  x0=None, tol: float = 1e-6,
+                  maxiter: int = 1000) -> SolveResult:
+    """BiCGSTAB for general (nonsymmetric) row-partitioned ``A``.
+
+    Same communication structure as :func:`dist_cg` — two all_gathered
+    matvecs per iteration plus three stacked scalar psums (``rho``;
+    ``rhat·v``; and one carrying ``t·t``, ``t·s``, ``s·s`` so the
+    convergence norm ``|r|² = s·s − 2ω t·s + ω² t·t`` costs no extra
+    collective).  Preconditioning is applied right (``A M⁻¹``), so the
+    residual is the TRUE residual.
+    """
+    _check_square_rows(part, "dist_bicgstab")
+    rows, _ = part.shape
+    pad_len = part.n_shards * part.local_rows
+    b_pad = _pad_vec(b, pad_len)
+    x0_pad = _pad_vec(x0, pad_len) if x0 is not None else jnp.zeros_like(b_pad)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name), P(), P()),
+    )
+    def run(p_local, b_loc, x_loc):
+        matvec, apply_M = _local_env(part, p_local, precond, axis_name)
+
+        def psum_dot(a, c):
+            return jax.lax.psum(jnp.vdot(a, c), axis_name)
+
+        r = b_loc - matvec(x_loc)
+        rhat = r
+        rr = psum_dot(r, r)
+        one = jnp.asarray(1.0, b_loc.dtype)
+        bnorm = jnp.sqrt(jnp.maximum(psum_dot(b_loc, b_loc), 1e-60))
+
+        def cond(state):
+            *_, rr, k = state
+            return jnp.logical_and(k < maxiter,
+                                   jnp.sqrt(jnp.maximum(rr, 0.0)) / bnorm
+                                   > tol)
+
+        def body(state):
+            x, r, rho, alpha, omega, v, p, rr, k = state
+            rho_new = psum_dot(rhat, r)
+            beta = (rho_new / jnp.where(rho == 0, 1e-30, rho)) * (
+                alpha / jnp.where(omega == 0, 1e-30, omega))
+            p = r + beta * (p - omega * v)
+            phat = apply_M(p)
+            v = matvec(phat)
+            rv = psum_dot(rhat, v)
+            alpha = rho_new / jnp.where(rv == 0, 1e-30, rv)
+            s = r - alpha * v
+            shat = apply_M(s)
+            t = matvec(shat)
+            # one stacked psum: t·t, t·s, s·s
+            tt, ts, ss = jax.lax.psum(
+                jnp.stack([jnp.vdot(t, t), jnp.vdot(t, s),
+                           jnp.vdot(s, s)]), axis_name)
+            omega = jnp.where(tt == 0, 0.0, ts / jnp.where(tt == 0, 1e-30, tt))
+            x = x + alpha * phat + omega * shat
+            r = s - omega * t
+            rr_new = ss - 2.0 * omega * ts + omega * omega * tt
+            return (x, r, rho_new, alpha, omega, v, p, rr_new, k + 1)
+
+        z = jnp.zeros_like(b_loc)
+        state = (x_loc, r, one, one, one, z, z, rr, 0)
+        x, r, *_, rr, k = jax.lax.while_loop(cond, body, state)
+        return x, k, jnp.sqrt(jnp.maximum(rr, 0.0))
+
+    x, iters, residual = run(part, b_pad, x0_pad)
+    return SolveResult(x=x.reshape(-1)[:rows], iters=iters,
+                       residual=residual)
+
+
+def dist_gmres(part: PartitionedCSR, b, mesh: Mesh,
+               axis_name: str = "shard",
+               precond: Union[None, str, Callable] = None,
+               x0=None, tol: float = 1e-6, restart: int = 20,
+               maxiter: int = 50) -> SolveResult:
+    """Restarted GMRES(m) for general row-partitioned ``A``.
+
+    The whole restart cycle lives in one shard_map region.  The Krylov
+    basis stays sharded as ``(restart+1, local_rows)``; per Arnoldi step
+    the communication is one tiled all_gather (the matvec) and two stacked
+    psums of length ``restart+1`` (classical Gram-Schmidt with one
+    re-orthogonalization pass — CGS2, numerically equivalent to MGS but
+    collective-friendly: two fixed-size reductions instead of ``j``
+    serialized scalar ones).  The small ``H`` least-squares problem is
+    replicated scalar math on every device.
+
+    Args:
+      restart: Arnoldi cycle length ``m`` (VMEM holds ``m+1`` local bands).
+      maxiter: maximum number of restart CYCLES.  ``iters`` in the result
+        counts total inner steps (cycles × restart).
+      precond: left preconditioner (None | "jacobi" | callable), applied
+        as ``M⁻¹A``; stopping uses the TRUE residual recomputed per cycle.
+    """
+    _check_square_rows(part, "dist_gmres")
+    rows, _ = part.shape
+    m = int(restart)
+    if m < 1:
+        raise ValueError("restart must be >= 1")
+    pad_len = part.n_shards * part.local_rows
+    b_pad = _pad_vec(b, pad_len)
+    x0_pad = _pad_vec(x0, pad_len) if x0 is not None else jnp.zeros_like(b_pad)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name), P(), P()),
+    )
+    def run(p_local, b_loc, x_loc):
+        matvec, apply_M = _local_env(part, p_local, precond, axis_name)
+        nloc = b_loc.shape[0]
+        dtype = b_loc.dtype
+
+        def psum_dot(a, c):
+            return jax.lax.psum(jnp.vdot(a, c), axis_name)
+
+        bnorm = jnp.sqrt(jnp.maximum(psum_dot(b_loc, b_loc), 1e-60))
+        steps = jnp.arange(m + 1)
+
+        def arnoldi(j, carry):
+            V, H = carry
+            w = apply_M(matvec(V[j]))
+            mask = (steps <= j).astype(dtype)
+            # CGS2: project, then re-project the remainder (one pass of
+            # re-orthogonalization recovers MGS-level stability).
+            h1 = jax.lax.psum(V @ w, axis_name) * mask
+            w = w - h1 @ V
+            h2 = jax.lax.psum(V @ w, axis_name) * mask
+            w = w - h2 @ V
+            h = h1 + h2
+            wnorm = jnp.sqrt(jnp.maximum(psum_dot(w, w), 0.0))
+            H = H.at[:, j].set(h).at[j + 1, j].set(wnorm)
+            V = V.at[j + 1].set(w / jnp.maximum(wnorm, 1e-30))
+            return V, H
+
+        def cycle(state):
+            x, rnorm, k = state
+            r = apply_M(b_loc - matvec(x))
+            beta = jnp.sqrt(jnp.maximum(psum_dot(r, r), 1e-60))
+            V = jnp.zeros((m + 1, nloc), dtype).at[0].set(r / beta)
+            H = jnp.zeros((m + 1, m), dtype)
+            V, H = jax.lax.fori_loop(0, m, arnoldi, (V, H))
+            # min-norm least squares tolerates the zero H columns left by
+            # early breakdown (converged-inside-the-cycle), so running the
+            # cycle to fixed length m stays correct.
+            e1 = jnp.zeros(m + 1, dtype).at[0].set(beta)
+            y = jnp.linalg.lstsq(H, e1)[0]
+            x = x + y @ V[:m]
+            r_true = b_loc - matvec(x)
+            rnorm = jnp.sqrt(jnp.maximum(psum_dot(r_true, r_true), 0.0))
+            return x, rnorm, k + 1
+
+        def cond(state):
+            _, rnorm, k = state
+            return jnp.logical_and(k < maxiter, rnorm / bnorm > tol)
+
+        r0 = b_loc - matvec(x_loc)
+        rnorm0 = jnp.sqrt(jnp.maximum(psum_dot(r0, r0), 0.0))
+        x, rnorm, k = jax.lax.while_loop(cond, cycle, (x_loc, rnorm0, 0))
+        return x, k * m, rnorm
 
     x, iters, residual = run(part, b_pad, x0_pad)
     return SolveResult(x=x.reshape(-1)[:rows], iters=iters,
