@@ -164,11 +164,12 @@ def dist_bicgstab(part: PartitionedCSR, b, mesh: Mesh,
     """BiCGSTAB for general (nonsymmetric) row-partitioned ``A``.
 
     Same communication structure as :func:`dist_cg` — two all_gathered
-    matvecs per iteration plus three stacked scalar psums (``rho``;
-    ``rhat·v``; and one carrying ``t·t``, ``t·s``, ``s·s`` so the
-    convergence norm ``|r|² = s·s − 2ω t·s + ω² t·t`` costs no extra
-    collective).  Preconditioning is applied right (``A M⁻¹``), so the
-    residual is the TRUE residual.
+    matvecs per iteration plus four scalar psums (``rho``; ``rhat·v``; a
+    stacked one carrying ``t·t``/``t·s``; and the recomputed ``r·r``,
+    which replaces the cancellation-prone recurrence norm).
+    Preconditioning is applied right (``A M⁻¹``), so the residual is the
+    TRUE residual.  On ``rho`` or ``t·t`` collapsing to ~0 the solver
+    stops and sets ``SolveResult.breakdown``.
     """
     _check_square_rows(part, "dist_bicgstab")
     rows, _ = part.shape
@@ -179,7 +180,7 @@ def dist_bicgstab(part: PartitionedCSR, b, mesh: Mesh,
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(axis_name), P(axis_name), P(axis_name)),
-        out_specs=(P(axis_name), P(), P()),
+        out_specs=(P(axis_name), P(), P(), P()),
     )
     def run(p_local, b_loc, x_loc):
         matvec, apply_M = _local_env(part, p_local, precond, axis_name)
@@ -194,13 +195,16 @@ def dist_bicgstab(part: PartitionedCSR, b, mesh: Mesh,
         bnorm = jnp.sqrt(jnp.maximum(psum_dot(b_loc, b_loc), 1e-60))
 
         def cond(state):
-            *_, rr, k = state
-            return jnp.logical_and(k < maxiter,
+            *_, rr, bad, k = state
+            keep = jnp.logical_and(k < maxiter,
                                    jnp.sqrt(jnp.maximum(rr, 0.0)) / bnorm
                                    > tol)
+            return jnp.logical_and(keep, jnp.logical_not(bad))
+
+        eps_bd = jnp.finfo(b_loc.dtype).tiny * 1e3
 
         def body(state):
-            x, r, rho, alpha, omega, v, p, rr, k = state
+            x, r, rho, alpha, omega, v, p, rr, bad, k = state
             rho_new = psum_dot(rhat, r)
             beta = (rho_new / jnp.where(rho == 0, 1e-30, rho)) * (
                 alpha / jnp.where(omega == 0, 1e-30, omega))
@@ -212,24 +216,29 @@ def dist_bicgstab(part: PartitionedCSR, b, mesh: Mesh,
             s = r - alpha * v
             shat = apply_M(s)
             t = matvec(shat)
-            # one stacked psum: t·t, t·s, s·s
-            tt, ts, ss = jax.lax.psum(
-                jnp.stack([jnp.vdot(t, t), jnp.vdot(t, s),
-                           jnp.vdot(s, s)]), axis_name)
+            # one stacked psum: t·t, t·s (omega needs both before r exists)
+            tt, ts = jax.lax.psum(
+                jnp.stack([jnp.vdot(t, t), jnp.vdot(t, s)]), axis_name)
             omega = jnp.where(tt == 0, 0.0, ts / jnp.where(tt == 0, 1e-30, tt))
             x = x + alpha * phat + omega * shat
             r = s - omega * t
-            rr_new = ss - 2.0 * omega * ts + omega * omega * tt
-            return (x, r, rho_new, alpha, omega, v, p, rr_new, k + 1)
+            # recomputed norm (not the ss - 2w ts + w^2 tt recurrence): the
+            # recurrence's fp32 cancellation can drift from |r|^2 over long
+            # runs; one extra scalar psum is cheap next to two all_gathers
+            rr_new = psum_dot(r, r)
+            # rho/omega ~ 0 means the method has broken down — stop and
+            # flag rather than iterating on 1e-30-substituted directions
+            bad = (jnp.abs(rho_new) < eps_bd) | (jnp.abs(tt) < eps_bd)
+            return (x, r, rho_new, alpha, omega, v, p, rr_new, bad, k + 1)
 
         z = jnp.zeros_like(b_loc)
-        state = (x_loc, r, one, one, one, z, z, rr, 0)
-        x, r, *_, rr, k = jax.lax.while_loop(cond, body, state)
-        return x, k, jnp.sqrt(jnp.maximum(rr, 0.0))
+        state = (x_loc, r, one, one, one, z, z, rr, jnp.asarray(False), 0)
+        x, r, *_, rr, bad, k = jax.lax.while_loop(cond, body, state)
+        return x, k, jnp.sqrt(jnp.maximum(rr, 0.0)), bad
 
-    x, iters, residual = run(part, b_pad, x0_pad)
+    x, iters, residual, bad = run(part, b_pad, x0_pad)
     return SolveResult(x=x.reshape(-1)[:rows], iters=iters,
-                       residual=residual)
+                       residual=residual, breakdown=bad)
 
 
 def dist_gmres(part: PartitionedCSR, b, mesh: Mesh,
@@ -251,7 +260,10 @@ def dist_gmres(part: PartitionedCSR, b, mesh: Mesh,
     Args:
       restart: Arnoldi cycle length ``m`` (VMEM holds ``m+1`` local bands).
       maxiter: maximum number of restart CYCLES.  ``iters`` in the result
-        counts total inner steps (cycles × restart).
+        counts total inner steps (cycles × restart) — an UPPER bound when
+        convergence happens mid-cycle, unlike dist_cg/dist_bicgstab whose
+        ``iters`` are exact; compare solver costs by wall-clock or
+        cycles, not by this field.
       precond: left preconditioner (None | "jacobi" | callable), applied
         as ``M⁻¹A``; stopping uses the TRUE residual recomputed per cycle.
     """
@@ -280,20 +292,34 @@ def dist_gmres(part: PartitionedCSR, b, mesh: Mesh,
         bnorm = jnp.sqrt(jnp.maximum(psum_dot(b_loc, b_loc), 1e-60))
         steps = jnp.arange(m + 1)
 
+        # fp32 matmuls on the v5e MXU truncate inputs to bf16 at DEFAULT
+        # precision (CLAUDE.md); every V-involved product must run HIGHEST
+        # or the CGS2 basis loses orthogonality to ~bf16 and the residual
+        # stalls well above tol.
+        hi = jax.lax.Precision.HIGHEST
+
         def arnoldi(j, carry):
             V, H = carry
             w = apply_M(matvec(V[j]))
             mask = (steps <= j).astype(dtype)
             # CGS2: project, then re-project the remainder (one pass of
             # re-orthogonalization recovers MGS-level stability).
-            h1 = jax.lax.psum(V @ w, axis_name) * mask
-            w = w - h1 @ V
-            h2 = jax.lax.psum(V @ w, axis_name) * mask
-            w = w - h2 @ V
+            h1 = jax.lax.psum(jnp.dot(V, w, precision=hi), axis_name) * mask
+            w = w - jnp.dot(h1, V, precision=hi)
+            h2 = jax.lax.psum(jnp.dot(V, w, precision=hi), axis_name) * mask
+            w = w - jnp.dot(h2, V, precision=hi)
             h = h1 + h2
             wnorm = jnp.sqrt(jnp.maximum(psum_dot(w, w), 0.0))
-            H = H.at[:, j].set(h).at[j + 1, j].set(wnorm)
-            V = V.at[j + 1].set(w / jnp.maximum(wnorm, 1e-30))
+            # happy breakdown: when w is numerically inside span(V) (wnorm
+            # at rounding level relative to the projected column), zero the
+            # new basis vector and H[j+1, j] instead of normalizing noise
+            # into V — lstsq's min-norm solution handles the zero column.
+            hnorm = jnp.sqrt(jnp.maximum(jnp.vdot(h, h).real, 0.0))
+            tiny = wnorm <= jnp.finfo(dtype).eps * jnp.maximum(hnorm, 1.0)
+            wnorm_eff = jnp.where(tiny, 0.0, wnorm)
+            H = H.at[:, j].set(h).at[j + 1, j].set(wnorm_eff)
+            V = V.at[j + 1].set(
+                jnp.where(tiny, 0.0, w / jnp.maximum(wnorm, 1e-30)))
             return V, H
 
         def cycle(state):
@@ -308,7 +334,7 @@ def dist_gmres(part: PartitionedCSR, b, mesh: Mesh,
             # cycle to fixed length m stays correct.
             e1 = jnp.zeros(m + 1, dtype).at[0].set(beta)
             y = jnp.linalg.lstsq(H, e1)[0]
-            x = x + y @ V[:m]
+            x = x + jnp.dot(y, V[:m], precision=hi)
             r_true = b_loc - matvec(x)
             rnorm = jnp.sqrt(jnp.maximum(psum_dot(r_true, r_true), 0.0))
             return x, rnorm, k + 1

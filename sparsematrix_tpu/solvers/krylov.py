@@ -23,6 +23,9 @@ class SolveResult(NamedTuple):
     x: jnp.ndarray
     iters: jnp.ndarray  # int32
     residual: jnp.ndarray  # final |r|
+    # True when the method hit a numerical breakdown (e.g. BiCGSTAB's
+    # rho/omega ~ 0) and stopped early; the residual is still reported.
+    breakdown: bool = False
 
 
 def _as_linop(A) -> Callable:
