@@ -25,7 +25,7 @@ def main():
     rows = bench_codebook_gemm(
         check=True,
         variants=("fused-pallas", "dense-dequant", "dense-dequant-bf16",
-                  "fused-pallas-bf16"),
+                  "fused-pallas-bf16", "int8-gemm"),
     )
     # headline = fastest path that passes the reference's oracle check
     ok = [r for r in rows if r.checked] or rows

@@ -60,6 +60,14 @@ def generate(path: str) -> str:
             bw = r.get("extras", {}).get("bw_util")
             shape = r["shape"] + (f",bw={100*bw:.0f}%" if bw else "")
             r = dict(r, shape=shape)
+            if r.get("extras", {}).get("modeled"):
+                # model outputs must not typeset like measurements: tag
+                # the row itself, not just the surrounding prose
+                out.append(
+                    f"| {r['name']} | {r['shape']} | "
+                    f"{fmt_ms(r['min_ms'])} (MODEL){extra} "
+                    f"| {r['gnnz_per_s']:.2f} (MODEL) | {sol} | {chk} |")
+                continue
             out.append(
                 f"| {r['name']} | {r['shape']} | {fmt_ms(r['min_ms'])}{extra} "
                 f"| {r['gnnz_per_s']:.2f} | {sol} | {chk} |")

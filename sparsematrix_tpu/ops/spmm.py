@@ -212,6 +212,16 @@ def spmm(A, X, method: str = "auto"):
         )
     if method == "densify":
         return spmm_densify(A, X)
+    if method == "auto" and type(A) is BSR and _should_densify(A):
+        # small-block BSR underutilizes the MXU on every sparse path
+        # (measured: grouped 0.98 Gnnz/s, panel 0.28 at (8,8) blocks);
+        # at densify-eligible density the dense MXU contraction wins ~10x,
+        # so auto reroutes BEFORE the format kernel gets a say.  MXU-sized
+        # blocks ((128,128)+) keep the grouped kernel: each stored block
+        # is already a full systolic tile.
+        bm, bn = A.block_shape
+        if bm * bn < 4096:
+            return spmm_densify(A, X)
     if method != "jnp" and config.use_pallas():
         impl = _pallas_impl(type(A))
         if impl is not None:

@@ -158,16 +158,22 @@ def prepare_spmv(A: "CSR", layout: str = "auto", **pack_kwargs):
     called inside ``jax.jit`` — packing is a host-side encode and cannot
     happen on traced arrays.
 
-    ``layout``: ``"rowlane"`` (per-tile grid steps — right when tiles own
-    many slabs), ``"superblock"`` (slabs of 16 tiles share a grid step —
+    ``layout``: ``"dualgather"`` (fill-optimal two-gather slabs — the
+    fastest unstructured-CSR layout, see kernels/spmv_dualgather.py),
+    ``"rowlane"`` (single-gather slabs — per-tile grid steps),
+    ``"superblock"`` (slabs of 16 tiles share a grid step —
     right for scattered patterns at ~1-2 slabs/tile, where the rowlane
     kernel is grid-step-bound), ``"strip"`` (locally-densified strips for
     band-local matrices — batched full-tile MXU matvecs), or ``"auto"``
     (strip when the matrix is band-local and dense enough within the band;
-    else rowlane, repacked superblock if the pack came out step-bound:
+    else dualgather; superblock if the pack came out step-bound:
     auto-group ≤ 2 over many tiles)."""
     from ..kernels.spmv_rowlane import pack_sell_rowlane
 
+    if layout == "dualgather":
+        from ..kernels.spmv_dualgather import pack_dualgather
+
+        return pack_dualgather(A, **pack_kwargs)
     if layout == "superblock":
         from ..kernels.spmv_superblock import pack_superblock
 
@@ -251,9 +257,12 @@ def spmv(A, x):
         spmv_sell,
         spmv_sell_rowpure,
     )
+    from ..kernels.spmv_dualgather import DualGather, spmv_dualgather
     from ..kernels.spmv_rowlane import SellRowLane, spmv_sell_rowlane
     from ..kernels.spmv_superblock import SellSuperblock, spmv_superblock
 
+    if isinstance(A, DualGather):
+        return spmv_dualgather(A, x)
     if isinstance(A, SellRowLane):
         return spmv_sell_rowlane(A, x)
     if isinstance(A, SellSuperblock):
@@ -269,6 +278,8 @@ def spmv(A, x):
     if config.use_pallas():
         if type(A) is CSR:
             packed = _auto_pack(A)
+            if isinstance(packed, DualGather):
+                return spmv_dualgather(packed, x)
             if isinstance(packed, SellSuperblock):
                 return spmv_superblock(packed, x)
             if isinstance(packed, StripDense):

@@ -4,6 +4,14 @@ from .dist_rowlane import (
     PartitionedRowLane,
     partition_rowlane,
     dist_spmv_rowlane,
+    dist_spmm_rowlane,
+)
+from .dist_dense import (
+    PartitionedDense,
+    partition_dense_rows,
+    shard_dense,
+    dist_spmm_dense,
+    dist_spmm_dense_2d,
 )
 from .dist_block import (
     PartitionedBlockedELL,
@@ -14,6 +22,10 @@ from .dist_block import (
 from .dist2d import make_mesh_2d, dist_spmm_2d
 from .multihost import initialize_multihost, global_mesh
 from .halo import (
+    RingHaloCSR,
+    partition_csr_halo_ring,
+    dist_spmv_halo_ring,
+    shard_halo_ring,
     HaloPartitionedCSR,
     VarHaloPartitionedCSR,
     partition_csr_halo,
@@ -43,6 +55,12 @@ __all__ = [
     "PartitionedRowLane",
     "partition_rowlane",
     "dist_spmv_rowlane",
+    "dist_spmm_rowlane",
+    "PartitionedDense",
+    "partition_dense_rows",
+    "shard_dense",
+    "dist_spmm_dense",
+    "dist_spmm_dense_2d",
     "PartitionedCSR",
     "partition_csr_rows",
     "partition_csr_cols",
@@ -64,6 +82,10 @@ __all__ = [
     "HaloPartitionedCSR",
     "VarHaloPartitionedCSR",
     "partition_csr_halo",
+    "partition_csr_halo_ring",
+    "dist_spmv_halo_ring",
+    "shard_halo_ring",
+    "RingHaloCSR",
     "partition_csr_halo_var",
     "dist_spmv_halo_var",
     "CollectiveCost",

@@ -27,7 +27,8 @@ from jax import shard_map
 from ..formats.base import default_index_dtype, register_sparse_pytree
 from ..formats.csr import CSR
 
-__all__ = ["HaloPartitionedCSR", "partition_csr_halo", "dist_spmv_halo"]
+__all__ = ["HaloPartitionedCSR", "partition_csr_halo", "dist_spmv_halo",
+           "RingHaloCSR", "partition_csr_halo_ring", "dist_spmv_halo_ring"]
 
 
 @register_sparse_pytree
@@ -134,6 +135,157 @@ def dist_spmv_halo(part: HaloPartitionedCSR, x, mesh: Mesh,
                                    num_segments=part.local_rows)
 
     y = run(part.indices, part.data, part.row_ids, x_pad)
+    return y.reshape(-1)[: part.shape[0]]
+
+
+# ---------------------------------------------------------------------------
+# Ring-pipelined halo SpMV: compute/communication overlap.
+#
+# ``dist_spmv_halo`` above is exchange-THEN-compute: the whole local matvec
+# waits on the ppermutes.  For overlap (SURVEY §2.4/§5: halo exchange
+# "overlapped with local-block compute"), the matrix is split at PACK time
+# into the owned-column block (columns inside the shard's own x band) and
+# the halo-column block (columns in the neighbor halos).  The kernel then
+#
+#   1. issues both ppermutes,
+#   2. computes the owned partial product — which has NO data dependency
+#      on the collectives, so XLA's scheduler runs the ICI transfer and
+#      the owned gather/segment-sum concurrently,
+#   3. finishes with the (small) halo partial once the halos land.
+#
+# The owned block is ~(band-2h)/band of the nnz, so nearly all the local
+# compute hides the exchange.  tests/test_halo_ring.py checks 2/4/8-device
+# numerics AND the structural property (the owned partial is not a
+# descendant of the ppermute outputs in the jaxpr — overlappable).
+# ---------------------------------------------------------------------------
+
+
+@register_sparse_pytree
+@dataclasses.dataclass(frozen=True)
+class RingHaloCSR:
+    own_indices: jnp.ndarray  # (n_shards, cap_o) band-local col ids
+    own_data: jnp.ndarray  # (n_shards, cap_o)
+    own_rows: jnp.ndarray  # (n_shards, cap_o) local rows (pad → local_rows)
+    halo_indices: jnp.ndarray  # (n_shards, cap_h) ids in the (2h,) frame
+    halo_data: jnp.ndarray  # (n_shards, cap_h)
+    halo_rows: jnp.ndarray  # (n_shards, cap_h)
+    shape: Tuple[int, int] = dataclasses.field(metadata={"static": True})
+    n_shards: int = dataclasses.field(metadata={"static": True})
+    local_rows: int = dataclasses.field(metadata={"static": True})
+    band: int = dataclasses.field(metadata={"static": True})
+    halo: int = dataclasses.field(metadata={"static": True})
+    nnz: int = dataclasses.field(metadata={"static": True})
+
+
+def partition_csr_halo_ring(csr: CSR, n_shards: int,
+                            halo: int) -> RingHaloCSR:
+    """Row-partition split into owned/halo column blocks (see above).
+
+    Same locality contract as :func:`partition_csr_halo`: raises if any
+    entry reaches beyond ``halo`` columns outside its shard's x band.
+    """
+    sp = csr.to_scipy().tocsr()
+    rows, cols = sp.shape
+    local_rows = -(-rows // n_shards)
+    band = -(-cols // n_shards)
+    if halo > band:
+        raise ValueError(f"halo {halo} larger than band {band}")
+    own, hal = [], []
+    for s in range(n_shards):
+        r0, r1 = s * local_rows, min((s + 1) * local_rows, rows)
+        sub = sp[r0:r1].tocoo()
+        c0 = s * band
+        lo, hi = c0 - halo, c0 + band + halo
+        if sub.nnz:
+            cmin, cmax = int(sub.col.min()), int(sub.col.max())
+            if cmin < lo or cmax >= hi:
+                raise ValueError(
+                    f"shard {s}: columns [{cmin}, {cmax}] exceed halo window "
+                    f"[{lo}, {hi}) — matrix is not {halo}-local"
+                )
+        in_band = (sub.col >= c0) & (sub.col < c0 + band)
+        own.append((sub.row[in_band], sub.col[in_band] - c0,
+                    sub.data[in_band]))
+        hc = sub.col[~in_band]
+        # frame = (left halo | right halo), width 2*halo
+        hf = np.where(hc < c0, hc - (c0 - halo), halo + hc - (c0 + band))
+        hal.append((sub.row[~in_band], hf, sub.data[~in_band]))
+    cap_o = max(max(len(o[0]) for o in own), 1)
+    cap_h = max(max(len(h[0]) for h in hal), 1)
+
+    def _stack(parts, cap, width_pad_row):
+        idx = np.zeros((n_shards, cap), np.int64)
+        dat = np.zeros((n_shards, cap), sp.data.dtype)
+        rid = np.full((n_shards, cap), width_pad_row, np.int64)
+        for s, (rr, cc, vv) in enumerate(parts):
+            k = len(rr)
+            idx[s, :k] = cc
+            dat[s, :k] = vv
+            rid[s, :k] = rr
+        return idx, dat, rid
+
+    oi, od, orr = _stack(own, cap_o, local_rows)
+    hi_, hd, hr = _stack(hal, cap_h, local_rows)
+    idt = default_index_dtype
+    return RingHaloCSR(
+        own_indices=jnp.asarray(oi, idt),
+        own_data=jnp.asarray(od),
+        own_rows=jnp.asarray(orr, idt),
+        halo_indices=jnp.asarray(hi_, idt),
+        halo_data=jnp.asarray(hd),
+        halo_rows=jnp.asarray(hr, idt),
+        shape=(rows, cols),
+        n_shards=n_shards,
+        local_rows=local_rows,
+        band=band,
+        halo=halo,
+        nnz=csr.nnz,
+    )
+
+
+def shard_halo_ring(part: RingHaloCSR, mesh: Mesh,
+                    axis_name: str = "shard"):
+    spec = NamedSharding(mesh, P(axis_name))
+    return dataclasses.replace(
+        part,
+        **{f: jax.device_put(getattr(part, f), spec)
+           for f in ("own_indices", "own_data", "own_rows",
+                     "halo_indices", "halo_data", "halo_rows")},
+    )
+
+
+def dist_spmv_halo_ring(part: RingHaloCSR, x, mesh: Mesh,
+                        axis_name: str = "shard"):
+    """``y = A @ x`` with the halo exchange overlapped by the owned-block
+    matvec (no data dependency between them — see the section comment)."""
+    n = part.n_shards
+    h = part.halo
+    band = part.band
+    x_pad = jnp.zeros((n * band,), x.dtype).at[: x.shape[0]].set(x)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis_name),) * 7,
+        out_specs=P(axis_name),
+    )
+    def run(oi, od, orr, hi_, hd, hr, x_local):
+        # 1. collectives first: the ICI transfer starts immediately
+        fwd = [(i, (i + 1) % n) for i in range(n)]
+        bwd = [(i, (i - 1) % n) for i in range(n)]
+        from_left = jax.lax.ppermute(x_local[-h:], axis_name, fwd)
+        from_right = jax.lax.ppermute(x_local[:h], axis_name, bwd)
+        # 2. owned partial — independent of the collectives (overlapped)
+        y = jax.ops.segment_sum(od[0] * x_local[oi[0]], orr[0],
+                                num_segments=part.local_rows)
+        # 3. halo partial once the halos land
+        frame = jnp.concatenate([from_left, from_right])
+        y = y + jax.ops.segment_sum(hd[0] * frame[hi_[0]], hr[0],
+                                    num_segments=part.local_rows)
+        return y
+
+    y = run(part.own_indices, part.own_data, part.own_rows,
+            part.halo_indices, part.halo_data, part.halo_rows, x_pad)
     return y.reshape(-1)[: part.shape[0]]
 
 

@@ -1,0 +1,76 @@
+"""Fast local kernels under distributed SpMM: pre-dense MXU bands (1-D and
+2-D mesh) and the rowlane multi-RHS walk — the round-3 answer to "only
+dist_spmv_rowlane inherits single-chip kernel throughput"."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from sparsematrix_tpu.formats import CSR
+from sparsematrix_tpu.parallel import (dist_spmm_dense, dist_spmm_dense_2d,
+                                       dist_spmm_rowlane, make_mesh_2d,
+                                       partition_dense_rows,
+                                       partition_rowlane, shard_dense,
+                                       shard_partitioned)
+from sparsematrix_tpu.utils.testutils import gen_random_dense_sparse
+
+
+def _mesh(k):
+    return Mesh(np.array(jax.devices()[:k]), ("shard",))
+
+
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+def test_dist_spmm_dense_matches(rng, n_shards):
+    n, k = 384, 96
+    dense = gen_random_dense_sparse(rng, n, n, density=0.08)
+    A = CSR.fromdense(dense)
+    part = shard_dense(partition_dense_rows(A, n_shards), _mesh(n_shards))
+    X = rng.standard_normal((n, k)).astype(np.float32)
+    Y = dist_spmm_dense(part, jnp.asarray(X), _mesh(n_shards))
+    np.testing.assert_allclose(np.asarray(Y),
+                               dense.astype(np.float64) @ X,
+                               rtol=2e-3, atol=0.5)
+
+
+def test_dist_spmm_dense_bf16_band(rng):
+    n, k = 256, 64
+    dense = gen_random_dense_sparse(rng, n, n, density=0.1)
+    A = CSR.fromdense(dense)
+    part = shard_dense(partition_dense_rows(A, 4, dtype=jnp.bfloat16),
+                       _mesh(4))
+    assert part.bands.dtype == jnp.bfloat16
+    X = rng.standard_normal((n, k)).astype(np.float32)
+    Y = dist_spmm_dense(part, jnp.asarray(X), _mesh(4))
+    want = (np.asarray(jnp.asarray(dense).astype(jnp.bfloat16))
+            .astype(np.float64) @ np.asarray(
+                jnp.asarray(X).astype(jnp.bfloat16)).astype(np.float64))
+    np.testing.assert_allclose(np.asarray(Y), want, rtol=2e-2, atol=8.0)
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2), (2, 2)])
+def test_dist_spmm_dense_2d_matches(rng, mesh_shape):
+    n_row, n_col = mesh_shape
+    n, k = 320, 72
+    dense = gen_random_dense_sparse(rng, n, n, density=0.08)
+    A = CSR.fromdense(dense)
+    mesh = make_mesh_2d(n_row, n_col)
+    part = partition_dense_rows(A, n_row)
+    X = rng.standard_normal((n, k)).astype(np.float32)
+    Y = dist_spmm_dense_2d(part, jnp.asarray(X), mesh)
+    np.testing.assert_allclose(np.asarray(Y),
+                               dense.astype(np.float64) @ X,
+                               rtol=2e-3, atol=0.5)
+
+
+@pytest.mark.parametrize("n_shards", [2, 4])
+def test_dist_spmm_rowlane_matches(rng, n_shards):
+    n, k = 512, 16
+    dense = gen_random_dense_sparse(rng, n, n, density=0.02)
+    A = CSR.fromdense(dense)
+    part = partition_rowlane(A, n_shards, group=4)
+    X = rng.standard_normal((n, k)).astype(np.float32)
+    Y = dist_spmm_rowlane(part, jnp.asarray(X), _mesh(n_shards))
+    np.testing.assert_allclose(np.asarray(Y),
+                               dense.astype(np.float64) @ X,
+                               rtol=2e-3, atol=0.5)
