@@ -1,7 +1,6 @@
-"""XL dual-gather variant sweep in ONE process: assign slots once, then
-regroup/retype per variant (group 64/256, fp32/bf16).
+"""XL dual-gather SUPERBLOCK sweep: k_tiles=16, groups 128/256, fp32+bf16.
 
-Run: timeout 1200 python benchmarks/probe_dualgather_xl2.py
+Run: timeout 1200 python benchmarks/probe_dualgather_xl4.py
 """
 import sys
 sys.path.insert(0, "/root/repo")
@@ -32,9 +31,6 @@ def main():
     A = CSR.from_scipy(sp)
     x = np.random.default_rng(9).standard_normal(n).astype(np.float32)
     xj = jnp.asarray(x)
-    sol_fp32 = speed_of_light_nnz_s(A.nnz, spmv_csr_bytes(A.nnz, n, n))
-    sol_bf16 = speed_of_light_nnz_s(A.nnz, spmv_csr_bytes(A.nnz, n, n,
-                                                          val_bytes=2))
     want = sp.astype(np.float64) @ x
     spq = sp.copy()
     spq.data = np.asarray(jnp.asarray(sp.data).astype(jnp.bfloat16)).astype(
@@ -42,25 +38,22 @@ def main():
     want_bf = spq @ x
 
     spc = sp.tocoo()
-    t0 = time.time()
-    # assign once; regroup per variant (monkey-level reuse of internals)
     r = spc.row.astype(np.int64)
     c = spc.col.astype(np.int64)
     v = spc.data
-    print(f"assigning...", flush=True)
-    # cache the assignment by calling _pack_arrays with each group
-    t_, w_, s_, u_, l_, cl_, ch_ = dgm._assign_slots(r, c, n, n)
-    print(f"assign: {time.time()-t0:.1f}s", flush=True)
-
-    orig_assign = dgm._assign_slots
-    dgm._assign_slots = lambda *a, **k: (t_, w_, s_, u_, l_, cl_, ch_)
+    t0 = time.time()
+    assigned = dgm._assign_slots(r, c, n, n)
+    print(f"assign: {time.time()-t0:.0f}s", flush=True)
+    orig = dgm._assign_slots
+    dgm._assign_slots = lambda *a, **k: assigned
     try:
-        for group, dtype, tag, sol, wt in (
-                (256, None, "fp32-g256", sol_fp32, want),
-                (256, jnp.bfloat16, "bf16-g256", sol_bf16, want_bf),
-                (128, None, "fp32-g128", sol_fp32, want)):
-            t1 = time.time()
-            arrs = dgm._pack_arrays(r, c, v, n, n, group, v.dtype)
+        for group, kt, dtype, tag in (
+                (128, 16, None, "fp32-sb16-g128"),
+                (256, 16, None, "fp32-sb16-g256"),
+                (128, 16, jnp.bfloat16, "bf16-sb16-g128"),
+                (256, 16, jnp.bfloat16, "bf16-sb16-g256")):
+            arrs = dgm._pack_arrays(r, c, v, n, n, group, v.dtype,
+                                    k_tiles=kt)
             vals = jnp.asarray(arrs["vals"])
             if dtype is not None:
                 vals = vals.astype(dtype)
@@ -70,10 +63,17 @@ def main():
                 vals=vals,
                 group_tile=jnp.asarray(arrs["group_tile"], jnp.int32),
                 slab_win=jnp.asarray(arrs["slab_win"], jnp.int32),
-                slab_tloc=None, commit=None, tail=None,
-                t_pack=None, shape=(n, n), n_tiles=arrs["n_tiles"],
-                n_win=arrs["n_win"], group=arrs["group"], k_tiles=1,
-                nnz=A.nnz)
+                slab_tloc=jnp.asarray(arrs["slab_tloc"], jnp.int32),
+                commit=jnp.asarray(arrs["commit"], jnp.int32),
+                tail=None, t_pack=None, shape=(n, n),
+                n_tiles=arrs["n_tiles"], n_win=arrs["n_win"],
+                group=arrs["group"], k_tiles=kt, nnz=A.nnz,
+                splits=tuple(dgm._sb_splits(arrs["group_tile"],
+                                            arrs["group"])))
+            sol = speed_of_light_nnz_s(
+                A.nnz, spmv_csr_bytes(A.nnz, n, n,
+                                      val_bytes=2 if dtype else 4))
+            wt = want_bf if dtype is not None else want
             f = jax.jit(lambda p, vv: spmv_dualgather(p, vv))
             got = np.asarray(f(packed, xj))
             rel = np.abs(got - wt) / np.maximum(np.abs(wt), 1e-6)
@@ -81,17 +81,18 @@ def main():
                 lambda y, p_: f(p_, y) * jnp.float32(2.0 ** -20), xj,
                 packed, iters=6)
             gnnz = A.nnz / (res.min_ms * 1e-3) / 1e9
-            slab_bytes = (packed.vals.size * packed.vals.dtype.itemsize
-                          + packed.idxA.size + packed.idxB.size)
+            nb = packed.vals.dtype.itemsize
+            slab_bytes = (packed.vals.size * nb + packed.idxA.size
+                          + packed.idxB.size)
             bw = (slab_bytes / (res.min_ms * 1e-3) / 1e9
                   / active_chip().hbm_gbps)
-            print(f"{tag}: fill={packed.fill_rate:.3f} "
-                  f"{res.min_ms:.3f} ms, {gnnz:.1f} Gnnz/s, "
-                  f"SoL {gnnz / (sol / 1e9) * 100:.1f}%, "
-                  f"util {bw*100:.1f}%, p99rel {np.quantile(rel, .99):.1e} "
-                  f"(regroup {time.time()-t1:.0f}s)", flush=True)
+            print(f"{tag}: fill={packed.fill_rate:.3f} splits="
+                  f"{len(packed.splits)} {res.min_ms:.3f} ms, "
+                  f"{gnnz:.1f} Gnnz/s, SoL {gnnz/(sol/1e9)*100:.1f}%, "
+                  f"util {bw*100:.1f}%, p99rel {np.quantile(rel,.99):.1e}",
+                  flush=True)
     finally:
-        dgm._assign_slots = orig_assign
+        dgm._assign_slots = orig
 
 
 if __name__ == "__main__":

@@ -586,12 +586,10 @@ def bench_csr_spmv_xl(check=True, n=32768, nnz_row=512, **kw):
     # 2.5× (measured 1.41 ms looped vs 0.55 ms chained, same pack)
     chain_scale = jnp.float32(2.0 ** -20)
     # group=256 measured best (probe_xl_chain: fp32 91.6% HBM util vs
-    # 79.7% at g128; bf16 42.3 Gnnz/s)
+    # 79.7% at g128; bf16 42.3 Gnnz/s).  sp4 variants dropped: measured a
+    # wash (tail theorem, DESIGN.md).
     for tag, kws in (("fp32", dict(group=256)),
-                     ("fp32-sp4", dict(group=256, spill_depth=4)),
-                     ("bf16", dict(group=256, dtype=jnp.bfloat16)),
-                     ("bf16-sp4", dict(group=256, spill_depth=4,
-                                       dtype=jnp.bfloat16))):
+                     ("bf16", dict(group=256, dtype=jnp.bfloat16))):
         t0 = time.time()
         packed = pack_sell_rowlane(A, **kws)
         pack_s = time.time() - t0
@@ -617,6 +615,43 @@ def bench_csr_spmv_xl(check=True, n=32768, nnz_row=512, **kw):
         from ..utils.roofline import active_chip
 
         r.extras = {"pack_seconds": pack_s,
+                    "bw_util": slab_bytes / (res.min_ms * 1e-3) / 1e9
+                    / active_chip().hbm_gbps,
+                    **res.extras}
+        rows.append(r)
+    # dual-gather superblock: the measured-best unstructured layout (the
+    # round-3 fill-barrier break — probe_dualgather_xl4: g256/kt16 fp32
+    # 55.1 Gnnz/s 53.9% SoL, bf16 74.7).  Pack once fp32, derive bf16 by
+    # re-typing vals (accumulation stays fp32 in-kernel).
+    import dataclasses as _dc
+
+    from ..kernels.spmv_dualgather import pack_dualgather, spmv_dualgather
+
+    t0 = time.time()
+    dg = pack_dualgather(A, group=256, k_tiles=16)
+    dg_pack_s = time.time() - t0
+    fdg = jax.jit(lambda p, v: spmv_dualgather(p, v))
+    for tag, packed in (
+            ("fp32", dg),
+            ("bf16", _dc.replace(dg, vals=dg.vals.astype(jnp.bfloat16)))):
+        res = bench_chain_slope(
+            lambda y, p_: fdg(p_, y) * chain_scale, xj, packed, iters=6)
+        checked = None
+        if check:
+            checked = relative_check(
+                np.asarray(fdg(packed, xj)),
+                want_bf16 if tag == "bf16" else want)
+        r = Row(f"csr_spmv_xl/dualgather-{tag}",
+                f"n={n},nnz={A.nnz/1e6:.1f}M,g={packed.group},kt=16,"
+                f"fill={packed.fill_rate:.2f}",
+                res, nnz=A.nnz, checked=checked)
+        nb = packed.vals.dtype.itemsize
+        sol_dg = speed_of_light_nnz_s(
+            A.nnz, spmv_csr_bytes(A.nnz, n, n, val_bytes=nb))
+        r.sol_frac = r.nnz_per_s / sol_dg
+        slab_bytes = (packed.vals.size * nb + packed.idxA.size
+                      + packed.idxB.size)
+        r.extras = {"pack_seconds": dg_pack_s,
                     "bw_util": slab_bytes / (res.min_ms * 1e-3) / 1e9
                     / active_chip().hbm_gbps,
                     **res.extras}
@@ -791,6 +826,101 @@ def bench_spgemm_xl(check=True, n=16384, density=0.001, **kw):
                 res, nnz=n_pairs, checked=checked)
         r.sol_frac = r.nnz_per_s / sol
         r.extras = {"pack_seconds": pack_s, "c_nnz": pp.c_nnz}
+        rows.append(r)
+    # dense race at XL: n² fp32 temporaries are 1 GB each but FIT — the
+    # honest fight the sparse path must win here (2n³ = 8.8 TFLOP on the
+    # MXU vs ~4.4M pairs through the pair program).  Steps are ~50-200 ms,
+    # far above dispatch jitter, so min-of-3 direct timing is reliable.
+    import time as _time
+
+    for tag, dt in (("bf16", jnp.bfloat16), ("fp32", None)):
+        ad = jnp.asarray(sa.toarray())
+        bd = jnp.asarray(sb.toarray())
+        if dt is not None:
+            ad, bd = ad.astype(dt), bd.astype(dt)
+        prec = (jax.lax.Precision.HIGHEST if dt is None
+                else jax.lax.Precision.DEFAULT)
+        fd = jax.jit(lambda a, b: jnp.dot(a, b, precision=prec))
+        out = fd(ad, bd)
+        out.block_until_ready()  # compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            fd(ad, bd).block_until_ready()
+            best = min(best, _time.perf_counter() - t0)
+        from ..utils.timer import BenchResult
+
+        res = BenchResult(mean_ms=best * 1e3, min_ms=best * 1e3,
+                          compile_ms=0.0, iters=3, extras={})
+        checked = None
+        if check:
+            # compare on C's sparse pattern (the dense zeros are trivial)
+            got = np.asarray(fd(ad, bd)).astype(np.float64)
+            checked = relative_check(got[want.nonzero()], want.data)
+        r = Row(f"spgemm_xl/dense-race-{tag}", f"n={n},2n^3 MXU", res,
+                nnz=n_pairs, checked=checked)
+        r.sol_frac = None
+        rows.append(r)
+        del ad, bd
+    return rows
+
+
+@registry.register("spgemm_crossover")
+def bench_spgemm_crossover(check=True, **kw):
+    """Density-crossover study: best sparse numeric path vs densify across
+    (n, d) points between the spgemm (n=2048) and spgemm_xl (n=16384)
+    anchors.  The spgemm(method='auto') rule's constants come from these
+    rows (ops/spgemm.py: _DENSE_FLOPS_PER_S / _PACKED_PAIRS_PER_S)."""
+    import time
+
+    import scipy.sparse as sps
+
+    from ..ops.spgemm import (spgemm_apply_packed, spgemm_densify,
+                              spgemm_plan_packed)
+
+    rows = []
+    for n, density in ((4096, 0.004), (8192, 0.002)):
+        rng = np.random.default_rng(11)
+        sa = sps.random(n, n, density=density, random_state=11,
+                        format="csr", dtype=np.float32)
+        sb = sps.random(n, n, density=density, random_state=12,
+                        format="csr", dtype=np.float32)
+        sa.data = rng.uniform(-1000, 1000, sa.nnz).astype(np.float32)
+        sb.data = rng.uniform(-1000, 1000, sb.nnz).astype(np.float32)
+        A, B = CSR.from_scipy(sa), CSR.from_scipy(sb)
+        want = None
+        if check:
+            want = (sa.astype(np.float64) @ sb.astype(np.float64)).tocsr()
+            want.sort_indices()
+        t0 = time.time()
+        pp = spgemm_plan_packed(A, B, layout="superblock")
+        pack_s = time.time() - t0
+        fp = jax.jit(lambda q, bd: spgemm_apply_packed(q, bd).data)
+        res = bench_fn_slope(fp, pp, B.data, iters=6,
+                             perturb_max_bytes=1 << 20)
+        checked = None
+        if check:
+            got = np.asarray(fp(pp, B.data))
+            checked = relative_check(got[: pp.c_nnz], want.data)
+        n_pairs = pp.p_packed.nnz
+        sol = speed_of_light_nnz_s(
+            n_pairs, n_pairs * (2 * 4 + 3 * 4) + pp.c_nnz * 4)
+        r = Row("spgemm_crossover/packed",
+                f"n={n},d={density},pairs={n_pairs}", res, nnz=n_pairs,
+                checked=checked)
+        r.sol_frac = r.nnz_per_s / sol
+        r.extras = {"pack_seconds": pack_s}
+        rows.append(r)
+        fdn = jax.jit(lambda a, b: spgemm_densify(a, b).data)
+        res = bench_fn_slope(fdn, A, B, iters=6, perturb_max_bytes=1 << 20)
+        checked = None
+        if check:
+            got = np.asarray(fdn(A, B))
+            checked = relative_check(got[want.nonzero()], want.data)
+        r = Row("spgemm_crossover/densify-mxu",
+                f"n={n},d={density},pairs={n_pairs}", res, nnz=n_pairs,
+                checked=checked)
+        r.sol_frac = None
         rows.append(r)
     return rows
 

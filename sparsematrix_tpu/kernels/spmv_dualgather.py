@@ -62,7 +62,7 @@ from ..config import config
 from ..formats.base import register_sparse_pytree
 from ..formats.csr import CSR
 
-__all__ = ["DualGather", "pack_dualgather", "spmv_dualgather"]
+__all__ = ["DualGather", "PooledDG", "pack_dualgather", "spmv_dualgather"]
 
 _W = 1024
 _LANES = 128
@@ -71,22 +71,180 @@ _T = 128  # rows per tile (lane = row slot, no lane sharing)
 
 @register_sparse_pytree
 @dataclasses.dataclass(frozen=True)
-class DualGather:
-    idxA: jnp.ndarray  # (n_groups, group*8, 128) int8: chunk per (u, cl)
+class PooledDG:
+    """Cross-window "pooled" slabs: each SUBLANE carries its own global
+    chunk pointer (8 arbitrary (1,128) x slices — probe-verified,
+    benchmarks/probe_sublane_slice.py), so deep-row tail entries from
+    different windows share slabs.  Same dual-gather planes otherwise;
+    idxA selects among the slab's 8 loaded chunks."""
+
+    ptr: jnp.ndarray  # (n_groups, group, 8) int32: global chunk per sublane
+    idxA: jnp.ndarray  # (n_groups, group*8, 128) int8: loaded-slot per (u, cl)
     idxB: jnp.ndarray  # (n_groups, group*8, 128) int8: cl per (u, l)
     vals: jnp.ndarray  # (n_groups, group*8, 128)
     group_tile: jnp.ndarray  # (n_groups,) int32 — sorted ascending
-    slab_win: jnp.ndarray  # (n_groups, group) int32
-    t_pack: Optional["DualGather"]  # packed A^T for the VJP fast path
     shape: Tuple[int, int] = dataclasses.field(metadata={"static": True})
     n_tiles: int = dataclasses.field(metadata={"static": True})
     n_win: int = dataclasses.field(metadata={"static": True})
     group: int = dataclasses.field(metadata={"static": True})
     nnz: int = dataclasses.field(metadata={"static": True})
 
+
+@register_sparse_pytree
+@dataclasses.dataclass(frozen=True)
+class DualGather:
+    idxA: jnp.ndarray  # (n_groups, group*8, 128) int8: chunk per (u, cl)
+    idxB: jnp.ndarray  # (n_groups, group*8, 128) int8: cl per (u, l)
+    vals: jnp.ndarray  # (n_groups, group*8, 128)
+    group_tile: jnp.ndarray  # (n_groups,) int32 — tile (k_tiles=1) or
+    #                          SUPERBLOCK id (k_tiles>1), sorted ascending
+    slab_win: jnp.ndarray  # (n_groups, group) int32
+    slab_tloc: Optional[jnp.ndarray]  # (n_groups, group) int32: tile
+    #                          within superblock (k_tiles>1 only)
+    commit: Optional[jnp.ndarray]  # (n_groups,) int32: last group of its
+    #                          superblock (k_tiles>1 only)
+    tail: Optional[PooledDG]  # pooled spill slabs (spill_cap packs)
+    t_pack: Optional["DualGather"]  # packed A^T for the VJP fast path
+    shape: Tuple[int, int] = dataclasses.field(metadata={"static": True})
+    n_tiles: int = dataclasses.field(metadata={"static": True})
+    n_win: int = dataclasses.field(metadata={"static": True})
+    group: int = dataclasses.field(metadata={"static": True})
+    k_tiles: int = dataclasses.field(metadata={"static": True})
+    nnz: int = dataclasses.field(metadata={"static": True})
+    # superblock-aligned call-chunk boundaries (k_tiles>1 with more groups
+    # than one call's SMEM prefetch budget); () = single call
+    splits: Tuple[int, ...] = dataclasses.field(
+        default=(), metadata={"static": True})
+
     @property
     def fill_rate(self) -> float:
-        return self.nnz / max(self.vals.size, 1)
+        slots = self.vals.size + (self.tail.vals.size if self.tail else 0)
+        return self.nnz / max(slots, 1)
+
+
+def _spill_mask(r, c, rows, cols, cap):
+    """True for entries whose occurrence rank within (tile, window, row)
+    is >= cap — the deep-row tail that window-scoped slabs cannot pack
+    (slab count per (t, w) >= ceil(max row degree / 8))."""
+    t = r // _T
+    l = r % _T
+    w = c // _W
+    n_win = max(-(-cols // _W), 1)
+    key = (t * n_win + w) * np.int64(_T) + l
+    order = np.argsort(key, kind="stable")
+    ko = key[order]
+    n = r.size
+    new = np.empty(n, bool)
+    new[0] = True
+    new[1:] = ko[1:] != ko[:-1]
+    run_start = np.maximum.accumulate(np.where(new, np.arange(n), 0))
+    d = np.empty(n, np.int64)
+    d[order] = np.arange(n) - run_start
+    return d >= cap
+
+
+def _pack_pooled(r, c, v, rows, cols, group, dtype):
+    """Greedy pooled-slab packer for the spill tail (per tile: pick the 8
+    chunks with most remaining entries, fill one slab, repeat).  Fill is
+    bounded by per-(tile, chunk) tail thinness, not by window row
+    degrees."""
+    n_tiles = -(-rows // _T)
+    n_win = max(-(-cols // _W), 1)
+    t = (r // _T).astype(np.int64)
+    l = (r % _T).astype(np.int64)
+    chunk = (c // _LANES).astype(np.int64)
+    cl = (c % _LANES).astype(np.int64)
+
+    slab_tile, slab_ptr = [], []
+    planes_iA, planes_iB, planes_v = [], [], []
+    order = np.argsort(t, kind="stable")
+    bounds = np.searchsorted(t[order], np.arange(n_tiles + 1))
+    for ti in range(n_tiles):
+        sel = order[bounds[ti]:bounds[ti + 1]]
+        if sel.size == 0:
+            continue
+        by_chunk: dict = {}
+        for e in sel:
+            by_chunk.setdefault(int(chunk[e]), []).append(e)
+        while by_chunk:
+            top = sorted(by_chunk, key=lambda k: -len(by_chunk[k]))[:8]
+            ptr = (top + [top[0]] * (8 - len(top)))
+            iA = np.zeros((8, _LANES), np.int8)
+            iB = np.zeros((8, _LANES), np.int8)
+            vv = np.zeros((8, _LANES), dtype)
+            rowused = np.zeros((8, _T), bool)
+            cellslot = np.full((8, _LANES), -1, np.int8)
+            for k, ck in enumerate(top):
+                left = []
+                for e in by_chunk[ck]:
+                    le, cle = int(l[e]), int(cl[e])
+                    placed = False
+                    for u in range((le + cle) % 8, (le + cle) % 8 + 8):
+                        u &= 7
+                        if rowused[u, le]:
+                            continue
+                        cs = cellslot[u, cle]
+                        if cs == -1 or cs == k:
+                            rowused[u, le] = True
+                            cellslot[u, cle] = k
+                            iA[u, cle] = k
+                            iB[u, le] = cle
+                            vv[u, le] = v[e]
+                            placed = True
+                            break
+                    if not placed:
+                        left.append(e)
+                if left:
+                    by_chunk[ck] = left
+                else:
+                    del by_chunk[ck]
+            slab_tile.append(ti)
+            slab_ptr.append(ptr)
+            planes_iA.append(iA)
+            planes_iB.append(iB)
+            planes_v.append(vv)
+
+    n_slabs = max(len(slab_tile), 1)
+    if not slab_tile:
+        slab_tile = [0]
+        slab_ptr = [[0] * 8]
+        planes_iA = [np.zeros((8, _LANES), np.int8)]
+        planes_iB = [np.zeros((8, _LANES), np.int8)]
+        planes_v = [np.zeros((8, _LANES), dtype)]
+    stile = np.asarray(slab_tile, np.int64)
+    counts = np.bincount(stile, minlength=n_tiles)
+    if group is None:
+        group = 1
+        for g in (32, 16, 8, 4, 2):
+            waste = ((-(-counts // g) * g).sum() - n_slabs) / max(n_slabs, 1)
+            if waste <= 0.15:
+                group = g
+                break
+    tile_groups = -(-counts // group)
+    padded = tile_groups * group
+    tile_offset = np.concatenate([[0], np.cumsum(padded)])
+    first_of_tile = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    rank = np.arange(n_slabs) - first_of_tile[stile]
+    slot = tile_offset[stile] + rank
+    total = int(tile_offset[-1])
+    n_groups = total // group
+    iA = np.zeros((total, 8, _LANES), np.int8)
+    iB = np.zeros((total, 8, _LANES), np.int8)
+    vv = np.zeros((total, 8, _LANES), dtype)
+    pt = np.zeros((total, 8), np.int64)
+    iA[slot] = np.stack(planes_iA)
+    iB[slot] = np.stack(planes_iB)
+    vv[slot] = np.stack(planes_v)
+    pt[slot] = np.asarray(slab_ptr, np.int64)
+    group_tile = np.repeat(np.arange(n_tiles), tile_groups)
+    return dict(
+        ptr=pt.reshape(n_groups, group, 8),
+        idxA=iA.reshape(n_groups, group * 8, _LANES),
+        idxB=iB.reshape(n_groups, group * 8, _LANES),
+        vals=vv.reshape(n_groups, group * 8, _LANES),
+        group_tile=group_tile,
+        n_tiles=n_tiles, n_win=n_win, group=group,
+    )
 
 
 def _assign_slots(r, c, rows, cols, max_rounds=2000):
@@ -226,7 +384,7 @@ def _assign_slots(r, c, rows, cols, max_rounds=2000):
     return t, w, s, u, l, cl, ch
 
 
-def _pack_arrays(r, c, v, rows, cols, group, dtype):
+def _pack_arrays(r, c, v, rows, cols, group, dtype, k_tiles=1):
     n_tiles = -(-rows // _T)
     n_win = max(-(-cols // _W), 1)
     if r.size == 0:
@@ -237,19 +395,25 @@ def _pack_arrays(r, c, v, rows, cols, group, dtype):
             vals=np.zeros((1, group * 8, _LANES), dtype),
             group_tile=np.zeros((1,), np.int64),
             slab_win=np.zeros((1, group), np.int64),
-            n_tiles=n_tiles, n_win=n_win, group=group,
+            slab_tloc=np.zeros((1, group), np.int64),
+            commit=np.ones((1,), np.int64),
+            n_tiles=n_tiles, n_win=n_win, group=group, k_tiles=k_tiles,
         )
     t, w, s, u, l, cl, ch = _assign_slots(r, c, rows, cols)
 
     # slab identity (t, w, s) → contiguous slots, t-major (same scheme as
-    # the rowlane packer so the grid revisits each output tile once)
+    # the rowlane packer so the grid revisits each output block once);
+    # with k_tiles > 1 the output block is a SUPERBLOCK of k_tiles tiles
+    # and group padding quantizes at superblock granularity
     d_span = int(s.max()) + 1
     skey = (t.astype(np.int64) * n_win + w) * d_span + s
     uskey, inv = np.unique(skey, return_inverse=True)
     slab_t = uskey // (n_win * d_span)
     slab_w = (uskey // d_span) % n_win
     n_slabs = len(uskey)
-    counts = np.bincount(slab_t, minlength=n_tiles)
+    slab_sb = slab_t // k_tiles
+    n_super = -(-n_tiles // k_tiles)
+    counts = np.bincount(slab_sb, minlength=n_super)
     if group is None:
         group = 1
         for g in (256, 128, 64, 32, 16, 8, 4, 2):
@@ -257,37 +421,46 @@ def _pack_arrays(r, c, v, rows, cols, group, dtype):
             if waste <= 0.15:
                 group = g
                 break
-    tile_groups = -(-counts // group)
-    padded = tile_groups * group
-    tile_offset = np.concatenate([[0], np.cumsum(padded)])
-    first_of_tile = np.concatenate([[0], np.cumsum(counts)])[:-1]
-    rank = np.arange(n_slabs) - first_of_tile[slab_t]
-    slab_slot = tile_offset[slab_t] + rank
-    total_slots = int(tile_offset[-1])
+    sb_groups = -(-counts // group)
+    padded = sb_groups * group
+    sb_offset = np.concatenate([[0], np.cumsum(padded)])
+    first_of_sb = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    rank = np.arange(n_slabs) - first_of_sb[slab_sb]
+    slab_slot = sb_offset[slab_sb] + rank
+    total_slots = int(sb_offset[-1])
     n_groups = total_slots // group
 
     idxA = np.zeros((total_slots, 8, _LANES), np.int8)
     idxB = np.zeros((total_slots, 8, _LANES), np.int8)
     vals = np.zeros((total_slots, 8, _LANES), dtype)
     win = np.zeros(total_slots, np.int64)
+    tloc = np.zeros(total_slots, np.int64)
     entry_slot = slab_slot[inv]
     idxB[entry_slot, u, l] = cl
     idxA[entry_slot, u, cl] = ch
     vals[entry_slot, u, l] = v
     win[slab_slot] = slab_w
-    group_tile = np.repeat(np.arange(n_tiles), tile_groups)
+    tloc[slab_slot] = slab_t % k_tiles
+    group_tile = np.repeat(np.arange(n_super), sb_groups)
+    pos = np.arange(len(group_tile)) - np.concatenate(
+        [[0], np.cumsum(sb_groups)])[group_tile]
+    commit = (pos == sb_groups[group_tile] - 1).astype(np.int64)
     return dict(
         idxA=idxA.reshape(n_groups, group * 8, _LANES),
         idxB=idxB.reshape(n_groups, group * 8, _LANES),
         vals=vals.reshape(n_groups, group * 8, _LANES),
         group_tile=group_tile,
         slab_win=win.reshape(n_groups, group),
-        n_tiles=n_tiles, n_win=n_win, group=group,
+        slab_tloc=tloc.reshape(n_groups, group),
+        commit=commit,
+        n_tiles=n_tiles, n_win=n_win, group=group, k_tiles=k_tiles,
     )
 
 
 def pack_dualgather(csr: CSR, group: int | None = None,
                     with_transpose: bool = False,
+                    spill_cap: int | None = None,
+                    k_tiles: int = 1,
                     dtype=None) -> DualGather:
     """Pack CSR into dual-gather slabs.
 
@@ -295,18 +468,60 @@ def pack_dualgather(csr: CSR, group: int | None = None,
     rule, largest of 256..2).  ``with_transpose`` also packs A^T so the
     custom VJP's backward pass runs on the fast kernel.  ``dtype=bfloat16``
     stores values in bf16 (accumulation stays fp32).
+
+    ``spill_cap``: cap entries per (tile, window, row) in the window-scoped
+    body; the excess goes to cross-window POOLED slabs (per-sublane chunk
+    pointers).  Window-scoped fill is hard-bounded by ceil(max row degree
+    per window / 8); capping at ~mean+σ keeps the body slabs ~90 % full
+    and pools the Poisson tail.  None = no cap (single-layer pack);
+    "auto" = 8·ceil((mean_deg + sqrt(mean_deg)) / 8) when that beats the
+    uncapped bound.
     """
     sp = csr.to_scipy().tocoo()
     rows, cols = sp.shape
     r = sp.row.astype(np.int64)
     c = sp.col.astype(np.int64)
     v = sp.data
-    arrs = _pack_arrays(r, c, v, rows, cols, group, v.dtype)
+    tail = None
+    if spill_cap == "auto" and r.size:
+        n_win = max(-(-cols // _W), 1)
+        # mean entries per (row, window)
+        mean_deg = r.size / max(-(-rows // _T) * _T * n_win, 1)
+        # cap at ~the mean row-window degree rounded to slab capacity:
+        # body slabs stay ~90 % full (E[min(X, mean)] ≈ mean − σ·φ-ish)
+        # while the pooled tail stays ~10 % of nnz.  Below one slab of
+        # mean degree the second kernel pass can't pay for itself.
+        cap = 8 * max(1, int(round(mean_deg / 8)))
+        spill_cap = cap if mean_deg >= 8 else None
+    if spill_cap is not None and r.size:
+        sm = _spill_mask(r, c, rows, cols, int(spill_cap))
+        if sm.any():
+            tr, tc, tv = r[sm], c[sm], v[sm]
+            parrs = _pack_pooled(tr, tc, tv, rows, cols, None, v.dtype)
+            tvals = jnp.asarray(parrs["vals"])
+            if dtype is not None:
+                tvals = tvals.astype(dtype)
+            tail = PooledDG(
+                ptr=jnp.asarray(parrs["ptr"], jnp.int32),
+                idxA=jnp.asarray(parrs["idxA"], jnp.int8),
+                idxB=jnp.asarray(parrs["idxB"], jnp.int8),
+                vals=tvals,
+                group_tile=jnp.asarray(parrs["group_tile"], jnp.int32),
+                shape=(rows, cols),
+                n_tiles=parrs["n_tiles"],
+                n_win=parrs["n_win"],
+                group=parrs["group"],
+                nnz=int(sm.sum()),
+            )
+            r, c, v = r[~sm], c[~sm], v[~sm]
+    arrs = _pack_arrays(r, c, v, rows, cols, group, v.dtype,
+                        k_tiles=k_tiles)
     t_pack = None
     if with_transpose:
         t_pack = pack_dualgather(
             CSR.from_scipy(csr.to_scipy().T.tocsr()), group=group,
-            with_transpose=False, dtype=dtype,
+            spill_cap=spill_cap, k_tiles=k_tiles, with_transpose=False,
+            dtype=dtype,
         )
     vals_np = arrs["vals"]
     return DualGather(
@@ -316,13 +531,42 @@ def pack_dualgather(csr: CSR, group: int | None = None,
               else jnp.asarray(vals_np).astype(dtype)),
         group_tile=jnp.asarray(arrs["group_tile"], jnp.int32),
         slab_win=jnp.asarray(arrs["slab_win"], jnp.int32),
+        slab_tloc=(jnp.asarray(arrs["slab_tloc"], jnp.int32)
+                   if k_tiles > 1 else None),
+        commit=(jnp.asarray(arrs["commit"], jnp.int32)
+                if k_tiles > 1 else None),
+        tail=tail,
         t_pack=t_pack,
         shape=(rows, cols),
         n_tiles=arrs["n_tiles"],
         n_win=arrs["n_win"],
         group=arrs["group"],
+        k_tiles=k_tiles,
         nnz=csr.nnz,
+        splits=(tuple(_sb_splits(arrs["group_tile"], arrs["group"]))
+                if k_tiles > 1 else ()),
     )
+
+
+def _sb_splits(group_super, group):
+    """Superblock-aligned call boundaries under the SMEM prefetch budget
+    (an accumulator must never span two pallas calls)."""
+    n_groups = len(group_super)
+    budget = max(1, _SMEM_PREFETCH_BUDGET // (8 * group + 8))
+    if n_groups <= budget:
+        return []
+    cuts = []
+    pos = 0
+    while n_groups - pos > budget:
+        cut = pos + budget
+        while cut > pos and group_super[cut] == group_super[cut - 1]:
+            cut -= 1
+        if cut == pos:  # one superblock larger than the budget
+            raise ValueError("superblock exceeds the SMEM prefetch budget; "
+                             "use a smaller group or k_tiles")
+        cuts.append(int(cut))
+        pos = cut
+    return cuts
 
 
 def _dualgather_kernel(tile_ref, win_ref, idxA_ref, idxB_ref, vals_ref,
@@ -373,6 +617,126 @@ def _dualgather_call(group_tile, slab_win, idxA, idxB, vals, xp, *, group,
     )(group_tile, slab_win.reshape(-1), idxA, idxB, vals, xp)
 
 
+def _dualgather_sb_kernel(super_ref, win_ref, tloc_ref, commit_ref,
+                          idxA_ref, idxB_ref, vals_ref, x_ref, o_ref,
+                          acc_ref, *, group: int, k_tiles: int):
+    """Superblock variant: the output block spans k_tiles tiles, so group
+    padding quantizes per superblock (~k_tiles× fewer pad slabs at large
+    groups).  Per-slab row sums land in a (k_tiles, 128) accumulator via
+    a masked add (2 VPU rows of work); the superblock's LAST group
+    commits the accumulator into sublane 0 of each tile block."""
+    g = pl.program_id(0)
+
+    @pl.when(jnp.logical_or(g == 0, super_ref[g] != super_ref[g - 1]))
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    sub = jax.lax.broadcasted_iota(jnp.int32, (k_tiles, _LANES), 0)
+    acc = jnp.zeros((k_tiles, _LANES), jnp.float32)
+    for b in range(group):
+        w = win_ref[g * group + b]
+        xw = x_ref[pl.ds(pl.multiple_of(w * 8, 8), 8), :]
+        iA = idxA_ref[0, b * 8:(b + 1) * 8, :]
+        iB = idxB_ref[0, b * 8:(b + 1) * 8, :]
+        t1 = jnp.take_along_axis(xw, iA, axis=0)
+        gth = jnp.take_along_axis(t1, iB, axis=1)
+        prod = vals_ref[0, b * 8:(b + 1) * 8, :] * gth
+        part = jnp.sum(prod, axis=0, keepdims=True)  # (1, 128)
+        acc = acc + jnp.where(sub == tloc_ref[g * group + b], part, 0.0)
+    acc_ref[:] = acc_ref[:] + acc
+
+    @pl.when(commit_ref[g] == 1)
+    def _():
+        for tl in range(k_tiles):
+            o_ref[tl * 8:tl * 8 + 1, :] = acc_ref[tl:tl + 1, :]
+
+
+@functools.partial(jax.jit, static_argnames=("group", "k_tiles", "n_super",
+                                             "interpret"))
+def _dualgather_sb_call(group_super, slab_win, slab_tloc, commit, idxA,
+                        idxB, vals, xp, *, group, k_tiles, n_super,
+                        interpret=False):
+    n_groups = idxA.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_groups,),
+        in_specs=[
+            pl.BlockSpec((1, group * 8, _LANES),
+                         lambda g, s, w, t, cm: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group * 8, _LANES),
+                         lambda g, s, w, t, cm: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group * 8, _LANES),
+                         lambda g, s, w, t, cm: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # full padded x (S,128)
+        ],
+        out_specs=pl.BlockSpec((8 * k_tiles, _LANES),
+                               lambda g, s, w, t, cm: (s[g], 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((k_tiles, _LANES), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_dualgather_sb_kernel, group=group,
+                          k_tiles=k_tiles),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_super * 8 * k_tiles, _LANES),
+                                       jnp.float32),
+        interpret=interpret,
+    )(group_super, slab_win.reshape(-1), slab_tloc.reshape(-1), commit,
+      idxA, idxB, vals, xp)
+
+
+def _pooled_kernel(tile_ref, ptr_ref, idxA_ref, idxB_ref, vals_ref,
+                   x_ref, o_ref, *, group: int):
+    g = pl.program_id(0)
+
+    @pl.when(jnp.logical_or(g == 0, tile_ref[g] != tile_ref[g - 1]))
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    acc = jnp.zeros((8, _LANES), jnp.float32)
+    for b in range(group):
+        base = (g * group + b) * 8
+        rows = [x_ref[pl.ds(ptr_ref[base + u], 1), :] for u in range(8)]
+        xw = jnp.concatenate(rows, axis=0)  # per-sublane global chunks
+        iA = idxA_ref[0, b * 8:(b + 1) * 8, :]
+        iB = idxB_ref[0, b * 8:(b + 1) * 8, :]
+        t1 = jnp.take_along_axis(xw, iA, axis=0)
+        gth = jnp.take_along_axis(t1, iB, axis=1)
+        acc = acc + vals_ref[0, b * 8:(b + 1) * 8, :] * gth
+    part = jnp.sum(acc, axis=0, keepdims=True)
+    o_ref[0:1, :] = o_ref[0:1, :] + part.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group", "n_tiles", "interpret"))
+def _pooled_call(group_tile, ptr, idxA, idxB, vals, xp, *, group,
+                 n_tiles, interpret=False):
+    n_groups = idxA.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_groups,),
+        in_specs=[
+            pl.BlockSpec((1, group * 8, _LANES), lambda g, t, p: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group * 8, _LANES), lambda g, t, p: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group * 8, _LANES), lambda g, t, p: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # full padded x (S,128)
+        ],
+        out_specs=pl.BlockSpec((8, _LANES), lambda g, t, p: (t[g], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_pooled_kernel, group=group),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * 8, _LANES), jnp.float32),
+        interpret=interpret,
+    )(group_tile, ptr.reshape(-1), idxA, idxB, vals, xp)
+
+
 # scalar-prefetch SMEM budget — same chunking rule as the rowlane kernel
 _SMEM_PREFETCH_BUDGET = 800_000  # bytes
 
@@ -387,6 +751,32 @@ def _dualgather_forward(packed: DualGather, x):
     xp = jnp.zeros((S * _LANES,), x.dtype).at[:cols].set(x).reshape(S, _LANES)
     n_groups = packed.idxA.shape[0]
     y = jnp.zeros((packed.n_tiles, _T), jnp.float32)
+    if packed.k_tiles > 1:
+        k = packed.k_tiles
+        n_super = -(-packed.n_tiles // k)
+        bounds = [0, *packed.splits, n_groups]
+        for g0, g1 in zip(bounds[:-1], bounds[1:]):
+            out = _dualgather_sb_call(
+                packed.group_tile[g0:g1], packed.slab_win[g0:g1],
+                packed.slab_tloc[g0:g1], packed.commit[g0:g1],
+                packed.idxA[g0:g1], packed.idxB[g0:g1],
+                packed.vals[g0:g1], xp,
+                group=packed.group, k_tiles=k, n_super=n_super,
+                interpret=config.interpret(),
+            )
+            # sublane 0 of each tile block carries that tile's row sums
+            out = out.reshape(n_super * k, 8, _LANES)[:, 0, :]
+            touched = (
+                jnp.zeros(n_super, bool)
+                .at[packed.group_tile[g0:g1]]
+                .set(True)
+            )
+            out = out.reshape(n_super, k, _LANES)
+            out = jnp.where(touched[:, None, None], out, 0)
+            y = y + out.reshape(n_super * k, _LANES)[:packed.n_tiles]
+        if packed.tail is not None:
+            y = y + _pooled_forward(packed.tail, xp)
+        return y.reshape(packed.n_tiles * _T)[:rows]
     chunk = _max_groups_per_call(packed.group)
     for g0 in range(0, n_groups, chunk):
         g1 = min(g0 + chunk, n_groups)
@@ -403,7 +793,33 @@ def _dualgather_forward(packed: DualGather, x):
             .set(True)
         )
         y = y + jnp.where(touched[:, None], out, 0)
+    if packed.tail is not None:
+        y = y + _pooled_forward(packed.tail, xp)
     return y.reshape(packed.n_tiles * _T)[:rows]
+
+
+def _pooled_forward(tail: PooledDG, xp):
+    """Tail contribution as (n_tiles, 128); xp is the padded (S,128) x."""
+    n_groups = tail.idxA.shape[0]
+    # ptr adds 8 int32 per slab to the prefetch budget
+    chunk = max(1, _SMEM_PREFETCH_BUDGET // (4 * (8 * tail.group + 1)))
+    y = jnp.zeros((tail.n_tiles, _T), jnp.float32)
+    for g0 in range(0, n_groups, chunk):
+        g1 = min(g0 + chunk, n_groups)
+        out = _pooled_call(
+            tail.group_tile[g0:g1], tail.ptr[g0:g1],
+            tail.idxA[g0:g1], tail.idxB[g0:g1], tail.vals[g0:g1], xp,
+            group=tail.group, n_tiles=tail.n_tiles,
+            interpret=config.interpret(),
+        )
+        out = out.reshape(tail.n_tiles, 8, _LANES)[:, 0, :]
+        touched = (
+            jnp.zeros(tail.n_tiles, bool)
+            .at[tail.group_tile[g0:g1]]
+            .set(True)
+        )
+        y = y + jnp.where(touched[:, None], out, 0)
+    return y
 
 
 def _slot_row_col(packed: DualGather):
@@ -418,7 +834,31 @@ def _slot_row_col(packed: DualGather):
     win = packed.slab_win[:, :, None, None]
     col = win * _W + ch * _LANES + iB4
     lane = jnp.arange(_LANES)[None, None, None, :]
-    row = packed.group_tile[:, None, None, None] * _T + lane
+    if packed.k_tiles > 1:
+        tile = (packed.group_tile[:, None] * packed.k_tiles
+                + packed.slab_tloc)[:, :, None, None]
+    else:
+        tile = packed.group_tile[:, None, None, None]
+    row = tile * _T + lane
+    return (jnp.broadcast_to(row, col.shape).reshape(n_groups, GH, _LANES),
+            col.reshape(n_groups, GH, _LANES))
+
+
+def _slot_row_col_pooled(tail: PooledDG):
+    """Per-slot (row, col) for pooled slabs: the chunk is looked up via
+    the slab's pointer table at idxA[u, idxB[u, l]]."""
+    n_groups, GH, _ = tail.idxB.shape
+    group = tail.group
+    iB4 = tail.idxB.reshape(n_groups, group, 8, _LANES).astype(jnp.int32)
+    iA4 = tail.idxA.reshape(n_groups, group, 8, _LANES).astype(jnp.int32)
+    slot_k = jnp.take_along_axis(iA4, iB4, axis=3)  # (ng, group, 8, 128)
+    ptr_b = jnp.broadcast_to(
+        tail.ptr[:, :, :, None].astype(jnp.int32),
+        (n_groups, group, 8, _LANES))
+    chunk = jnp.take_along_axis(ptr_b, slot_k, axis=2)
+    col = chunk * _LANES + iB4
+    lane = jnp.arange(_LANES)[None, None, None, :]
+    row = tail.group_tile[:, None, None, None] * _T + lane
     return (jnp.broadcast_to(row, col.shape).reshape(n_groups, GH, _LANES),
             col.reshape(n_groups, GH, _LANES))
 
@@ -430,7 +870,12 @@ def _dualgather_matvec_t_jnp(packed: DualGather, g):
     gv = g[row] * packed.vals
     cols = packed.shape[1]
     out = jnp.zeros((cols,), packed.vals.dtype)
-    return out.at[col.reshape(-1)].add(gv.reshape(-1))
+    out = out.at[col.reshape(-1)].add(gv.reshape(-1))
+    if packed.tail is not None:
+        trow, tcol = _slot_row_col_pooled(packed.tail)
+        tgv = g[trow] * packed.tail.vals
+        out = out.at[tcol.reshape(-1)].add(tgv.reshape(-1).astype(out.dtype))
+    return out
 
 
 @jax.custom_vjp
@@ -464,6 +909,14 @@ def _dg_bwd(res, g):
 
     dpacked = jax.tree_util.tree_map(ct_zero, packed)
     dpacked = dataclasses.replace(dpacked, vals=dvals)
+    if packed.tail is not None:
+        trow, tcol = _slot_row_col_pooled(packed.tail)
+        tmask = packed.tail.vals != 0
+        dtail_vals = jnp.where(tmask, xpad[tcol] * gpad[trow], 0).astype(
+            packed.tail.vals.dtype)
+        dpacked = dataclasses.replace(
+            dpacked,
+            tail=dataclasses.replace(dpacked.tail, vals=dtail_vals))
     return dpacked, gx
 
 

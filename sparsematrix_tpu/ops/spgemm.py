@@ -141,8 +141,49 @@ def spgemm_apply(plan: SpGEMMPlan, a_data, b_data) -> CSR:
     )
 
 
-def spgemm(A: CSR, B: CSR) -> CSR:
-    """One-shot SpGEMM (symbolic on host + numeric on device)."""
+# density-adaptive SpGEMM routing constants (measured round 2/3 on v5e):
+# the dense MXU product runs ~45 TFLOP/s effective (fp32 HIGHEST, incl.
+# densify scatters), the packed pair program ~0.15 Gpairs/s.  Dense wins
+# iff 2·m·k·n / DENSE_FLOPS < pairs / PACKED_PAIRS_PER_S; at the bench
+# densities the crossover sits near n ≈ 6k (see BASELINE.md spgemm_xl /
+# spgemm_crossover rows).
+_DENSE_FLOPS_PER_S = 45e12
+_PACKED_PAIRS_PER_S = 0.15e9
+_DENSIFY_MAX_DENSE_ELEMS = 512 * 1024 * 1024  # 2 GB fp32 product cap
+
+
+def _estimate_pairs(A: CSR, B: CSR) -> int:
+    """Exact pair count Σ_k deg_A-col(k)·deg_B-row(k) from host arrays."""
+    ba = np.asarray(B.indptr)
+    brow = np.diff(ba)
+    acol = np.bincount(np.asarray(A.indices)[: A.nnz],
+                       minlength=B.shape[0])
+    return int((acol[: len(brow)] * brow).sum())
+
+
+def spgemm(A: CSR, B: CSR, method: str = "auto") -> CSR:
+    """One-shot SpGEMM (symbolic on host + numeric on device).
+
+    method: "auto" (density-adaptive: dense MXU product below the
+    measured crossover, packed pair program above), "sparse" (pair
+    program only), or "densify" (force the dense product + extract).
+    """
+    if method not in ("auto", "sparse", "densify"):
+        raise ValueError(f"unknown method {method!r}")
+    m, k = A.shape
+    _, n = B.shape
+    if method != "sparse":
+        dense_ok = (m * n <= _DENSIFY_MAX_DENSE_ELEMS
+                    and m * k <= _DENSIFY_MAX_DENSE_ELEMS
+                    and k * n <= _DENSIFY_MAX_DENSE_ELEMS)
+        pick_dense = method == "densify"
+        if method == "auto" and dense_ok:
+            t_dense = 2.0 * m * k * n / _DENSE_FLOPS_PER_S
+            t_sparse = _estimate_pairs(A, B) / _PACKED_PAIRS_PER_S
+            pick_dense = t_dense < t_sparse
+        if pick_dense and dense_ok:
+            plan = spgemm_plan(A, B)
+            return spgemm_extract(plan, spgemm_densify(A, B))
     plan = spgemm_plan(A, B)
     return spgemm_apply(plan, A.data, B.data)
 

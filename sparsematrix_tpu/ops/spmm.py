@@ -173,6 +173,32 @@ import weakref
 
 _CBD_CACHE: dict = {}
 
+# rowlane packs for the multi-RHS SpMM walk (spmv's auto-pack cache now
+# holds dual-gather layouts, which spmm_rowlane cannot consume)
+_RL_CACHE: dict = {}
+
+
+def _rowlane_pack_of(A: CSR):
+    import jax.core
+
+    if isinstance(A.data, jax.core.Tracer):
+        return None
+    if A.nnz < 4096 or A.nnz < 8 * A.shape[0]:
+        return None
+    key = id(A)
+    entry = _RL_CACHE.get(key)
+    if entry is not None and entry[0]() is A:
+        return entry[1]
+    from ..kernels.spmv_rowlane import pack_sell_rowlane
+
+    with jax.ensure_compile_time_eval():
+        packed = pack_sell_rowlane(A)
+    if packed.lanes_per_row != 1 or packed.spill is not None:
+        return None
+    ref = weakref.ref(A, lambda _u, k=key: _RL_CACHE.pop(k, None))
+    _RL_CACHE[key] = (ref, packed)
+    return packed
+
 
 def _codebook_dense_of(A: CodebookCSR):
     import jax.core
@@ -235,11 +261,9 @@ def spmm(A, X, method: str = "auto"):
             # low-density multi-RHS gap: walk the spmv slab layout once
             # per column (same auto-pack cache as spmv)
             from ..kernels.spmm_rowlane import spmm_rowlane
-            from .spmv import _auto_pack
 
-            packed = _auto_pack(A)
-            if (packed is not None and packed.lanes_per_row == 1
-                    and packed.spill is None):
+            packed = _rowlane_pack_of(A)
+            if packed is not None:
                 return spmm_rowlane(packed, X)
     if method == "auto" and _should_densify(A):
         return spmm_densify(A, X)

@@ -188,14 +188,29 @@ def prepare_spmv(A: "CSR", layout: str = "auto", **pack_kwargs):
         strip = _maybe_strip(A)
         if strip is not None:
             return strip
-    packed = pack_sell_rowlane(A, **pack_kwargs)
-    if (layout == "auto" and "group" not in pack_kwargs
-            and packed.group <= 2 and packed.n_tiles > 256):
+    if layout == "auto":
+        # dual-gather is the measured-best unstructured layout (XL point:
+        # fp32 55.1 vs rowlane 34.5 Gnnz/s, bf16 74.7 vs 44.6 — see
+        # BASELINE.md csr_spmv_xl); 16-tile superblocks kill the group
+        # padding when the matrix spans enough tiles.
+        from ..kernels.spmv_dualgather import pack_dualgather
+
+        n_tiles = -(-A.shape[0] // 128)
+        kt = 16 if n_tiles >= 16 else 1
+        dg_kwargs = {k: v for k, v in pack_kwargs.items()
+                     if k in ("dtype", "group", "k_tiles", "spill_cap",
+                              "with_transpose")}
+        dg_kwargs.setdefault("k_tiles", kt)
+        packed = pack_dualgather(A, **dg_kwargs)
+        # scattered patterns (~1 slab/tile) stay dispatch-bound on any
+        # per-tile grid; the rowlane superblock layout batches them wider
+        if packed.group > 2 or packed.n_tiles <= 256:
+            return packed
         from ..kernels.spmv_superblock import pack_superblock
 
         sb_kwargs = {k: v for k, v in pack_kwargs.items() if k == "dtype"}
         return pack_superblock(A, **sb_kwargs)
-    return packed
+    return pack_sell_rowlane(A, **pack_kwargs)
 
 
 def _maybe_strip(A: "CSR"):

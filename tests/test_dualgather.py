@@ -168,3 +168,76 @@ def test_dualgather_empty(rng):
     x = rng.standard_normal(256).astype(np.float32)
     got = np.asarray(spmv_dualgather(packed, jnp.asarray(x)))
     np.testing.assert_allclose(got, 0.0)
+
+
+@pytest.mark.parametrize("spill_cap", [8, 16, "auto"])
+def test_dualgather_spill_cap(rng, spill_cap):
+    """Capped body + pooled tail must stay exact and lift fill."""
+    A, dense = _rand_csr(rng, 512, 4096, 0.06)  # ~246 nnz/row, deep tails
+    packed = pack_dualgather(A, spill_cap=spill_cap)
+    x = rng.standard_normal(4096).astype(np.float32)
+    got = np.asarray(spmv_dualgather(packed, jnp.asarray(x)))
+    want = dense.astype(np.float64) @ x
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=0.5)
+    # fill improves when the cap sits near the mean row-window degree
+    # (cap=8 over-spills on purpose here — correctness-only)
+    if packed.tail is not None and spill_cap != 8:
+        base = pack_dualgather(A)
+        assert packed.fill_rate > base.fill_rate, (
+            packed.fill_rate, base.fill_rate)
+
+
+def test_dualgather_spill_vjp(rng):
+    A, dense = _rand_csr(rng, 256, 2048, 0.08)
+    packed = pack_dualgather(A, spill_cap=8)
+    assert packed.tail is not None
+    x = jnp.asarray(rng.standard_normal(2048).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal(256).astype(np.float32))
+    _, vjp = jax.vjp(lambda xx: spmv_dualgather(packed, xx), x)
+    (gx,) = vjp(g)
+    want = dense.astype(np.float64).T @ np.asarray(g)
+    np.testing.assert_allclose(np.asarray(gx), want, rtol=2e-3, atol=0.5)
+    # vals cotangent flows to the tail too
+    _, vjp2 = jax.vjp(lambda p: spmv_dualgather(p, x), packed)
+    (dp,) = vjp2(g)
+    assert np.abs(np.asarray(dp.tail.vals)).max() > 0
+
+
+@pytest.mark.parametrize("k_tiles", [2, 4])
+def test_dualgather_superblock(rng, k_tiles):
+    """k_tiles>1: multi-tile output blocks with accumulator commits."""
+    A, dense = _rand_csr(rng, 700, 3000, 0.04)  # 6 tiles, odd edges
+    packed = pack_dualgather(A, group=4, k_tiles=k_tiles)
+    assert packed.k_tiles == k_tiles and packed.commit is not None
+    x = rng.standard_normal(3000).astype(np.float32)
+    got = np.asarray(spmv_dualgather(packed, jnp.asarray(x)))
+    want = dense.astype(np.float64) @ x
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=0.5)
+
+
+def test_dualgather_superblock_vjp(rng):
+    A, dense = _rand_csr(rng, 300, 1500, 0.05)
+    packed = pack_dualgather(A, group=2, k_tiles=4)
+    x = jnp.asarray(rng.standard_normal(1500).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal(300).astype(np.float32))
+    _, vjp = jax.vjp(lambda xx: spmv_dualgather(packed, xx), x)
+    (gx,) = vjp(g)
+    want = dense.astype(np.float64).T @ np.asarray(g)
+    np.testing.assert_allclose(np.asarray(gx), want, rtol=2e-3, atol=0.5)
+
+
+def test_dualgather_superblock_splits(rng):
+    """Multi-call chunking must split at superblock boundaries."""
+    from sparsematrix_tpu.kernels import spmv_dualgather as dgm
+    A, dense = _rand_csr(rng, 2048, 2048, 0.03)
+    old = dgm._SMEM_PREFETCH_BUDGET
+    dgm._SMEM_PREFETCH_BUDGET = 600  # force tiny per-call budget
+    try:
+        packed = pack_dualgather(A, group=2, k_tiles=2)
+        assert len(packed.splits) > 0
+        x = rng.standard_normal(2048).astype(np.float32)
+        got = np.asarray(spmv_dualgather(packed, jnp.asarray(x)))
+        want = dense.astype(np.float64) @ x
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=0.5)
+    finally:
+        dgm._SMEM_PREFETCH_BUDGET = old

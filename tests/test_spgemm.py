@@ -241,3 +241,36 @@ def test_spgemm_packed_coloring_fill(rng):
             @ B.to_scipy().astype(np.float64)).tocsr()
     want.sort_indices()
     np.testing.assert_allclose(got_c, want.data, rtol=1e-4, atol=1e-4)
+
+
+def test_spgemm_method_auto_routes(rng):
+    """method='auto' must pick densify at small-dense shapes and stay
+    correct under both forced methods."""
+    import scipy.sparse as sps
+    from sparsematrix_tpu.ops.spgemm import spgemm
+
+    a = sps.random(256, 256, 0.05, random_state=3, format="csr",
+                   dtype=np.float32)
+    b = sps.random(256, 256, 0.05, random_state=4, format="csr",
+                   dtype=np.float32)
+    A, B = CSR.from_scipy(a), CSR.from_scipy(b)
+    want = (a.astype(np.float64) @ b.astype(np.float64)).tocsr()
+    want.sort_indices()
+    for method in ("auto", "sparse", "densify"):
+        C = spgemm(A, B, method=method)
+        got = np.asarray(C.to_scipy().todense())
+        np.testing.assert_allclose(got, want.todense(), rtol=2e-3, atol=0.5)
+
+
+def test_spgemm_auto_picks_sparse_at_scale():
+    """The routing model must choose the pair program at the XL regime."""
+    import importlib
+
+    sg = importlib.import_module("sparsematrix_tpu.ops.spgemm")
+
+    # n=16384, d=0.001-equivalent pair count: dense time >> sparse time
+    m = k = n = 16384
+    pairs = 4_400_000
+    t_dense = 2.0 * m * k * n / sg._DENSE_FLOPS_PER_S
+    t_sparse = pairs / sg._PACKED_PAIRS_PER_S
+    assert t_sparse < t_dense

@@ -57,10 +57,11 @@ def test_superblock_bf16_storage(rng):
     np.testing.assert_allclose(y, ref, rtol=2e-2, atol=2.0)
 
 
-def test_prepare_spmv_auto_selects_superblock(rng):
-    # step-bound shape (the clustered pair-program structure): many
-    # 128-row tiles whose few entries all land in one 1024-column window
-    # → 1-2 slabs per tile → rowlane auto-group collapses to ≤ 2
+def test_prepare_spmv_auto_clustered_dualgather(rng):
+    # clustered pair-program structure: many 128-row tiles whose few
+    # entries all land in one 1024-column window.  The dual-gather
+    # superblock pack keeps ~1 slab/tile batched 16 tiles per grid step
+    # (group > 2), so auto stays on the measured-best dual-gather layout.
     import scipy.sparse as sps
 
     n_tiles, n = 512, 512 * 128
@@ -70,25 +71,27 @@ def test_prepare_spmv_auto_selects_superblock(rng):
     d = sps.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
     d.sum_duplicates()
     A = CSR.from_scipy(d)
-    from sparsematrix_tpu.kernels.spmv_superblock import SellSuperblock
+    from sparsematrix_tpu.kernels.spmv_dualgather import DualGather
     from sparsematrix_tpu.ops.spmv import prepare_spmv, spmv
 
     packed = prepare_spmv(A)
-    assert isinstance(packed, SellSuperblock)
+    assert isinstance(packed, DualGather) and packed.group > 2
     x = rng.uniform(-1, 1, n).astype(np.float32)
     y = np.asarray(jax.jit(spmv)(packed, jnp.asarray(x)))
     np.testing.assert_allclose(y, d.astype(np.float64) @ x, rtol=2e-3,
                                atol=0.5)
 
 
-def test_prepare_spmv_keeps_rowlane_for_dense_rows(rng):
+def test_prepare_spmv_auto_dense_rows_dualgather(rng):
+    # ~100 nnz/row unstructured: dual-gather is the measured-best layout
+    # at every unstructured density (BASELINE.md csr_spmv_xl)
     n = 2048
     d = gen_random_dense_sparse(rng, n, n, density=0.05)  # ~100 nnz/row
-    from sparsematrix_tpu.kernels.spmv_rowlane import SellRowLane
+    from sparsematrix_tpu.kernels.spmv_dualgather import DualGather
     from sparsematrix_tpu.ops.spmv import prepare_spmv
 
     packed = prepare_spmv(CSR.fromdense(d))
-    assert isinstance(packed, SellRowLane)
+    assert isinstance(packed, DualGather)
 
 
 def test_superblock_grad_in_x(rng):
