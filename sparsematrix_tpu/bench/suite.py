@@ -1004,16 +1004,42 @@ def bench_trisolve(check=True, n=4096, nnz_row=8, **kw):
              res4, nnz=nnz, checked=checked4)
     r4.sol_frac = r4.nnz_per_s / sol
     rows.append(r4)
+
+    # waves: host-inverted diagonal blocks, MXU commits — the random
+    # pattern has unbounded tile reach, so this exercises binv mode; the
+    # banded/ILU regime (chain mode) is measured in ilu_cg
+    import time as _t
+
+    from ..ops import trisolve_waves_apply, trisolve_waves_plan
+
+    t0 = _t.time()
+    wplan = trisolve_waves_plan(A, lower=True)
+    pack_s = _t.time() - t0
+    wf = jax.jit(trisolve_waves_apply)
+    res5 = bench_fn_slope(wf, wplan, b, iters=6, perturb_max_bytes=1 << 20)
+    checked5 = None
+    if check:
+        checked5 = relative_check(np.asarray(wf(wplan, b)), want)
+    r5 = Row("trisolve/waves",
+             f"n={n},nnz={nnz},mode={wplan.mode},m={wplan.m},"
+             f"waves={wplan.n_waves}",
+             res5, nnz=nnz, checked=checked5)
+    r5.sol_frac = r5.nnz_per_s / sol
+    r5.extras = {"pack_seconds": pack_s}
+    rows.append(r5)
     return rows
 
 
-@registry.register("ilu_cg")
-def bench_ilu_cg(check=True, n=4096, iters=25, **kw):
-    """End-to-end preconditioned solve: ILU(0)-CG vs plain CG on a 2-D
-    Poisson system (fixed iteration count → time per iteration)."""
+def _bench_cg_to_tol(check, n, iters, tol, maxiter, group_name):
+    """Preconditioned CG on the 2-D Poisson system: per-iteration slope
+    time × measured iterations-to-tolerance = wall-clock to ‖r‖/‖b‖ ≤ tol
+    (the number that decides whether preconditioning wins end-to-end)."""
+    import time
+
     import scipy.sparse as sps
 
-    from ..ops.ilu import ilu0_fixpoint_plans, ilu_apply
+    from ..ops.ichol import ic0_fused_plans, ic0_waves_plans, ic_apply
+    from ..ops.ilu import ilu0_fixpoint_plans, ilu0_waves_plans, ilu_apply
     from ..solvers import cg
 
     side = int(np.sqrt(n))
@@ -1026,52 +1052,84 @@ def bench_ilu_cg(check=True, n=4096, iters=25, **kw):
     A = CSR.from_scipy(Apo.astype(np.float32).tocsr())
     rng = np.random.default_rng(8)
     b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
-    # the documented fast-path flow: build step (pack) + jitted solve —
-    # CG's SpMVs ride the row-lane kernel, the ILU solves the fixed-point
-    # (SpMV-formulated) plans
+    b_norm = float(np.linalg.norm(np.asarray(b)))
     from ..ops.spmv import prepare_spmv
 
     Ap = prepare_spmv(A)
-    # truncated Neumann: the Poisson factors are diagonally dominant, so
-    # ~6 fixed-point terms already give preconditioner-grade accuracy
-    # (measured: same 25-iter CG residual as the exact 127-level solve)
-    plans = ilu0_fixpoint_plans(A, n_iters=6)
-    M = lambda r: ilu_apply(plans, r)
-    # exact-solve alternative: all levels fused into one pallas call per
-    # solve (the scan-of-calls level plan measured 46 ms here — per-call
-    # dispatch × 127 levels × 2 solves × 25 iters dominates)
-    from ..ops.ilu import ilu0_fused_plans
 
-    fplans = ilu0_fused_plans(A)
-    Mf = lambda r: ilu_apply(fplans, r)
-    # the SPD system also admits IC(0): half the triangular work of ILU(0)
-    # (one factor, L^T reused for the upper solve)
-    from ..ops.ichol import ic0_fused_plans, ic_apply
+    def _mk(builder, apply_):
+        t0 = time.time()
+        plans = builder()
+        return (lambda r: apply_(plans, r)), time.time() - t0
 
-    icplans = ic0_fused_plans(A)
-    Mic = lambda r: ic_apply(icplans, r)
+    variants = [("plain", None, 0.0)]
+    # truncated Neumann on the row-lane SpMV layout (approximate solve)
+    M, s = _mk(lambda: ilu0_fixpoint_plans(A, n_iters=6), ilu_apply)
+    variants.append(("ilu0-fix6", M, s))
+    # exact solves on host-inverted wave plans (kernels/trisolve_waves)
+    M, s = _mk(lambda: ilu0_waves_plans(A), ilu_apply)
+    variants.append(("ilu0-waves", M, s))
+    M, s = _mk(lambda: ic0_waves_plans(A), ic_apply)
+    variants.append(("ic0-waves", M, s))
+    # round-2's best exact engine, kept as the honest race for the waves
+    M, s = _mk(lambda: ic0_fused_plans(A), ic_apply)
+    variants.append(("ic0-fused", M, s))
+
     rows = []
-    for label, precond in (("plain", None), ("ilu0", M),
-                           ("ilu0-fused", Mf), ("ic0-fused", Mic)):
+    plain_iters = None
+    for label, precond, pack_s in variants:
+        # per-iteration time: fixed-work solve (tol=0 → exactly `iters`)
         f = jax.jit(lambda bb: cg(Ap, bb, maxiter=iters, M=precond,
                                   tol=0.0).x)
         res = bench_fn_slope(f, b, iters=4, inner_lo=2, inner_hi=10)
+        per_iter_ms = res.min_ms / iters
+        # iterations to tolerance (recurrence residual, jitted solve)
+        ft = jax.jit(lambda bb: cg(Ap, bb, maxiter=maxiter, M=precond,
+                                   tol=tol))
+        sol_res = ft(b)
+        iters_tol = int(sol_res.iters)
+        reached = bool(float(sol_res.residual) <= tol * b_norm * 1.001
+                       and iters_tol < maxiter)
+        ms_to_tol = per_iter_ms * iters_tol
         checked = None
         if check:
-            x = np.asarray(f(b))
-            res_norm = np.linalg.norm(Apo @ x - np.asarray(b))
-            b_norm = np.linalg.norm(np.asarray(b))
-            # preconditioned CG must reduce the residual much further in
-            # the same iteration budget
-            checked = bool(res_norm < (0.9 if label == "plain" else 0.05)
-                           * b_norm)
+            x = np.asarray(sol_res.x)
+            true_res = float(np.linalg.norm(Apo @ x - np.asarray(b)))
+            # tight: the tol run must actually reach tol (recurrence) and
+            # the TRUE residual must confirm within a 10x fp32 margin;
+            # preconditioned runs must converge in ≤ 0.6x plain's iters
+            checked = bool(reached and true_res <= 10 * tol * b_norm)
+            if label != "plain" and plain_iters is not None:
+                checked = checked and iters_tol <= 0.6 * plain_iters
+        if label == "plain":
+            plain_iters = iters_tol
         nnz = A.nnz * iters
-        r = Row(f"ilu_cg/{label}", f"n={n},iters={iters}", res, nnz=nnz,
+        r = Row(f"{group_name}/{label}",
+                f"n={n},iters={iters},tol={tol:g}", res, nnz=nnz,
                 checked=checked)
         sol = speed_of_light_nnz_s(nnz, spmv_csr_bytes(nnz, n, n))
         r.sol_frac = r.nnz_per_s / sol
+        r.extras = {"per_iter_ms": per_iter_ms, "iters_to_tol": iters_tol,
+                    "ms_to_tol": ms_to_tol, "reached_tol": reached,
+                    "pack_seconds": pack_s}
         rows.append(r)
     return rows
+
+
+@registry.register("ilu_cg")
+def bench_ilu_cg(check=True, n=4096, iters=25, tol=1e-6, maxiter=3000,
+                 **kw):
+    """End-to-end preconditioned solve at n=4096: per-iteration slope +
+    wall-clock to ‖r‖/‖b‖ ≤ 1e-6 for plain/fixpoint/wave/fused CG."""
+    return _bench_cg_to_tol(check, n, iters, tol, maxiter, "ilu_cg")
+
+
+@registry.register("ilu_cg_xl")
+def bench_ilu_cg_xl(check=True, n=65536, iters=25, tol=1e-6,
+                    maxiter=6000, **kw):
+    """The 65k Poisson point (side 256 → ILU tile reach 2: the wave
+    solves ride the chain-K path)."""
+    return _bench_cg_to_tol(check, n, iters, tol, maxiter, "ilu_cg_xl")
 
 
 @registry.register("codebook_gemm")

@@ -32,36 +32,45 @@ __all__ = ["splu_plans", "splu_solve", "SpluSolver"]
 @register_sparse_pytree
 @dataclasses.dataclass(frozen=True)
 class SpluSolver:
-    l_plan: object  # TriFusedPlan, unit-lower
-    u_plan: object  # TriFusedPlan, upper
+    l_plan: object  # TriWavesPlan or TriFusedPlan, unit-lower
+    u_plan: object  # TriWavesPlan or TriFusedPlan, upper
     inv_perm_r: jnp.ndarray  # (n,) int32 — gather indices for Pr @ b
     perm_c: jnp.ndarray  # (n,) int32 — gather indices for Pc @ y
     shape: Tuple[int, int] = dataclasses.field(metadata={"static": True})
     lu_nnz: int = dataclasses.field(metadata={"static": True})  # fill incl.
 
 
-def splu_plans(A: CSR, **plan_kwargs) -> SpluSolver:
+def splu_plans(A: CSR, engine: str = "waves", **plan_kwargs) -> SpluSolver:
     """Factor ``A`` (square, nonsingular) with SuperLU and build the
-    device solve plans.  ``plan_kwargs`` forward to
-    ``trisolve_fused_plan`` (e.g. ``group=``, ``dtype=jnp.bfloat16``)."""
+    device solve plans.
+
+    ``engine``: "waves" (default — host-inverted block solves,
+    kernels/trisolve_waves.py, 6-17x the fused engine) or "fused"
+    (slab-walk solves; use for very large factors where the wave
+    inverse blocks would outgrow HBM, or when the solver must be
+    differentiable in the factor values).  ``plan_kwargs`` forward to
+    the chosen plan builder (e.g. ``dtype=jnp.bfloat16``, binv ``m=``).
+    """
     import scipy.sparse.linalg as spla
 
     from ..kernels.trisolve_fused import trisolve_fused_plan
+    from ..kernels.trisolve_waves import trisolve_waves_plan
 
     if A.shape[0] != A.shape[1]:
         raise ValueError(f"splu needs a square matrix, got {A.shape}")
+    if engine not in ("waves", "fused"):
+        raise ValueError(f"unknown engine {engine!r}")
     lu = spla.splu(A.to_scipy().tocsc())
     n = A.shape[0]
     L = CSR.from_scipy(lu.L.tocsr())
     U = CSR.from_scipy(lu.U.tocsr())
+    plan = trisolve_waves_plan if engine == "waves" else trisolve_fused_plan
     # (Pr @ b)[perm_r[i]] = b[i]  ⇔  gather with the inverse permutation
     inv_pr = np.empty(n, np.int32)
     inv_pr[lu.perm_r] = np.arange(n, dtype=np.int32)
     return SpluSolver(
-        l_plan=trisolve_fused_plan(L, lower=True, unit_diagonal=True,
-                                   **plan_kwargs),
-        u_plan=trisolve_fused_plan(U, lower=False, unit_diagonal=False,
-                                   **plan_kwargs),
+        l_plan=plan(L, lower=True, unit_diagonal=True, **plan_kwargs),
+        u_plan=plan(U, lower=False, unit_diagonal=False, **plan_kwargs),
         inv_perm_r=jnp.asarray(inv_pr),
         perm_c=jnp.asarray(lu.perm_c.astype(np.int32)),
         shape=A.shape,
@@ -73,8 +82,12 @@ def splu_solve(solver: SpluSolver, b):
     """``x = A⁻¹ b`` on device (jittable): gather → L-solve → U-solve →
     gather.  ``b`` is a vector (n,)."""
     from ..kernels.trisolve_fused import trisolve_fused_apply
+    from ..kernels.trisolve_waves import TriWavesPlan, trisolve_waves_apply
 
+    apply_ = (trisolve_waves_apply
+              if isinstance(solver.l_plan, TriWavesPlan)
+              else trisolve_fused_apply)
     y = b[solver.inv_perm_r]
-    y = trisolve_fused_apply(solver.l_plan, y)
-    y = trisolve_fused_apply(solver.u_plan, y)
+    y = apply_(solver.l_plan, y)
+    y = apply_(solver.u_plan, y)
     return y[solver.perm_c]

@@ -161,6 +161,20 @@ def ic0_fused_plans(A: CSR, **plan_kwargs):
     )
 
 
+def ic0_waves_plans(A: CSR, **plan_kwargs):
+    """Factor + wave-solve plans (host-inverted blocks, MXU commits —
+    the fastest exact solve family, kernels/trisolve_waves.py)."""
+    from ..kernels.trisolve_waves import trisolve_waves_plan
+
+    L = ic0(A)
+    return (
+        trisolve_waves_plan(L, lower=True, unit_diagonal=False,
+                            **plan_kwargs),
+        trisolve_waves_plan(_lt(L), lower=False, unit_diagonal=False,
+                            **plan_kwargs),
+    )
+
+
 def ic_apply(plans, r):
     """Apply the preconditioner ``M⁻¹ r = L⁻ᵀ (L⁻¹ r)`` (jittable).
 

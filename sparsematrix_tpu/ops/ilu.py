@@ -175,12 +175,29 @@ def ilu0_fused_plans(A: CSR, **plan_kwargs):
     )
 
 
+def ilu0_waves_plans(A: CSR, **plan_kwargs):
+    """Factor + wave-solve plans (host-inverted diagonal blocks, MXU
+    commits — kernels/trisolve_waves.py; the fastest exact family:
+    5.3 µs/solve vs the fused engine's 89 µs at the n=4096 Poisson
+    point)."""
+    from ..kernels.trisolve_waves import trisolve_waves_plan
+
+    L, U = ilu0(A)
+    return (
+        trisolve_waves_plan(L, lower=True, unit_diagonal=True,
+                            **plan_kwargs),
+        trisolve_waves_plan(U, lower=False, unit_diagonal=False,
+                            **plan_kwargs),
+    )
+
+
 def ilu_apply(plans, r):
     """Apply the preconditioner: ``M⁻¹ r`` (jittable).
 
     Accepts any plan family (level-scheduled, fixed-point, level-packed,
-    or fused single-call)."""
+    fused single-call, or wave)."""
     from ..kernels.trisolve_fused import TriFusedPlan, trisolve_fused_apply
+    from ..kernels.trisolve_waves import TriWavesPlan, trisolve_waves_apply
 
     lp, up = plans
     if isinstance(lp, TriFixPlan):
@@ -189,4 +206,6 @@ def ilu_apply(plans, r):
         return trisolve_level_apply(up, trisolve_level_apply(lp, r))
     if isinstance(lp, TriFusedPlan):
         return trisolve_fused_apply(up, trisolve_fused_apply(lp, r))
+    if isinstance(lp, TriWavesPlan):
+        return trisolve_waves_apply(up, trisolve_waves_apply(lp, r))
     return trisolve_apply(up, trisolve_apply(lp, r))

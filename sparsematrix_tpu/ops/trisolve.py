@@ -170,14 +170,29 @@ def trisolve_apply(plan: TriSolvePlan, b):
     return x[:n]
 
 
+# the wave plans trade HBM for grid steps (n·128·4 B chain, n·m·128·4 B
+# binv); above this a1 footprint the fused slab engine is the better deal
+_WAVES_MAX_A1_BYTES = 1 << 30
+
+
 def trisolve(A: CSR, b, lower: bool = True, unit_diagonal: bool = False):
     """One-shot triangular solve (host plan + device apply).
 
-    Fast by default: plans the fused single-pallas-call engine
-    (kernels/trisolve_fused.py — 7.6× the gather-per-level scan at
-    n=4096), falling back to the level-scheduled gather plan for
+    Fast by default: plans the wave engine (kernels/trisolve_waves.py —
+    host-inverted diagonal blocks, MXU commits; 17× the fused slab
+    engine at the n=4096 Poisson-ILU point), falling back to the fused
+    single-pallas-call engine when the inverse blocks would outgrow
+    their HBM budget, and to the level-scheduled gather plan for
     patterns too scattered for the padded slab layout.
     """
+    n = A.shape[0]
+    if n * 128 * 4 * 4 <= _WAVES_MAX_A1_BYTES:
+        from ..kernels.trisolve_waves import (trisolve_waves_apply,
+                                              trisolve_waves_plan)
+
+        plan = trisolve_waves_plan(A, lower=lower,
+                                   unit_diagonal=unit_diagonal)
+        return trisolve_waves_apply(plan, b)
     from ..kernels.trisolve_fused import (trisolve_fused_apply,
                                           trisolve_fused_plan)
 
