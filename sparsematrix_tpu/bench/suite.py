@@ -1027,6 +1027,51 @@ def bench_trisolve(check=True, n=4096, nnz_row=8, **kw):
     r5.sol_frac = r5.nnz_per_s / sol
     r5.extras = {"pack_seconds": pack_s}
     rows.append(r5)
+
+    # the banded regime (Poisson ILU(0) L factor — every preconditioned
+    # solver's inner loop): tile reach 1 → the chain path, grid steps =
+    # n/1024 with zero gathers
+    from ..ops.ilu import ilu0
+
+    side = int(np.sqrt(n))
+    import scipy.sparse as _sps
+
+    Iq = _sps.eye(side)
+    Tq = _sps.diags([-1.0, 4.0, -1.0], [-1, 0, 1], (side, side))
+    Apo = (_sps.kron(Iq, Tq) + _sps.kron(
+        _sps.diags([-1.0, -1.0], [-1, 1], (side, side)), Iq)).tocsr()
+    Lf, _ = ilu0(CSR.from_scipy(Apo.astype(np.float32)))
+    nnz_l = Lf.nnz
+    bl = jnp.asarray(gen_matrix_random(rng, side * side, 1)[:, 0])
+    Ld = Lf.to_scipy().astype(np.float64).tolil()
+    Ld.setdiag(1.0)
+    want_l = None
+    if check:
+        import scipy.sparse.linalg as spla
+
+        want_l = spla.spsolve_triangular(Ld.tocsr(), np.asarray(bl),
+                                         lower=True)
+    sol_l = speed_of_light_nnz_s(nnz_l, spmv_csr_bytes(nnz_l, n, n))
+    for label, mk, ap in (
+            ("waves-ilu", lambda: trisolve_waves_plan(
+                Lf, lower=True, unit_diagonal=True), wf),
+            ("fused-ilu", lambda: trisolve_fused_plan(
+                Lf, lower=True, unit_diagonal=True),
+             jax.jit(trisolve_fused_apply))):
+        t0 = _t.time()
+        plan = mk()
+        pack_s = _t.time() - t0
+        res6 = bench_fn_slope(ap, plan, bl, iters=6, perturb_max_bytes=0)
+        checked6 = None
+        if check:
+            checked6 = relative_check(np.asarray(ap(plan, bl)), want_l)
+        mode = (f"mode={plan.mode},K={plan.K}" if hasattr(plan, "mode")
+                else f"levels={plan.n_levels}")
+        r6 = Row(f"trisolve/{label}", f"n={n},nnz={nnz_l},{mode}",
+                 res6, nnz=nnz_l, checked=checked6)
+        r6.sol_frac = r6.nnz_per_s / sol_l
+        r6.extras = {"pack_seconds": pack_s}
+        rows.append(r6)
     return rows
 
 

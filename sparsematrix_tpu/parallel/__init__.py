@@ -44,6 +44,8 @@ from .scaling import (
 )
 from .halo import shard_halo
 from .dist_solve import dist_bicgstab, dist_cg, dist_gmres
+from .dist_precond import (ShardedPrecond, block_ic0_precond,
+                           block_ilu0_precond)
 from .dist_spgemm import (
     DistSpGEMMPlan,
     dist_spgemm_plan,
@@ -68,6 +70,9 @@ __all__ = [
     "dist_spmm",
     "dist_bicgstab",
     "dist_cg",
+    "ShardedPrecond",
+    "block_ic0_precond",
+    "block_ilu0_precond",
     "dist_gmres",
     "shard_partitioned",
     "make_mesh",

@@ -50,10 +50,12 @@ def _local_diag_inv(ip, ix, dd, rid, local_rows, row0):
     return jnp.where(jnp.abs(diag) > 1e-30, 1.0 / safe, 1.0)
 
 
-def _local_env(part, p_local, precond, axis_name):
+def _local_env(part, p_local, precond, axis_name, m_local=None):
     """Per-shard matvec + preconditioner closures (shared by every dist
     solver).  ``p_local`` is the PartitionedCSR slice seen inside shard_map
-    (leading dim 1)."""
+    (leading dim 1); ``m_local`` is a ShardedPrecond's state slice."""
+    from .dist_precond import ShardedPrecond
+
     ip, ix, dd, rid = part.local_csr_arrays(p_local)
     cols = part.shape[1]
     row0 = jax.lax.axis_index(axis_name) * part.local_rows
@@ -61,6 +63,8 @@ def _local_env(part, p_local, precond, axis_name):
     if precond == "jacobi":
         dinv = _local_diag_inv(ip, ix, dd, rid, part.local_rows, row0)
         apply_M = lambda r: r * dinv
+    elif isinstance(precond, ShardedPrecond):
+        apply_M = lambda r: precond.fn(r, m_local)
     elif callable(precond):
         apply_M = lambda r: precond(r, jax.lax.axis_index(axis_name))
     else:
@@ -72,6 +76,16 @@ def _local_env(part, p_local, precond, axis_name):
         return jax.ops.segment_sum(prod, rid, num_segments=part.local_rows)
 
     return matvec, apply_M
+
+
+def _precond_state(precond, n_shards):
+    """The shard_map operand carrying a ShardedPrecond's stacked state
+    (a tiny dummy when the preconditioner has none)."""
+    from .dist_precond import ShardedPrecond
+
+    if isinstance(precond, ShardedPrecond):
+        return precond.state
+    return jnp.zeros((n_shards,), jnp.float32)
 
 
 def _check_square_rows(part, name):
@@ -110,11 +124,14 @@ def dist_cg(part: PartitionedCSR, b, mesh: Mesh, axis_name: str = "shard",
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name)),
         out_specs=(P(axis_name), P(), P()),
+        # per-shard-pure pallas solves may run inside (ShardedPrecond)
+        check_vma=False,
     )
-    def run(p_local, b_local, x_local):
-        matvec, apply_M = _local_env(part, p_local, precond, axis_name)
+    def run(p_local, b_local, x_local, m_local):
+        matvec, apply_M = _local_env(part, p_local, precond, axis_name,
+                                     m_local)
         b_loc = b_local
         x_loc = x_local
 
@@ -151,7 +168,8 @@ def dist_cg(part: PartitionedCSR, b, mesh: Mesh, axis_name: str = "shard",
             cond, body, (x_loc, r, p, rz, rr, 0))
         return x_loc, k, jnp.sqrt(jnp.maximum(rr, 0.0))
 
-    x, iters, residual = run(part, b_pad, x0_pad)
+    x, iters, residual = run(part, b_pad, x0_pad,
+                             _precond_state(precond, part.n_shards))
     return SolveResult(x=x.reshape(-1)[:rows], iters=iters,
                        residual=residual)
 
@@ -179,11 +197,14 @@ def dist_bicgstab(part: PartitionedCSR, b, mesh: Mesh,
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name)),
         out_specs=(P(axis_name), P(), P(), P()),
+        # per-shard-pure pallas solves may run inside (ShardedPrecond)
+        check_vma=False,
     )
-    def run(p_local, b_loc, x_loc):
-        matvec, apply_M = _local_env(part, p_local, precond, axis_name)
+    def run(p_local, b_loc, x_loc, m_local):
+        matvec, apply_M = _local_env(part, p_local, precond, axis_name,
+                                     m_local)
 
         def psum_dot(a, c):
             return jax.lax.psum(jnp.vdot(a, c), axis_name)
@@ -236,7 +257,8 @@ def dist_bicgstab(part: PartitionedCSR, b, mesh: Mesh,
         x, r, *_, rr, bad, k = jax.lax.while_loop(cond, body, state)
         return x, k, jnp.sqrt(jnp.maximum(rr, 0.0)), bad
 
-    x, iters, residual, bad = run(part, b_pad, x0_pad)
+    x, iters, residual, bad = run(part, b_pad, x0_pad,
+                                  _precond_state(precond, part.n_shards))
     return SolveResult(x=x.reshape(-1)[:rows], iters=iters,
                        residual=residual, breakdown=bad)
 
@@ -278,11 +300,14 @@ def dist_gmres(part: PartitionedCSR, b, mesh: Mesh,
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name)),
         out_specs=(P(axis_name), P(), P()),
+        # per-shard-pure pallas solves may run inside (ShardedPrecond)
+        check_vma=False,
     )
-    def run(p_local, b_loc, x_loc):
-        matvec, apply_M = _local_env(part, p_local, precond, axis_name)
+    def run(p_local, b_loc, x_loc, m_local):
+        matvec, apply_M = _local_env(part, p_local, precond, axis_name,
+                                     m_local)
         nloc = b_loc.shape[0]
         dtype = b_loc.dtype
 
@@ -348,6 +373,7 @@ def dist_gmres(part: PartitionedCSR, b, mesh: Mesh,
         x, rnorm, k = jax.lax.while_loop(cond, cycle, (x_loc, rnorm0, 0))
         return x, k * m, rnorm
 
-    x, iters, residual = run(part, b_pad, x0_pad)
+    x, iters, residual = run(part, b_pad, x0_pad,
+                             _precond_state(precond, part.n_shards))
     return SolveResult(x=x.reshape(-1)[:rows], iters=iters,
                        residual=residual)
