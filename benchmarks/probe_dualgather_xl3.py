@@ -38,9 +38,9 @@ def main():
     want_bf = spq @ x
 
     t0 = time.time()
-    packed = pack_dualgather(A, spill_cap="auto")
+    packed = pack_dualgather(A, spill_cap="auto", k_tiles=16, group=256)
     print(f"pack: {time.time()-t0:.0f}s, body g={packed.group} "
-          f"slabs={packed.vals.size // 1024}, "
+          f"kt={packed.k_tiles} slabs={packed.vals.size // 1024}, "
           f"tail g={packed.tail.group if packed.tail else 0} "
           f"slabs={packed.tail.vals.size // 1024 if packed.tail else 0} "
           f"nnz={packed.tail.nnz if packed.tail else 0}, "

@@ -668,10 +668,19 @@ def bench_weak_scaling(check=True, **kw):
     from ..utils.timer import BenchResult
     from ..parallel.scaling import weak_scaling_table
 
+    # calibrate the local-compute term to the fastest measured kernel in
+    # this run: the dual-gather XL row when present (the auto-dispatch
+    # layout the distributed SpMV actually inherits), else rowlane-large
     measured = None
-    for r in registry.rows:
-        if r.name == "csr_spmv_large/rowlane-fp32":
-            measured = r.nnz_per_s / 1e9
+    basis = "HBM roofline"
+    for name in ("csr_spmv_xl/dualgather-fp32", "csr_spmv_large/rowlane-fp32"):
+        for r in registry.rows:
+            if r.name == name:
+                measured = r.nnz_per_s / 1e9
+                basis = f"measured single-chip {name.split('/')[1]}"
+                break
+        if measured is not None:
+            break
     table = weak_scaling_table(8192, 256, ns=[1, 2, 4, 8],
                                measured_single_chip_gnnz=measured)
     rows = []
@@ -686,8 +695,7 @@ def bench_weak_scaling(check=True, **kw):
         r.extras = {
             "weak_scaling_efficiency": row["weak_scaling_efficiency"],
             "modeled": True,
-            "basis": ("measured single-chip rowlane" if measured
-                      else "HBM roofline"),
+            "basis": basis,
         }
         rows.append(r)
     return rows
@@ -1137,6 +1145,7 @@ def _bench_cg_to_tol(check, n, iters, tol, maxiter, group_name):
                        and iters_tol < maxiter)
         ms_to_tol = per_iter_ms * iters_tol
         checked = None
+        true_res = None
         if check:
             x = np.asarray(sol_res.x)
             true_res = float(np.linalg.norm(Apo @ x - np.asarray(b)))
@@ -1157,6 +1166,8 @@ def _bench_cg_to_tol(check, n, iters, tol, maxiter, group_name):
         r.extras = {"per_iter_ms": per_iter_ms, "iters_to_tol": iters_tol,
                     "ms_to_tol": ms_to_tol, "reached_tol": reached,
                     "pack_seconds": pack_s}
+        if true_res is not None:
+            r.extras["true_rel_residual"] = true_res / b_norm
         rows.append(r)
     return rows
 
@@ -1170,10 +1181,13 @@ def bench_ilu_cg(check=True, n=4096, iters=25, tol=1e-6, maxiter=3000,
 
 
 @registry.register("ilu_cg_xl")
-def bench_ilu_cg_xl(check=True, n=65536, iters=25, tol=1e-6,
+def bench_ilu_cg_xl(check=True, n=65536, iters=25, tol=1e-5,
                     maxiter=6000, **kw):
     """The 65k Poisson point (side 256 → ILU tile reach 2: the wave
-    solves ride the chain-K path)."""
+    solves ride the chain-K path).  tol=1e-5: at this size the fp32
+    recurrence reaches 1e-6 but the TRUE residual floor sits near
+    4e-6·‖b‖ (measured r3 pass_s), so 1e-6 cannot be confirmed — the
+    bench pins the tightest tolerance the hardware dtype can certify."""
     return _bench_cg_to_tol(check, n, iters, tol, maxiter, "ilu_cg_xl")
 
 

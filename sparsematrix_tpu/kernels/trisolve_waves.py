@@ -74,7 +74,6 @@ class TriWavesPlan:
     slab_win: Optional[jnp.ndarray]  # binv: (n_groups*group,) int32
     slab_tloc: Optional[jnp.ndarray]  # binv: (n_groups*group,) int32
     t_plan: Optional["TriWavesPlan"]  # plan of T^T for the solve VJP
-    perm: Optional[jnp.ndarray]  # (n,) new→old (reversal for upper), or None
     shape: Tuple[int, int] = dataclasses.field(metadata={"static": True})
     mode: str = dataclasses.field(metadata={"static": True})  # chain|binv
     m: int = dataclasses.field(metadata={"static": True})  # tiles/wave
@@ -85,6 +84,8 @@ class TriWavesPlan:
     lower: bool = dataclasses.field(metadata={"static": True})
     K: int = dataclasses.field(  # chain back-offsets (tile reach)
         default=1, metadata={"static": True})
+    reversed: bool = dataclasses.field(  # upper solve via index reversal
+        default=False, metadata={"static": True})
 
 
 def _dense_block(sp, r0, r1, c0, c1):
@@ -310,8 +311,8 @@ def trisolve_waves_plan(A: CSR, lower: bool = True,
                                      with_transpose=False, dtype=dtype)
     return TriWavesPlan(
         t_plan=t_plan,
-        perm=None if perm is None else jnp.asarray(perm, jnp.int32),
-        shape=(n, n), mode=mode, lower=lower, **plan_kwargs,
+        shape=(n, n), mode=mode, lower=lower, reversed=perm is not None,
+        **plan_kwargs,
     )
 
 
@@ -459,12 +460,21 @@ def _binv_call(group_wave, seg_first, commit, slab_win, slab_tloc, s_idx,
       b2d)
 
 
+def _rev_pad(v, n, N):
+    """Reversal permutation of the padded vector WITHOUT a gather:
+    ``out[i] = v_padded[n−1−i]`` via flip + roll (both lower to cheap
+    vectorized slices; a 65k index gather measured ~440 µs on TPU, the
+    flip ~1 µs).  Self-inverse on the first n entries."""
+    return jnp.roll(jnp.flip(v), n - N)
+
+
 def _waves_forward(plan: TriWavesPlan, b):
     n = plan.shape[0]
-    if plan.perm is not None:
-        b = b[plan.perm]
-    b2d = (jnp.zeros((plan.S * _LANES,), jnp.float32)
-           .at[:n].set(b.astype(jnp.float32)).reshape(plan.S, _LANES))
+    N = plan.S * _LANES
+    bp = jnp.zeros((N,), jnp.float32).at[:n].set(b.astype(jnp.float32))
+    if plan.reversed:
+        bp = _rev_pad(bp, n, N)
+    b2d = bp.reshape(plan.S, _LANES)
     if plan.mode == "chain":
         out = _chain_call(plan.a1, plan.a2, b2d, S=plan.S, K=plan.K,
                           interpret=config.interpret())
@@ -474,10 +484,10 @@ def _waves_forward(plan: TriWavesPlan, b):
                          plan.vals, plan.a1, b2d, group=plan.group,
                          m=plan.m, S=plan.S,
                          interpret=config.interpret())
-    x = out.reshape(-1)[:n]
-    if plan.perm is not None:
-        x = x[plan.perm]  # reversal is its own inverse
-    return x
+    x = out.reshape(-1)
+    if plan.reversed:
+        x = _rev_pad(x, n, N)
+    return x[:n]
 
 
 @jax.custom_vjp
