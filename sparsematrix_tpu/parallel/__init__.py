@@ -46,6 +46,8 @@ from .halo import shard_halo
 from .dist_solve import dist_bicgstab, dist_cg, dist_gmres
 from .dist_precond import (ShardedPrecond, block_ic0_precond,
                            block_ilu0_precond)
+from .dist_dualgather import (PartitionedDualGather, dist_spmv_dualgather,
+                              partition_dualgather)
 from .dist_spgemm import (
     DistSpGEMMPlan,
     dist_spgemm_plan,
@@ -71,6 +73,9 @@ __all__ = [
     "dist_bicgstab",
     "dist_cg",
     "ShardedPrecond",
+    "PartitionedDualGather",
+    "partition_dualgather",
+    "dist_spmv_dualgather",
     "block_ic0_precond",
     "block_ilu0_precond",
     "dist_gmres",

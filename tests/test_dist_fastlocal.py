@@ -74,3 +74,33 @@ def test_dist_spmm_rowlane_matches(rng, n_shards):
     np.testing.assert_allclose(np.asarray(Y),
                                dense.astype(np.float64) @ X,
                                rtol=2e-3, atol=0.5)
+
+
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+def test_dist_spmv_dualgather_matches(rng, n_shards):
+    from sparsematrix_tpu.parallel import (dist_spmv_dualgather,
+                                           partition_dualgather)
+
+    n = 1536
+    dense = gen_random_dense_sparse(rng, n, n, density=0.03)
+    part = partition_dualgather(CSR.fromdense(dense), n_shards, group=4)
+    x = rng.standard_normal(n).astype(np.float32)
+    y = dist_spmv_dualgather(part, jnp.asarray(x), _mesh(n_shards))
+    np.testing.assert_allclose(np.asarray(y),
+                               dense.astype(np.float64) @ x,
+                               rtol=2e-3, atol=0.5)
+
+
+def test_dist_spmv_dualgather_rect_jit(rng):
+    from sparsematrix_tpu.parallel import (dist_spmv_dualgather,
+                                           partition_dualgather)
+
+    rows, cols = 900, 1400
+    dense = gen_random_dense_sparse(rng, rows, cols, density=0.03)
+    mesh = _mesh(4)
+    part = partition_dualgather(CSR.fromdense(dense), 4, group=2)
+    f = jax.jit(lambda p, v: dist_spmv_dualgather(p, v, mesh))
+    x = rng.standard_normal(cols).astype(np.float32)
+    y = np.asarray(f(part, jnp.asarray(x)))
+    np.testing.assert_allclose(y, dense.astype(np.float64) @ x,
+                               rtol=2e-3, atol=0.5)
