@@ -72,6 +72,22 @@ def generate(path: str) -> str:
                 f"| {r['name']} | {r['shape']} | {fmt_ms(r['min_ms'])}{extra} "
                 f"| {r['gnnz_per_s']:.2f} | {sol} | {chk} |")
         out.append("")
+        # time-to-tolerance table for solver groups (the number that
+        # decides whether preconditioning wins end-to-end)
+        tol_rows = [r for r in rs
+                    if r.get("extras", {}).get("ms_to_tol") is not None]
+        if tol_rows:
+            out.append("| path | per-iter | iters→tol | **ms to tol** | "
+                       "true ‖r‖/‖b‖ | setup s |")
+            out.append("|---|---|---|---|---|---|")
+            for r in tol_rows:
+                e = r["extras"]
+                out.append(
+                    f"| {r['name']} | {e['per_iter_ms']*1e3:.1f} µs | "
+                    f"{e['iters_to_tol']} | **{e['ms_to_tol']:.2f}** | "
+                    f"{e.get('true_rel_residual', float('nan')):.1e} | "
+                    f"{e.get('pack_seconds', 0):.2f} |")
+            out.append("")
     out.append(END)
     return "\n".join(out)
 
