@@ -620,20 +620,19 @@ def bench_csr_spmv_xl(check=True, n=32768, nnz_row=512, **kw):
                     **res.extras}
         rows.append(r)
     # dual-gather superblock: the measured-best unstructured layout (the
-    # round-3 fill-barrier break — probe_dualgather_xl4: g256/kt16 fp32
-    # 55.1 Gnnz/s 53.9% SoL, bf16 74.7).  Pack once fp32, derive bf16 by
-    # re-typing vals (accumulation stays fp32 in-kernel).
-    import dataclasses as _dc
-
+    # round-3 fill-barrier break).  Per-dtype best configs from the
+    # probe_dualgather_xl4 sweep: fp32 g256/kt32 (62.4 Gnnz/s, 61% SoL),
+    # bf16 g512/kt32 (77.2).  The slot-assignment cache makes the second
+    # pack nearly free.
     from ..kernels.spmv_dualgather import pack_dualgather, spmv_dualgather
 
-    t0 = time.time()
-    dg = pack_dualgather(A, group=256, k_tiles=16)
-    dg_pack_s = time.time() - t0
     fdg = jax.jit(lambda p, v: spmv_dualgather(p, v))
-    for tag, packed in (
-            ("fp32", dg),
-            ("bf16", _dc.replace(dg, vals=dg.vals.astype(jnp.bfloat16)))):
+    for tag, pack_kw in (
+            ("fp32", dict(group=256, k_tiles=32)),
+            ("bf16", dict(group=512, k_tiles=32, dtype=jnp.bfloat16))):
+        t0 = time.time()
+        packed = pack_dualgather(A, **pack_kw)
+        dg_pack_s = time.time() - t0
         res = bench_chain_slope(
             lambda y, p_: fdg(p_, y) * chain_scale, xj, packed, iters=6)
         checked = None
@@ -642,7 +641,8 @@ def bench_csr_spmv_xl(check=True, n=32768, nnz_row=512, **kw):
                 np.asarray(fdg(packed, xj)),
                 want_bf16 if tag == "bf16" else want)
         r = Row(f"csr_spmv_xl/dualgather-{tag}",
-                f"n={n},nnz={A.nnz/1e6:.1f}M,g={packed.group},kt=16,"
+                f"n={n},nnz={A.nnz/1e6:.1f}M,g={packed.group},"
+                f"kt={packed.k_tiles},"
                 f"fill={packed.fill_rate:.2f}",
                 res, nnz=A.nnz, checked=checked)
         nb = packed.vals.dtype.itemsize

@@ -384,7 +384,7 @@ def _assign_slots(r, c, rows, cols, max_rounds=2000):
     return t, w, s, u, l, cl, ch
 
 
-def _pack_arrays(r, c, v, rows, cols, group, dtype, k_tiles=1):
+def _pack_arrays(r, c, v, rows, cols, group, dtype, k_tiles=1, assigned=None):
     n_tiles = -(-rows // _T)
     n_win = max(-(-cols // _W), 1)
     if r.size == 0:
@@ -399,7 +399,9 @@ def _pack_arrays(r, c, v, rows, cols, group, dtype, k_tiles=1):
             commit=np.ones((1,), np.int64),
             n_tiles=n_tiles, n_win=n_win, group=group, k_tiles=k_tiles,
         )
-    t, w, s, u, l, cl, ch = _assign_slots(r, c, rows, cols)
+    if assigned is None:
+        assigned = _assign_slots(r, c, rows, cols)
+    t, w, s, u, l, cl, ch = assigned
 
     # slab identity (t, w, s) → contiguous slots, t-major (same scheme as
     # the rowlane packer so the grid revisits each output block once);
@@ -455,6 +457,9 @@ def _pack_arrays(r, c, v, rows, cols, group, dtype, k_tiles=1):
         commit=commit,
         n_tiles=n_tiles, n_win=n_win, group=group, k_tiles=k_tiles,
     )
+
+
+_ASSIGN_CACHE: dict = {}
 
 
 def pack_dualgather(csr: CSR, group: int | None = None,
@@ -514,8 +519,24 @@ def pack_dualgather(csr: CSR, group: int | None = None,
                 nnz=int(sm.sum()),
             )
             r, c, v = r[~sm], c[~sm], v[~sm]
+    assigned = None
+    if tail is None and r.size:
+        # slot assignment is (r, c)-only and costs ~100 s at 16 M nnz;
+        # cache it per CSR object so re-packs at other (group, k_tiles,
+        # dtype) configurations are nearly free
+        import weakref
+
+        key = id(csr)
+        ent = _ASSIGN_CACHE.get(key)
+        if ent is not None and ent[0]() is csr:
+            assigned = ent[1]
+        else:
+            assigned = _assign_slots(r, c, rows, cols)
+            ref = weakref.ref(csr,
+                              lambda _u, k=key: _ASSIGN_CACHE.pop(k, None))
+            _ASSIGN_CACHE[key] = (ref, assigned)
     arrs = _pack_arrays(r, c, v, rows, cols, group, v.dtype,
-                        k_tiles=k_tiles)
+                        k_tiles=k_tiles, assigned=assigned)
     t_pack = None
     if with_transpose:
         t_pack = pack_dualgather(

@@ -196,7 +196,9 @@ def prepare_spmv(A: "CSR", layout: str = "auto", **pack_kwargs):
         from ..kernels.spmv_dualgather import pack_dualgather
 
         n_tiles = -(-A.shape[0] // 128)
-        kt = 16 if n_tiles >= 16 else 1
+        # 32-tile superblocks measured best at XL (62.4 vs 55.5 Gnnz/s
+        # fp32 at kt=16 — probe_dualgather_xl4 r3 sweep)
+        kt = 32 if n_tiles >= 32 else 16 if n_tiles >= 16 else 1
         dg_kwargs = {k: v for k, v in pack_kwargs.items()
                      if k in ("dtype", "group", "k_tiles", "spill_cap",
                               "with_transpose")}
