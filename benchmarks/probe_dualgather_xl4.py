@@ -48,11 +48,11 @@ def main():
     dgm._assign_slots = lambda *a, **k: assigned
     try:
         for group, kt, dtype, tag in (
-                (256, 8, None, "fp32-sb8-g256"),
+                (256, 64, None, "fp32-sb64-g256"),
+                (128, 32, None, "fp32-sb32-g128"),
                 (256, 32, None, "fp32-sb32-g256"),
-                (512, 16, None, "fp32-sb16-g512"),
-                (512, 32, jnp.bfloat16, "bf16-sb32-g512"),
-                (256, 32, jnp.bfloat16, "bf16-sb32-g256")):
+                (512, 64, jnp.bfloat16, "bf16-sb64-g512"),
+                (1024, 32, jnp.bfloat16, "bf16-sb32-g1024")):
             arrs = dgm._pack_arrays(r, c, v, n, n, group, v.dtype,
                                     k_tiles=kt)
             vals = jnp.asarray(arrs["vals"])

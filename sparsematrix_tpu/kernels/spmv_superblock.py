@@ -196,8 +196,13 @@ def _superblock_forward(packed: SellSuperblock, x):
         group=packed.group, k_tiles=packed.k_tiles, n_super=packed.n_super,
         interpret=config.interpret(),
     )
-    # sublane 0 of each tile block carries the row sums
+    # sublane 0 of each tile block carries the row sums; superblocks no
+    # slab ever visits keep uninitialized VMEM — mask them to 0 (k-split
+    # distributed pair programs leave whole superblocks to other shards)
     y = out.reshape(packed.n_super * packed.k_tiles, 8, _LANES)[:, 0, :]
+    touched = (jnp.zeros(packed.n_super, bool)
+               .at[packed.group_super].set(True))
+    y = jnp.where(jnp.repeat(touched, packed.k_tiles)[:, None], y, 0.0)
     return y.reshape(-1)[:rows]
 
 

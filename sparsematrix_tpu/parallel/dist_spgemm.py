@@ -25,7 +25,9 @@ from jax import shard_map
 from ..formats import CSR
 from ..formats.base import default_index_dtype, register_sparse_pytree
 
-__all__ = ["DistSpGEMMPlan", "dist_spgemm_plan", "dist_spgemm_apply"]
+__all__ = ["DistSpGEMMPlan", "dist_spgemm_plan", "dist_spgemm_apply",
+           "DistSpGEMMPacked", "dist_spgemm_packed_plan",
+           "shard_dist_spgemm_packed", "dist_spgemm_packed_apply"]
 
 
 @register_sparse_pytree
@@ -170,3 +172,236 @@ def dist_spgemm_apply(plan: DistSpGEMMPlan, mesh: Mesh,
         shape=plan.shape,
         nnz=plan.c_nnz,
     )
+
+
+# ---------------------------------------------------------------------------
+# Packed distributed SpGEMM: superblock pair programs as local compute
+# ---------------------------------------------------------------------------
+
+@register_sparse_pytree
+@dataclasses.dataclass(frozen=True)
+class DistSpGEMMPacked:
+    """Per-shard SUPERBLOCK pair programs stacked on a device axis.
+
+    ``dist_spgemm_apply`` runs gather+segment_sum as local compute —
+    correct but ~500× off the packed kernel; this plan packs each
+    k-band's pair matrix for the superblock SpMV kernel (the single-chip
+    numeric fast path, ops/spgemm.py:spgemm_plan_packed) with ONE global
+    row space (CSC-ordered C slots), so partial products psum directly.
+    """
+
+    # stacked per-shard SellSuperblock leaves (equal static layout)
+    p_stack: object  # SellSuperblock with leading (n_shards,) leaves
+    src: jnp.ndarray  # (n_shards, p_cols) int32 → global B entry (or cap)
+    b_data: jnp.ndarray  # (b_nnz,) stored B values (replicated)
+    c_gather: jnp.ndarray  # (c_cap,) int32 → CSC rank (or c_nnz sentinel)
+    c_indptr: jnp.ndarray  # (m+1,)
+    c_indices: jnp.ndarray  # (c_cap,)
+    c_row_ids: jnp.ndarray  # (c_cap,)
+    shape: Tuple[int, int] = dataclasses.field(metadata={"static": True})
+    n_shards: int = dataclasses.field(metadata={"static": True})
+    c_nnz: int = dataclasses.field(metadata={"static": True})
+
+
+def dist_spgemm_packed_plan(A: CSR, B: CSR, n_shards: int,
+                            group: int = 16,
+                            k_tiles: int = 16) -> DistSpGEMMPacked:
+    """k-split symbolic phase + per-band superblock pair packs (host).
+
+    Rows of every band's pair matrix live in the GLOBAL CSC-ordered C
+    slot space (identical across shards → partials psum); columns are
+    the band's B entries, conflict-colored into slab slots per band
+    (the ops.spgemm clustering, applied band-locally).
+    """
+    import scipy.sparse as sps
+
+    from ..kernels.spmv_superblock import pack_superblock
+    from ..ops.spgemm import _color_b_ranks
+
+    sa = A.to_scipy().tocsr()
+    sb = B.to_scipy().tocsr()
+    sa.sort_indices()
+    sb.sort_indices()
+    m, k = sa.shape
+    k2, n = sb.shape
+    if k != k2:
+        raise ValueError("inner dims mismatch")
+
+    pattern = ((sa != 0) @ (sb != 0)).tocsr()
+    pattern.sort_indices()
+    c_nnz = max(int(pattern.nnz), 1)
+    c_indptr = pattern.indptr
+    c_indices = pattern.indices.astype(np.int64)
+    c_rows = np.repeat(np.arange(m), np.diff(c_indptr)).astype(np.int64)
+    key_c = c_rows * n + c_indices
+    # global CSC-ordered row space (the clustering row transform)
+    order_r = np.argsort(c_indices * m + c_rows, kind="stable")
+    rank_r = np.empty(len(order_r), np.int64)
+    rank_r[order_r] = np.arange(len(order_r))
+    cg = np.full(c_nnz, c_nnz, np.int64)
+    cg[: len(rank_r)] = rank_r
+
+    band = -(-k // n_shards)
+    per = []
+    b_indptr_g = sb.indptr.astype(np.int64)
+    for s in range(n_shards):
+        k0, k1 = s * band, min((s + 1) * band, k)
+        if k0 >= k:
+            per.append((np.zeros(0, np.int64),) * 3 + (0, 0))
+            continue
+        a_band = sa[:, k0:k1].tocsr()
+        b_band = sb[k0:k1, :].tocsr()
+        a_band.sort_indices()
+        b_band.sort_indices()
+        b_indptr = b_band.indptr.astype(np.int64)
+        a_rows = np.repeat(np.arange(m), np.diff(a_band.indptr))
+        ka = a_band.indices.astype(np.int64)
+        cnt = b_indptr[ka + 1] - b_indptr[ka]
+        npair = int(cnt.sum())
+        pa_v = np.repeat(np.arange(len(ka)), cnt)
+        starts = np.cumsum(cnt) - cnt
+        off = np.arange(npair) - np.repeat(starts, cnt)
+        pb_v = b_indptr[ka[pa_v]] + off
+        key_p = (a_rows[pa_v].astype(np.int64) * n
+                 + b_band.indices[pb_v].astype(np.int64))
+        tgt_v = np.searchsorted(key_c, key_p)
+        per.append((a_band.data[pa_v].astype(np.float64), pb_v, tgt_v,
+                    int(b_band.nnz), int(b_indptr_g[k0])))
+
+    # per-band column coloring; uniform padded column space
+    packs, srcs, p_cols_list = [], [], []
+    for (av, pb_v, tgt_v, bnnz, goff) in per:
+        if bnnz == 0:
+            packs.append(None)
+            srcs.append(np.zeros(0, np.int64))
+            p_cols_list.append(1024)
+            continue
+        p_cols_list.append(int(-(-bnnz // 1024)) * 1024)
+        packs.append((av, pb_v, tgt_v, bnnz, goff))
+        srcs.append(None)
+    p_cols = max(p_cols_list)
+
+    built, src_arrs = [], []
+    for s, item in enumerate(packs):
+        if item is None:
+            P = sps.csr_matrix((c_nnz, p_cols), dtype=np.float32)
+            built.append(pack_superblock(CSR.from_scipy(P), group=group,
+                                         k_tiles=k_tiles))
+            src_arrs.append(np.full(p_cols, B.nnz, np.int64))
+            continue
+        av, pb_v, tgt_v, bnnz, goff = item
+        k0 = s * band
+        k1 = min((s + 1) * band, k)
+        b_band = sb[k0:k1, :].tocsr()
+        b_band.sort_indices()
+        bb_row = np.repeat(np.arange(b_band.shape[0]),
+                           np.diff(b_band.indptr)).astype(np.int64)
+        bb_key = b_band.indices.astype(np.int64) * b_band.shape[0] + bb_row
+        rank = np.empty(bnnz, np.int64)
+        rank[np.argsort(bb_key, kind="stable")] = np.arange(bnnz)
+        row_of = rank_r[tgt_v]
+        alloc_r = _color_b_ranks(row_of, rank[pb_v], bnnz)
+        alloc = alloc_r[rank]
+        src = np.full(p_cols, B.nnz, np.int64)  # sentinel → zero
+        src[alloc] = np.arange(bnnz) + goff  # global B entry ids
+        P = sps.coo_matrix((av, (row_of, alloc[pb_v])),
+                           shape=(c_nnz, p_cols)).tocsr()
+        built.append(pack_superblock(CSR.from_scipy(P.astype(np.float32)),
+                                     group=group, k_tiles=k_tiles))
+        src_arrs.append(src)
+
+    # equalize group counts and stack (zero slabs pointing at the last
+    # superblock: accumulate exactly 0 — the rowlane padding stance)
+    n_groups = max(p.s_idx.shape[0] for p in built)
+    stacked = {}
+    for field in ("s_idx", "vals", "group_super", "slab_win", "slab_tloc"):
+        arrs = []
+        for p in built:
+            a = np.asarray(getattr(p, field))
+            g = p.s_idx.shape[0]
+            if field in ("slab_win", "slab_tloc"):
+                pad_to = n_groups * p.group
+                out = np.zeros((pad_to,) + a.shape[1:], a.dtype)
+                out[: a.shape[0]] = a
+            elif field == "group_super":
+                out = np.full((n_groups,) + a.shape[1:],
+                              a[-1] if len(a) else 0, a.dtype)
+                out[: a.shape[0]] = a
+            else:
+                out = np.zeros((n_groups,) + a.shape[1:], a.dtype)
+                out[: a.shape[0]] = a
+            arrs.append(out)
+        stacked[field] = jnp.asarray(np.stack(arrs))
+    p0 = built[0]
+    p_stack = dataclasses.replace(
+        p0, nnz=0,
+        s_idx=stacked["s_idx"], vals=stacked["vals"],
+        group_super=stacked["group_super"], slab_win=stacked["slab_win"],
+        slab_tloc=stacked["slab_tloc"])
+
+    idt = default_index_dtype
+    return DistSpGEMMPacked(
+        p_stack=p_stack,
+        src=jnp.asarray(np.stack(src_arrs), idt),
+        b_data=B.data,
+        c_gather=jnp.asarray(cg, jnp.int32),
+        c_indptr=jnp.asarray(c_indptr, idt),
+        c_indices=jnp.asarray(
+            np.concatenate([c_indices,
+                            np.zeros(max(c_nnz - len(c_indices), 0),
+                                     np.int64)]), idt),
+        c_row_ids=jnp.asarray(
+            np.concatenate([c_rows,
+                            np.full(max(c_nnz - len(c_rows), 0), m,
+                                    np.int64)]), idt),
+        shape=(m, n), n_shards=n_shards, c_nnz=int(pattern.nnz),
+    )
+
+
+def shard_dist_spgemm_packed(plan: DistSpGEMMPacked, mesh: Mesh,
+                             axis_name: str = "shard"):
+    """Place the stacked pack sharded over the mesh, C structure + B
+    values replicated."""
+    sharded = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
+    put_s = lambda a: jax.device_put(a, sharded)
+    put_r = lambda a: jax.device_put(a, repl)
+    return dataclasses.replace(
+        plan,
+        p_stack=jax.tree_util.tree_map(put_s, plan.p_stack),
+        src=put_s(plan.src),
+        b_data=put_r(plan.b_data),
+        c_gather=put_r(plan.c_gather),
+        c_indptr=put_r(plan.c_indptr),
+        c_indices=put_r(plan.c_indices),
+        c_row_ids=put_r(plan.c_row_ids),
+    )
+
+
+def dist_spgemm_packed_apply(plan: DistSpGEMMPacked, mesh: Mesh,
+                             b_data=None,
+                             axis_name: str = "shard") -> CSR:
+    """Numeric phase: per-shard superblock pair-program SpMV + psum
+    (jittable; accepts new B values like spgemm_apply_packed)."""
+    from ..kernels.spmv_superblock import spmv_superblock
+
+    bv = plan.b_data if b_data is None else b_data
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P()),
+        out_specs=P(),
+        check_vma=False,  # per-shard-pure pallas local compute
+    )
+    def run(p_local, src_local, bvals):
+        local = jax.tree_util.tree_map(lambda a: a[0], p_local)
+        x = jnp.concatenate([bvals, jnp.zeros((1,), bvals.dtype)]
+                            )[src_local[0]]
+        y = spmv_superblock(local, x)
+        return jax.lax.psum(y, axis_name)
+
+    y = run(plan.p_stack, plan.src, bv)
+    ypad = jnp.concatenate([y, jnp.zeros((1,), y.dtype)])
+    c_data = ypad[plan.c_gather]
+    return CSR(indptr=plan.c_indptr, indices=plan.c_indices, data=c_data,
+               row_ids=plan.c_row_ids, shape=plan.shape, nnz=plan.c_nnz)

@@ -104,3 +104,56 @@ def test_dist_spmv_dualgather_rect_jit(rng):
     y = np.asarray(f(part, jnp.asarray(x)))
     np.testing.assert_allclose(y, dense.astype(np.float64) @ x,
                                rtol=2e-3, atol=0.5)
+
+
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+def test_dist_spgemm_packed_matches(rng, n_shards):
+    import scipy.sparse as sps
+
+    from sparsematrix_tpu.parallel import (dist_spgemm_packed_apply,
+                                           dist_spgemm_packed_plan,
+                                           shard_dist_spgemm_packed)
+
+    n = 512
+    sa = sps.random(n, n, density=0.02, random_state=3, format="csr",
+                    dtype=np.float32)
+    sb = sps.random(n, n, density=0.02, random_state=4, format="csr",
+                    dtype=np.float32)
+    sa.data = rng.uniform(-10, 10, sa.nnz).astype(np.float32)
+    sb.data = rng.uniform(-10, 10, sb.nnz).astype(np.float32)
+    mesh = _mesh(n_shards)
+    plan = shard_dist_spgemm_packed(
+        dist_spgemm_packed_plan(CSR.from_scipy(sa), CSR.from_scipy(sb),
+                                n_shards, group=4, k_tiles=8), mesh)
+    C = dist_spgemm_packed_apply(plan, mesh)
+    want = (sa.astype(np.float64) @ sb.astype(np.float64)).tocsr()
+    want.sort_indices()
+    got = np.asarray(C.data)[: plan.c_nnz]
+    np.testing.assert_allclose(got, want.data, rtol=2e-3, atol=1e-3)
+
+
+def test_dist_spgemm_packed_new_b_values(rng):
+    import scipy.sparse as sps
+
+    from sparsematrix_tpu.parallel import (dist_spgemm_packed_apply,
+                                           dist_spgemm_packed_plan,
+                                           shard_dist_spgemm_packed)
+
+    n = 384
+    sa = sps.random(n, n, density=0.03, random_state=6, format="csr",
+                    dtype=np.float32)
+    sb = sps.random(n, n, density=0.03, random_state=7, format="csr",
+                    dtype=np.float32)
+    mesh = _mesh(4)
+    plan = shard_dist_spgemm_packed(
+        dist_spgemm_packed_plan(CSR.from_scipy(sa), CSR.from_scipy(sb),
+                                4, group=2, k_tiles=4), mesh)
+    b2 = rng.uniform(-5, 5, sb.nnz).astype(np.float32)
+    f = jax.jit(lambda bd: dist_spgemm_packed_apply(plan, mesh, b_data=bd)
+                .data)
+    got = np.asarray(f(jnp.asarray(b2)))[: plan.c_nnz]
+    sb2 = sb.copy()
+    sb2.data = b2
+    want = (sa.astype(np.float64) @ sb2.astype(np.float64)).tocsr()
+    want.sort_indices()
+    np.testing.assert_allclose(got, want.data, rtol=2e-3, atol=1e-3)
