@@ -369,6 +369,24 @@ def bench_spmm_csr(check=True, n=2048, density=0.05, ks=(32, 128, 512), **kw):
                     nnz=A.nnz, checked=checked)
             r.sol_frac = r.nnz_per_s / sol
             rows.append(r)
+            # the round-3 walk: dual-gather slabs at ~2x the fill
+            # (measured 2.2x the rowlane walk at n=8192 d=0.01 k=32)
+            from ..kernels.spmm_dualgather import spmm_dualgather
+            from ..kernels.spmv_dualgather import pack_dualgather
+
+            dpk = pack_dualgather(A, k_tiles=1)
+            fd = jax.jit(lambda p, x: spmm_dualgather(p, x))
+            res = bench_fn_slope(fd, dpk, X, iters=6,
+                                 perturb_max_bytes=1 << 20)
+            checked = None
+            if check:
+                checked = relative_check(
+                    np.asarray(fd(dpk, X)),
+                    dense.astype(np.float64) @ np.asarray(X))
+            r = Row("spmm_csr/dualgather-walk", f"n={n},k={k},d={density}",
+                    res, nnz=A.nnz, checked=checked)
+            r.sol_frac = r.nnz_per_s / sol
+            rows.append(r)
         rows.append(_dense_race_row("spmm_csr", dense, X, A.nnz))
     return rows
 

@@ -1,0 +1,116 @@
+"""Dual-gather SpMM — the dual-gather SpMV layout walked per RHS column.
+
+The low-density multi-RHS gap (d below the densify threshold, k ≤ 64):
+``spmm_rowlane`` walks the row-lane slabs once per column; this walks the
+DUAL-GATHER slabs instead — the same two-gather sequence as
+``spmv_dualgather`` (chunk-select on axis 0, lane-route on axis 1), so
+the multi-RHS path inherits the round-3 layout's ~2× fill advantage
+(0.46 vs 0.23 → about half the slab bytes per nnz·k MAC).
+
+Reuses k_tiles=1 ``DualGather`` packs (per-tile grid, padding groups
+repeat the last tile id with zero values).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import config
+from .spmv_dualgather import _LANES, DualGather, _max_groups_per_call
+
+__all__ = ["spmm_dualgather"]
+
+
+def _dg_mm_kernel(tile_ref, win_ref, idxA_ref, idxB_ref, vals_ref, xt_ref,
+                  o_ref, *, group: int, k: int, s_rows: int):
+    g = pl.program_id(0)
+
+    @pl.when(jnp.logical_or(g == 0, tile_ref[g] != tile_ref[g - 1]))
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    def col_body(j, _):
+        acc = jnp.zeros((8, _LANES), jnp.float32)
+        for b in range(group):
+            w = win_ref[g * group + b]
+            xw = xt_ref[pl.ds(j * s_rows + w * 8, 8), :]
+            iA = idxA_ref[0, b * 8:(b + 1) * 8, :]
+            iB = idxB_ref[0, b * 8:(b + 1) * 8, :]
+            t1 = jnp.take_along_axis(xw, iA, axis=0)
+            gth = jnp.take_along_axis(t1, iB, axis=1)
+            acc = acc + vals_ref[0, b * 8:(b + 1) * 8, :].astype(
+                jnp.float32) * gth
+        part = jnp.sum(acc, axis=0, keepdims=True)  # (1, 128)
+        o_ref[pl.ds(j, 1), :] = o_ref[pl.ds(j, 1), :] + part.astype(
+            o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, k, col_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("group", "n_tiles", "k",
+                                             "interpret"))
+def _dg_mm_call(group_tile, slab_win, idxA, idxB, vals, xt, *, group,
+                n_tiles, k, interpret=False):
+    n_groups = idxA.shape[0]
+    s_rows = xt.shape[0] // k
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_groups,),
+        in_specs=[
+            pl.BlockSpec((1, group * 8, _LANES), lambda g, t, w: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group * 8, _LANES), lambda g, t, w: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group * 8, _LANES), lambda g, t, w: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # X^T panes (k*S, 128)
+        ],
+        out_specs=pl.BlockSpec((k, _LANES), lambda g, t, w: (t[g], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_dg_mm_kernel, group=group, k=k, s_rows=s_rows),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * k, _LANES), jnp.float32),
+        interpret=interpret,
+    )(group_tile, slab_win.reshape(-1), idxA, idxB, vals, xt)
+
+
+def spmm_dualgather(packed: DualGather, X):
+    """``Y = A @ X`` over a dual-gather pack; X is (n, k) dense.
+
+    Requires a k_tiles=1 pack without tail/splits (the per-tile grid —
+    ops.spmm's auto path builds exactly this).
+    """
+    if packed.k_tiles != 1 or packed.tail is not None or packed.splits:
+        raise ValueError("spmm_dualgather needs a plain k_tiles=1 pack "
+                         "(no tail, no splits)")
+    rows, cols = packed.shape
+    k = X.shape[1]
+    S = packed.n_win * 8
+    Xp = jnp.zeros((S * _LANES, k), X.dtype).at[:cols].set(X)
+    xt = Xp.T.reshape(k * S, _LANES)
+    n_groups = packed.idxA.shape[0]
+    chunk = _max_groups_per_call(packed.group)
+    y = jnp.zeros((packed.n_tiles, k, _LANES), jnp.float32)
+    for g0 in range(0, n_groups, chunk):
+        g1 = min(g0 + chunk, n_groups)
+        out = _dg_mm_call(
+            packed.group_tile[g0:g1], packed.slab_win[g0:g1],
+            packed.idxA[g0:g1], packed.idxB[g0:g1], packed.vals[g0:g1],
+            xt, group=packed.group, n_tiles=packed.n_tiles, k=k,
+            interpret=config.interpret(),
+        )
+        out = out.reshape(packed.n_tiles, k, _LANES)
+        touched = (
+            jnp.zeros(packed.n_tiles, bool)
+            .at[packed.group_tile[g0:g1]]
+            .set(True)
+        )
+        y = y + jnp.where(touched[:, None, None], out, 0)
+    return y.transpose(0, 2, 1).reshape(packed.n_tiles * _LANES, k)[:rows]

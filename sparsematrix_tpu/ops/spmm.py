@@ -173,12 +173,12 @@ import weakref
 
 _CBD_CACHE: dict = {}
 
-# rowlane packs for the multi-RHS SpMM walk (spmv's auto-pack cache now
-# holds dual-gather layouts, which spmm_rowlane cannot consume)
-_RL_CACHE: dict = {}
+# multi-RHS walk packs: dual-gather k_tiles=1 (the round-3 layout at ~2x
+# the rowlane fill — spmm_dualgather walks it per column)
+_DG_CACHE: dict = {}
 
 
-def _rowlane_pack_of(A: CSR):
+def _dg_pack_of(A: CSR):
     import jax.core
 
     if isinstance(A.data, jax.core.Tracer):
@@ -186,17 +186,15 @@ def _rowlane_pack_of(A: CSR):
     if A.nnz < 4096 or A.nnz < 8 * A.shape[0]:
         return None
     key = id(A)
-    entry = _RL_CACHE.get(key)
+    entry = _DG_CACHE.get(key)
     if entry is not None and entry[0]() is A:
         return entry[1]
-    from ..kernels.spmv_rowlane import pack_sell_rowlane
+    from ..kernels.spmv_dualgather import pack_dualgather
 
     with jax.ensure_compile_time_eval():
-        packed = pack_sell_rowlane(A)
-    if packed.lanes_per_row != 1 or packed.spill is not None:
-        return None
-    ref = weakref.ref(A, lambda _u, k=key: _RL_CACHE.pop(k, None))
-    _RL_CACHE[key] = (ref, packed)
+        packed = pack_dualgather(A, k_tiles=1)
+    ref = weakref.ref(A, lambda _u, k=key: _DG_CACHE.pop(k, None))
+    _DG_CACHE[key] = (ref, packed)
     return packed
 
 
@@ -258,13 +256,13 @@ def spmm(A, X, method: str = "auto"):
                 return spmm(bd, X)  # fused dequant+GEMM kernel
         if (method == "auto" and type(A) is CSR and not _should_densify(A)
                 and X.shape[1] <= 64):
-            # low-density multi-RHS gap: walk the spmv slab layout once
-            # per column (same auto-pack cache as spmv)
-            from ..kernels.spmm_rowlane import spmm_rowlane
+            # low-density multi-RHS gap: walk the dual-gather slab layout
+            # once per column (pack cached per matrix object)
+            from ..kernels.spmm_dualgather import spmm_dualgather
 
-            packed = _rowlane_pack_of(A)
+            packed = _dg_pack_of(A)
             if packed is not None:
-                return spmm_rowlane(packed, X)
+                return spmm_dualgather(packed, X)
     if method == "auto" and _should_densify(A):
         return spmm_densify(A, X)
     return spmm_reference(A, X)
