@@ -192,7 +192,7 @@ def _pack_wave_slabs(r, c, v, m, n_tiles, n_win, group):
 
 def trisolve_waves_plan(A: CSR, lower: bool = True,
                         unit_diagonal: bool = False,
-                        mode: str = "auto", m: int = 4,
+                        mode: str = "auto", m: int = 8,
                         with_transpose: bool = False,
                         dtype=None) -> TriWavesPlan:
     """Invert diagonal blocks on the host, pack the rest for the device.
