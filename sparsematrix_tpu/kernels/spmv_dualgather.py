@@ -115,6 +115,11 @@ class DualGather:
     # than one call's SMEM prefetch budget); () = single call
     splits: Tuple[int, ...] = dataclasses.field(
         default=(), metadata={"static": True})
+    # idxA nibble-packed two slabs per byte (superblock path only):
+    # chunk ids are 0-7 = 3 bits, so slab pair (2b, 2b+1) shares one
+    # (8,128) int8 plane (lo/hi nibble) — halves the idxA stream
+    nibble: bool = dataclasses.field(
+        default=False, metadata={"static": True})
 
     @property
     def fill_rate(self) -> float:
@@ -545,8 +550,15 @@ def pack_dualgather(csr: CSR, group: int | None = None,
             dtype=dtype,
         )
     vals_np = arrs["vals"]
+    idxA_np = np.asarray(arrs["idxA"], np.int8)
+    nibble = k_tiles > 1 and arrs["group"] % 2 == 0 and idxA_np.size > 0
+    if nibble:
+        ngq = idxA_np.shape[0]
+        ia4 = idxA_np.reshape(ngq, arrs["group"], 8, _LANES)
+        idxA_np = (ia4[:, 0::2] | (ia4[:, 1::2] << 4)).reshape(
+            ngq, (arrs["group"] // 2) * 8, _LANES).astype(np.int8)
     return DualGather(
-        idxA=jnp.asarray(arrs["idxA"], jnp.int8),
+        idxA=jnp.asarray(idxA_np, jnp.int8),
         idxB=jnp.asarray(arrs["idxB"], jnp.int8),
         vals=(jnp.asarray(vals_np) if dtype is None
               else jnp.asarray(vals_np).astype(dtype)),
@@ -566,6 +578,7 @@ def pack_dualgather(csr: CSR, group: int | None = None,
         nnz=csr.nnz,
         splits=(tuple(_sb_splits(arrs["group_tile"], arrs["group"]))
                 if k_tiles > 1 else ()),
+        nibble=nibble,
     )
 
 
@@ -640,7 +653,8 @@ def _dualgather_call(group_tile, slab_win, idxA, idxB, vals, xp, *, group,
 
 def _dualgather_sb_kernel(super_ref, win_ref, tloc_ref, commit_ref,
                           idxA_ref, idxB_ref, vals_ref, x_ref, o_ref,
-                          acc_ref, *, group: int, k_tiles: int):
+                          acc_ref, *, group: int, k_tiles: int,
+                          nibble: bool):
     """Superblock variant: the output block spans k_tiles tiles, so group
     padding quantizes per superblock (~k_tiles× fewer pad slabs at large
     groups).  Per-slab row sums land in a (k_tiles, 128) accumulator via
@@ -657,7 +671,15 @@ def _dualgather_sb_kernel(super_ref, win_ref, tloc_ref, commit_ref,
     for b in range(group):
         w = win_ref[g * group + b]
         xw = x_ref[pl.ds(pl.multiple_of(w * 8, 8), 8), :]
-        iA = idxA_ref[0, b * 8:(b + 1) * 8, :]
+        if nibble:
+            # int8 shifts don't legalize in Mosaic; widen to int32
+            pk = idxA_ref[0, (b // 2) * 8:(b // 2 + 1) * 8, :].astype(
+                jnp.int32)
+            if b % 2:
+                pk = jax.lax.shift_right_logical(pk, 4)
+            iA = jnp.bitwise_and(pk, 15).astype(jnp.int8)
+        else:
+            iA = idxA_ref[0, b * 8:(b + 1) * 8, :]
         iB = idxB_ref[0, b * 8:(b + 1) * 8, :]
         t1 = jnp.take_along_axis(xw, iA, axis=0)
         gth = jnp.take_along_axis(t1, iB, axis=1)
@@ -673,16 +695,17 @@ def _dualgather_sb_kernel(super_ref, win_ref, tloc_ref, commit_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("group", "k_tiles", "n_super",
-                                             "interpret"))
+                                             "nibble", "interpret"))
 def _dualgather_sb_call(group_super, slab_win, slab_tloc, commit, idxA,
                         idxB, vals, xp, *, group, k_tiles, n_super,
-                        interpret=False):
+                        nibble=False, interpret=False):
     n_groups = idxA.shape[0]
+    ia_rows = (group // 2 if nibble else group) * 8
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n_groups,),
         in_specs=[
-            pl.BlockSpec((1, group * 8, _LANES),
+            pl.BlockSpec((1, ia_rows, _LANES),
                          lambda g, s, w, t, cm: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, group * 8, _LANES),
@@ -700,7 +723,7 @@ def _dualgather_sb_call(group_super, slab_win, slab_tloc, commit, idxA,
     )
     return pl.pallas_call(
         functools.partial(_dualgather_sb_kernel, group=group,
-                          k_tiles=k_tiles),
+                          k_tiles=k_tiles, nibble=nibble),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_super * 8 * k_tiles, _LANES),
                                        jnp.float32),
@@ -783,6 +806,7 @@ def _dualgather_forward(packed: DualGather, x):
                 packed.idxA[g0:g1], packed.idxB[g0:g1],
                 packed.vals[g0:g1], xp,
                 group=packed.group, k_tiles=k, n_super=n_super,
+                nibble=packed.nibble,
                 interpret=config.interpret(),
             )
             # sublane 0 of each tile block carries that tile's row sums
@@ -850,7 +874,14 @@ def _slot_row_col(packed: DualGather):
     n_groups, GH, _ = packed.idxB.shape
     group = packed.group
     iB4 = packed.idxB.reshape(n_groups, group, 8, _LANES).astype(jnp.int32)
-    iA4 = packed.idxA.reshape(n_groups, group, 8, _LANES).astype(jnp.int32)
+    if packed.nibble:
+        pk = packed.idxA.reshape(n_groups, group // 2, 8,
+                                 _LANES).astype(jnp.int32)
+        iA4 = jnp.stack([pk & 15, (pk >> 4) & 15], axis=2).reshape(
+            n_groups, group, 8, _LANES)
+    else:
+        iA4 = packed.idxA.reshape(n_groups, group, 8, _LANES).astype(
+            jnp.int32)
     ch = jnp.take_along_axis(iA4, iB4, axis=3)  # (n_groups, group, 8, 128)
     win = packed.slab_win[:, :, None, None]
     col = win * _W + ch * _LANES + iB4
