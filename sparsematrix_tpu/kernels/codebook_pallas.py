@@ -18,6 +18,18 @@ Its CPU kernel streams (delta, idx) pairs and does scalar AXPYs
 
 Computes C^T tiles (grid over n); the final transpose is an XLA layout
 choice, not a data movement.
+
+STATUS (measured, rounds 2-3): this hand-written kernel LOSES to XLA's
+fused dequant+dot at both benchmark shapes (48.6 vs 20.7 µs; 254.6 vs
+140.3 µs — BASELINE.md codebook_gemm), because XLA fuses the table
+gather into the matmul epilogue with better VMEM scheduling than the
+two-gather+select workaround the Mosaic (8,128) constraint forces here.
+It is therefore NOT on any auto-dispatch path — ``spmm(CodebookDense)``
+and ``add_mat_mat`` route to the dequant path (ops/spmm.py
+``_spmm_codebook_dense_jnp``), and the int8 quantized GEMM
+(ops/quantized.py) is the fastest checked option.  The kernel stays
+available explicitly (and as the measured negative result that
+justifies the routing).
 """
 from __future__ import annotations
 
