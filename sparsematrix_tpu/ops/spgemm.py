@@ -386,9 +386,13 @@ def spgemm_plan_packed(A: CSR, B: CSR, cluster: bool = True,
     grid step batches slabs of 16 output tiles — clustered pair programs
     average ~1.7 slabs/tile, so the per-tile rowlane kernel degenerates
     to one ~0.5 µs grid step per slab and the measured numeric phase was
-    ~95 % grid-step overhead); ``"rowlane"`` forces the per-tile kernel;
-    ``"auto"`` = superblock when clustering (scattered-by-construction),
-    rowlane otherwise.
+    ~95 % grid-step overhead); ``"dualgather"`` packs P for the
+    dual-gather superblock kernel — measured a NEGATIVE at the XL pair
+    program (fill 0.016 vs superblock 0.110: pair matrices carry ~1
+    entry per (row, window), so dual-gather's 8 chunk-sublanes per slab
+    are ~7× waste; the option stays for patterns with denser windows);
+    ``"rowlane"`` forces the per-tile kernel; ``"auto"`` = superblock
+    when clustering (scattered-by-construction), rowlane otherwise.
     """
     import scipy.sparse as sps
 
@@ -454,9 +458,16 @@ def spgemm_plan_packed(A: CSR, B: CSR, cluster: bool = True,
     P = sps.coo_matrix(
         (a_host[pa], (row_of, col_of)), shape=(p_rows, p_cols)
     ).tocsr()
-    if layout not in ("auto", "superblock", "rowlane"):
+    if layout not in ("auto", "superblock", "rowlane", "dualgather"):
         raise ValueError(f"unknown layout {layout!r}")
-    if layout == "superblock" or (layout == "auto" and cluster):
+    if layout == "dualgather":
+        from ..kernels.spmv_dualgather import pack_dualgather
+
+        pk = dict(pack_kwargs)
+        pk.setdefault("k_tiles", 32)
+        pk.setdefault("group", 256)
+        packed = pack_dualgather(CSR.from_scipy(P), **pk)
+    elif layout == "superblock" or (layout == "auto" and cluster):
         from ..kernels.spmv_superblock import pack_superblock
 
         packed = pack_superblock(CSR.from_scipy(P), **pack_kwargs)
@@ -485,6 +496,10 @@ def _p_spmv(p_packed, x):
 
     if isinstance(p_packed, SellSuperblock):
         return spmv_superblock(p_packed, x)
+    from ..kernels.spmv_dualgather import DualGather, spmv_dualgather
+
+    if isinstance(p_packed, DualGather):
+        return spmv_dualgather(p_packed, x)
     from ..kernels.spmv_rowlane import spmv_sell_rowlane
 
     return spmv_sell_rowlane(p_packed, x)

@@ -274,3 +274,24 @@ def test_spgemm_auto_picks_sparse_at_scale():
     t_dense = 2.0 * m * k * n / sg._DENSE_FLOPS_PER_S
     t_sparse = pairs / sg._PACKED_PAIRS_PER_S
     assert t_sparse < t_dense
+
+
+def test_spgemm_packed_dualgather_layout(rng):
+    """The dualgather pair-program layout stays exact (measured slower
+    than superblock on pair matrices — kept as an explicit option)."""
+    import scipy.sparse as sps
+    from sparsematrix_tpu.ops.spgemm import (spgemm_apply_packed,
+                                             spgemm_plan_packed)
+
+    n = 512
+    a = sps.random(n, n, 0.02, random_state=3, format="csr",
+                   dtype=np.float32)
+    b = sps.random(n, n, 0.02, random_state=4, format="csr",
+                   dtype=np.float32)
+    pp = spgemm_plan_packed(CSR.from_scipy(a), CSR.from_scipy(b),
+                            layout="dualgather", k_tiles=4, group=8)
+    got = np.asarray(spgemm_apply_packed(pp, CSR.from_scipy(b).data).data)
+    want = (a.astype(np.float64) @ b.astype(np.float64)).tocsr()
+    want.sort_indices()
+    np.testing.assert_allclose(got[: pp.c_nnz], want.data, rtol=1e-4,
+                               atol=1e-4)
