@@ -29,7 +29,7 @@ from ..formats.base import register_sparse_pytree
 from ..formats.csr import CSR
 
 __all__ = ["PartitionedDualGather", "partition_dualgather",
-           "dist_spmv_dualgather"]
+           "dist_spmv_dualgather", "dist_spmm_dualgather"]
 
 _LANES = 128
 
@@ -132,3 +132,37 @@ def dist_spmv_dualgather(part: PartitionedDualGather, x, mesh: Mesh,
 
     y = run(part, x_pad)
     return y.reshape(-1)[:rows]
+
+
+def dist_spmm_dualgather(part: PartitionedDualGather, X, mesh: Mesh,
+                         axis_name: str = "shard"):
+    """``Y = A @ X``, row-sharded output, dual-gather multi-RHS walk as the
+    local compute (``spmm_dualgather`` — 2.2x the rowlane walk at the
+    low-density multi-RHS point, BASELINE.md spmm_csr), RHS panel
+    all-gathered over ICI.
+
+    X is (n, k) dense, k <= 64 (the walk's regime; above that densify
+    bands via ``dist_spmm_dense`` win).  Output Y is (m, k) sharded over
+    rows.
+    """
+    from ..kernels.spmm_dualgather import spmm_dualgather
+
+    rows, cols = part.shape
+    n = part.n_shards
+    k = X.shape[1]
+    xb = -(-cols // n)
+    X_pad = jnp.zeros((n * xb, k), X.dtype).at[:cols].set(X)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name)),
+        out_specs=P(axis_name),
+        check_vma=False,  # per-shard-pure pallas (dist_spmv_rowlane stance)
+    )
+    def run(p_local, X_local):
+        X_full = jax.lax.all_gather(X_local, axis_name, tiled=True,
+                                    axis=0)[:cols]
+        return spmm_dualgather(_local_dg(part, p_local, cols), X_full)
+
+    Y = run(part, X_pad)
+    return Y[:rows]

@@ -157,3 +157,33 @@ def test_dist_spgemm_packed_new_b_values(rng):
     want = (sa.astype(np.float64) @ sb2.astype(np.float64)).tocsr()
     want.sort_indices()
     np.testing.assert_allclose(got, want.data, rtol=2e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+def test_dist_spmm_dualgather_matches(rng, n_shards):
+    from sparsematrix_tpu.parallel import (dist_spmm_dualgather,
+                                           partition_dualgather)
+
+    n, k = 1024, 24
+    dense = gen_random_dense_sparse(rng, n, n, density=0.02)
+    part = partition_dualgather(CSR.fromdense(dense), n_shards, group=4)
+    X = rng.standard_normal((n, k)).astype(np.float32)
+    Y = dist_spmm_dualgather(part, jnp.asarray(X), _mesh(n_shards))
+    np.testing.assert_allclose(np.asarray(Y),
+                               dense.astype(np.float64) @ X,
+                               rtol=2e-3, atol=0.5)
+
+
+def test_dist_spmm_dualgather_rect_jit(rng):
+    from sparsematrix_tpu.parallel import (dist_spmm_dualgather,
+                                           partition_dualgather)
+
+    rows, cols, k = 700, 1100, 16
+    dense = gen_random_dense_sparse(rng, rows, cols, density=0.03)
+    mesh = _mesh(4)
+    part = partition_dualgather(CSR.fromdense(dense), 4, group=2)
+    f = jax.jit(lambda p, M: dist_spmm_dualgather(p, M, mesh))
+    X = rng.standard_normal((cols, k)).astype(np.float32)
+    Y = np.asarray(f(part, jnp.asarray(X)))
+    np.testing.assert_allclose(Y, dense.astype(np.float64) @ X,
+                               rtol=2e-3, atol=0.5)
