@@ -50,7 +50,8 @@ from ..config import config
 from ..formats.base import register_sparse_pytree
 from ..formats.csr import CSR
 
-__all__ = ["TriWavesPlan", "trisolve_waves_plan", "trisolve_waves_apply"]
+__all__ = ["TriWavesPlan", "trisolve_waves_plan", "trisolve_waves_apply",
+           "trisolve_waves_apply_mm"]
 
 _LANES = 128
 _W = 1024
@@ -524,3 +525,128 @@ def _ct_zero(p):
 
 
 trisolve_waves_apply.defvjp(_waves_vjp_fwd, _waves_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Multi-RHS wave solve: X = T⁻¹ B for B (n, k).
+#
+# Chain mode gets a true MXU kernel: the single-RHS chain commits one
+# (1,128) row per tile (7/8 of every matmul output discarded); packing 8
+# RHS columns into the sublane axis makes every (8,128)@(128,128) product
+# fully used — k=8 solves cost ONE solve's grid steps.  The per-tile block
+# is X_t = B_t @ A1_t − Σ_k X_{t−k} @ A2ᵏ_t with X_t now (8,128) (row j =
+# RHS j's tile-t entries); the recurrence matrices are unchanged, so the
+# same plan serves both kernels.  binv mode (data-dependent slab gathers
+# against the committed prefix) falls back to a per-column scan of the
+# single-RHS engine — same trade as trisolve_fused_apply_batched.
+# ---------------------------------------------------------------------------
+
+
+def _chain_mm_kernel(b_ref, a1_ref, a2_ref, o_ref, *, K: int):
+    i = pl.program_id(0)
+    iz = jnp.maximum(i - 1, 0)
+    # hist[-k] = X_{t−k} (8,128); seeded with the previous wave's last K
+    hist = []
+    for j in range(8 - K, 8):
+        blk = o_ref[pl.ds(pl.multiple_of((iz * 8 + j) * 8, 8), 8), :]
+        hist.append(jnp.where(i > 0, blk, jnp.zeros_like(blk)))
+    for t in range(8):
+        bblk = b_ref[t * 8:(t + 1) * 8, :].astype(jnp.float32)
+        A1t = a1_ref[0, t * _LANES:(t + 1) * _LANES, :].astype(jnp.float32)
+        x_t = jax.lax.dot(bblk, A1t, precision=_PREC,
+                          preferred_element_type=jnp.float32)
+        for k in range(1, K + 1):
+            base = (t * K + (k - 1)) * _LANES
+            A2kt = a2_ref[0, base:base + _LANES, :].astype(jnp.float32)
+            x_t = x_t - jax.lax.dot(hist[-k], A2kt, precision=_PREC,
+                                    preferred_element_type=jnp.float32)
+        o_ref[pl.ds(pl.multiple_of((i * 8 + t) * 8, 8), 8), :] = x_t
+        hist.append(x_t)
+
+
+@functools.partial(jax.jit, static_argnames=("S", "K", "interpret"))
+def _chain_mm_call(a1, a2, b3d, *, S, K, interpret=False):
+    n_waves = a1.shape[0]
+    return pl.pallas_call(
+        functools.partial(_chain_mm_kernel, K=K),
+        grid=(n_waves,),
+        in_specs=[
+            pl.BlockSpec((64, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8 * _LANES, _LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8 * K * _LANES, _LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((S * 8, _LANES), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S * 8, _LANES), jnp.float32),
+        interpret=interpret,
+    )(b3d, a1, a2)
+
+
+def _mm_forward(plan: TriWavesPlan, B):
+    n = plan.shape[0]
+    k = B.shape[1]
+    N = plan.S * _LANES
+    Bp = jnp.zeros((N, k), jnp.float32).at[:n].set(B.astype(jnp.float32))
+    if plan.reversed:
+        Bp = jnp.roll(jnp.flip(Bp, axis=0), n - N, axis=0)
+    if plan.mode != "chain":
+        # binv: per-column scan of the single-RHS engine
+        def col(_, bc):
+            out = _waves_forward(
+                dataclasses.replace(plan, reversed=False),
+                bc)  # reversal already applied to the whole panel
+            return 0, out
+
+        _, cols = jax.lax.scan(col, 0, Bp.T[:, :n])
+        Xp = jnp.zeros((N, k), jnp.float32).at[:n].set(cols.T)
+    else:
+        kc = -(-k // 8)
+        Bt = jnp.zeros((N, kc * 8), jnp.float32).at[:, :k].set(Bp)
+        # tile-major RHS panes: rows [t*8, t*8+8) = 8 RHS of tile t
+        outs = []
+        for c in range(kc):
+            b3d = (Bt[:, c * 8:(c + 1) * 8].T
+                   .reshape(8, plan.S, _LANES)
+                   .transpose(1, 0, 2)
+                   .reshape(plan.S * 8, _LANES))
+            o = _chain_mm_call(plan.a1, plan.a2, b3d, S=plan.S, K=plan.K,
+                               interpret=config.interpret())
+            o = (o.reshape(plan.S, 8, _LANES).transpose(1, 0, 2)
+                 .reshape(8, N).T)
+            outs.append(o)
+        Xp = jnp.concatenate(outs, axis=1)[:, :k]
+    if plan.reversed:
+        Xp = jnp.roll(jnp.flip(Xp, axis=0), n - N, axis=0)
+    return Xp[:n]
+
+
+@jax.custom_vjp
+def trisolve_waves_apply_mm(plan: TriWavesPlan, B):
+    """Multi-RHS device solve ``X = T⁻¹ B`` (jittable), B is (n, k).
+
+    Chain plans run the MXU multi-RHS kernel (8 RHS per grid pass — same
+    step count as ONE single-RHS solve per 8 columns); binv plans scan
+    columns.  Differentiable in ``B`` via the transposed plan
+    (``with_transpose=True``), like ``trisolve_waves_apply``.
+    """
+    return _mm_forward(plan, B)
+
+
+def _mm_vjp_fwd(plan, B):
+    return _mm_forward(plan, B), plan
+
+
+def _mm_vjp_bwd(plan, G):
+    if plan.t_plan is None:
+        raise ValueError(
+            "trisolve_waves_apply_mm backward pass needs the transposed "
+            "plan — build with trisolve_waves_plan(..., "
+            "with_transpose=True)")
+    gB = _mm_forward(plan.t_plan, G)
+    return jax.tree_util.tree_map(_ct_zero, plan), gB
+
+
+trisolve_waves_apply_mm.defvjp(_mm_vjp_fwd, _mm_vjp_bwd)

@@ -80,13 +80,21 @@ def splu_plans(A: CSR, engine: str = "waves", **plan_kwargs) -> SpluSolver:
 
 def splu_solve(solver: SpluSolver, b):
     """``x = A⁻¹ b`` on device (jittable): gather → L-solve → U-solve →
-    gather.  ``b`` is a vector (n,)."""
-    from ..kernels.trisolve_fused import trisolve_fused_apply
-    from ..kernels.trisolve_waves import TriWavesPlan, trisolve_waves_apply
+    gather.  ``b`` is a vector (n,) or a multi-RHS panel (n, k) — the
+    waves engine then runs its MXU multi-RHS kernel (8 RHS per grid
+    pass)."""
+    from ..kernels.trisolve_fused import (trisolve_fused_apply,
+                                          trisolve_fused_apply_batched)
+    from ..kernels.trisolve_waves import (TriWavesPlan,
+                                          trisolve_waves_apply,
+                                          trisolve_waves_apply_mm)
 
-    apply_ = (trisolve_waves_apply
-              if isinstance(solver.l_plan, TriWavesPlan)
-              else trisolve_fused_apply)
+    waves = isinstance(solver.l_plan, TriWavesPlan)
+    if jnp.ndim(b) == 2:
+        apply_ = (trisolve_waves_apply_mm if waves
+                  else trisolve_fused_apply_batched)
+    else:
+        apply_ = trisolve_waves_apply if waves else trisolve_fused_apply
     y = b[solver.inv_perm_r]
     y = apply_(solver.l_plan, y)
     y = apply_(solver.u_plan, y)

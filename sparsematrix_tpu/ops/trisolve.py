@@ -186,14 +186,19 @@ def trisolve(A: CSR, b, lower: bool = True, unit_diagonal: bool = False):
     patterns too scattered for the padded slab layout.
     """
     n = A.shape[0]
+    multi = jnp.ndim(b) == 2
     if n * 128 * 4 * 4 <= _WAVES_MAX_A1_BYTES:
         from ..kernels.trisolve_waves import (trisolve_waves_apply,
+                                              trisolve_waves_apply_mm,
                                               trisolve_waves_plan)
 
         plan = trisolve_waves_plan(A, lower=lower,
                                    unit_diagonal=unit_diagonal)
+        if multi:
+            return trisolve_waves_apply_mm(plan, b)
         return trisolve_waves_apply(plan, b)
     from ..kernels.trisolve_fused import (trisolve_fused_apply,
+                                          trisolve_fused_apply_batched,
                                           trisolve_fused_plan)
 
     try:
@@ -203,7 +208,12 @@ def trisolve(A: CSR, b, lower: bool = True, unit_diagonal: bool = False):
         if "too scattered" not in str(e):
             raise
         lplan = trisolve_plan(A, lower=lower, unit_diagonal=unit_diagonal)
+        if multi:
+            return jax.vmap(lambda c: trisolve_apply(lplan, c),
+                            in_axes=1, out_axes=1)(b)
         return trisolve_apply(lplan, b)
+    if multi:
+        return trisolve_fused_apply_batched(plan, b)
     return trisolve_fused_apply(plan, b)
 
 

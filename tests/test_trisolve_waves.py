@@ -143,3 +143,106 @@ def test_waves_chain_k_reach(rng, band):
     x = np.asarray(trisolve_waves_apply(plan, jnp.asarray(b)))
     np.testing.assert_allclose(x, _solve_oracle(sp, b), rtol=2e-3,
                                atol=1e-3)
+
+
+# ---- multi-RHS -----------------------------------------------------------
+
+
+def _solve_oracle_mm(sp, B, lower=True, unit=False):
+    import scipy.sparse.linalg as spl
+
+    spq = sp.astype(np.float64).tolil()
+    if unit:
+        spq.setdiag(1.0)
+    return spl.spsolve_triangular(spq.tocsr(), B.astype(np.float64),
+                                  lower=lower, unit_diagonal=False)
+
+
+@pytest.mark.parametrize("k", [3, 8, 11])
+def test_waves_mm_chain_lower(rng, k):
+    from sparsematrix_tpu.kernels.trisolve_waves import \
+        trisolve_waves_apply_mm
+
+    L, _ = _poisson_ilu_L(32)
+    B = rng.standard_normal((1024, k)).astype(np.float32)
+    plan = trisolve_waves_plan(L, lower=True, unit_diagonal=True)
+    assert plan.mode == "chain"
+    X = np.asarray(trisolve_waves_apply_mm(plan, jnp.asarray(B)))
+    want = _solve_oracle_mm(L.to_scipy(), B, lower=True, unit=True)
+    np.testing.assert_allclose(X, want, rtol=2e-3, atol=1e-3)
+    # columns of the mm solve match the single-RHS engine exactly-ish
+    x0 = np.asarray(trisolve_waves_apply(plan, jnp.asarray(B[:, 0])))
+    np.testing.assert_allclose(X[:, 0], x0, rtol=1e-5, atol=1e-5)
+
+
+def test_waves_mm_chain_upper_reversed(rng):
+    from sparsematrix_tpu.kernels.trisolve_waves import \
+        trisolve_waves_apply_mm
+
+    _, U = _poisson_ilu_L(32)
+    B = rng.standard_normal((1024, 8)).astype(np.float32)
+    plan = trisolve_waves_plan(U, lower=False, unit_diagonal=False)
+    assert plan.mode == "chain" and plan.reversed
+    X = np.asarray(trisolve_waves_apply_mm(plan, jnp.asarray(B)))
+    want = _solve_oracle_mm(U.to_scipy(), B, lower=False, unit=False)
+    np.testing.assert_allclose(X, want, rtol=2e-3, atol=1e-3)
+
+
+def test_waves_mm_binv_fallback(rng):
+    from sparsematrix_tpu.kernels.trisolve_waves import \
+        trisolve_waves_apply_mm
+
+    sp = _rand_lower(rng, 640, 0.02)  # random reach → binv
+    B = rng.standard_normal((640, 5)).astype(np.float32)
+    plan = trisolve_waves_plan(CSR.from_scipy(sp), lower=True, mode="binv",
+                               m=2)
+    X = np.asarray(trisolve_waves_apply_mm(plan, jnp.asarray(B)))
+    want = _solve_oracle_mm(sp, B, lower=True)
+    np.testing.assert_allclose(X, want, rtol=2e-3, atol=1e-3)
+
+
+def test_waves_mm_grad_in_B(rng):
+    from sparsematrix_tpu.kernels.trisolve_waves import \
+        trisolve_waves_apply_mm
+
+    L, _ = _poisson_ilu_L(16)  # n=256
+    plan = trisolve_waves_plan(L, lower=True, unit_diagonal=True,
+                               with_transpose=True)
+    B = jnp.asarray(rng.standard_normal((256, 4)).astype(np.float32))
+    W = jnp.asarray(rng.standard_normal((256, 4)).astype(np.float32))
+
+    def loss(Bv):
+        return jnp.vdot(W, trisolve_waves_apply_mm(plan, Bv))
+
+    g = np.asarray(jax.grad(loss)(B))
+    # analytic: d/dB <W, T^-1 B> = T^-T W
+    want = _solve_oracle_mm(L.to_scipy().T, np.asarray(W), lower=False,
+                            unit=True)
+    np.testing.assert_allclose(g, want, rtol=2e-3, atol=1e-3)
+
+
+def test_trisolve_op_multi_rhs(rng):
+    from sparsematrix_tpu.ops import trisolve
+
+    L, _ = _poisson_ilu_L(16)
+    B = rng.standard_normal((256, 6)).astype(np.float32)
+    X = np.asarray(trisolve(L, jnp.asarray(B), lower=True,
+                            unit_diagonal=True))
+    want = _solve_oracle_mm(L.to_scipy(), B, lower=True, unit=True)
+    np.testing.assert_allclose(X, want, rtol=2e-3, atol=1e-3)
+
+
+def test_splu_solve_multi_rhs(rng):
+    from sparsematrix_tpu.ops.direct import splu_plans, splu_solve
+
+    n = 320
+    sp = (sps.random(n, n, density=0.02, random_state=11, format="csr",
+                     dtype=np.float64)
+          + sps.diags(rng.uniform(4, 6, n)))
+    from sparsematrix_tpu.formats import CSR as _CSR
+    solver = splu_plans(_CSR.from_scipy(sp.tocsr().astype(np.float32)))
+    B = rng.standard_normal((n, 4)).astype(np.float32)
+    X = np.asarray(splu_solve(solver, jnp.asarray(B)))
+    import scipy.sparse.linalg as spl
+    want = spl.spsolve(sp.tocsc(), B.astype(np.float64))
+    np.testing.assert_allclose(X, want, rtol=2e-3, atol=0.5)
