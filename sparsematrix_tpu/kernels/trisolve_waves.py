@@ -51,7 +51,7 @@ from ..formats.base import register_sparse_pytree
 from ..formats.csr import CSR
 
 __all__ = ["TriWavesPlan", "trisolve_waves_plan", "trisolve_waves_apply",
-           "trisolve_waves_apply_mm"]
+           "trisolve_waves_apply_mm", "trisolve_waves_solve"]
 
 _LANES = 128
 _W = 1024
@@ -87,6 +87,11 @@ class TriWavesPlan:
         default=1, metadata={"static": True})
     reversed: bool = dataclasses.field(  # upper solve via index reversal
         default=False, metadata={"static": True})
+    # pattern arrays for parameter (value) gradients — aligned to the
+    # planned CSR's capacity-padded ``data`` slots (with_grads=True)
+    pat_rows: Optional[jnp.ndarray] = None  # (capacity,) int32
+    pat_cols: Optional[jnp.ndarray] = None  # (capacity,) int32
+    pat_scale: Optional[jnp.ndarray] = None  # (capacity,) 0/1 f32
 
 
 def _dense_block(sp, r0, r1, c0, c1):
@@ -195,6 +200,7 @@ def trisolve_waves_plan(A: CSR, lower: bool = True,
                         unit_diagonal: bool = False,
                         mode: str = "auto", m: int = 8,
                         with_transpose: bool = False,
+                        with_grads: bool = False,
                         dtype=None) -> TriWavesPlan:
     """Invert diagonal blocks on the host, pack the rest for the device.
 
@@ -302,7 +308,7 @@ def trisolve_waves_plan(A: CSR, lower: bool = True,
         )
 
     t_plan = None
-    if with_transpose:
+    if with_transpose or with_grads:
         import scipy.sparse as sps
 
         At = CSR.from_scipy(sps.csr_matrix(A.to_scipy().T))
@@ -310,6 +316,22 @@ def trisolve_waves_plan(A: CSR, lower: bool = True,
                                      unit_diagonal=unit_diagonal,
                                      mode=mode, m=m,
                                      with_transpose=False, dtype=dtype)
+    if with_grads:
+        # pattern slots aligned to A.data (capacity-padded) for the
+        # implicit-function value cotangent v̄_ij = −(T⁻ᵀg)_i · x_j
+        cap = A.indices.shape[0]
+        counts = np.diff(np.asarray(A.indptr))
+        rws = np.repeat(np.arange(A.shape[0], dtype=np.int64), counts)
+        prow = np.zeros(cap, np.int32)
+        prow[: len(rws)] = rws
+        pcol = np.asarray(A.indices, np.int32).copy()
+        scale = np.zeros(cap, np.float32)
+        scale[: len(rws)] = 1.0
+        if unit_diagonal:  # stored diagonal is inert under unit_diagonal
+            scale[: len(rws)][rws == pcol[: len(rws)].astype(np.int64)] = 0.0
+        plan_kwargs.update(pat_rows=jnp.asarray(prow),
+                           pat_cols=jnp.asarray(pcol),
+                           pat_scale=jnp.asarray(scale))
     return TriWavesPlan(
         t_plan=t_plan,
         shape=(n, n), mode=mode, lower=lower, reversed=perm is not None,
@@ -650,3 +672,50 @@ def _mm_vjp_bwd(plan, G):
 
 
 trisolve_waves_apply_mm.defvjp(_mm_vjp_fwd, _mm_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Parameter gradients: x = T(vals)⁻¹ b differentiable in vals AND b.
+#
+# No inverse chain rule needed: by the implicit function theorem on
+# T x = b, the value cotangent is  v̄_ij = −w_i · x_j  restricted to the
+# sparsity pattern, with  w = T⁻ᵀ g  — one extra transposed wave solve
+# plus two vector gathers.  The host-inverted blocks in the plan never
+# need differentiating.
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def trisolve_waves_solve(plan: TriWavesPlan, vals, b):
+    """``x = T⁻¹ b`` differentiable in the matrix values and in ``b``.
+
+    ``vals`` must be the SAME capacity-padded ``A.data`` the plan was
+    built from (``trisolve_waves_plan(A, with_grads=True)``) — the
+    forward pass solves with the plan's host-inverted blocks and only
+    uses ``vals`` to route gradients.  Backward: one solve on the
+    transposed plan + two pattern gathers (the gathers cost ~half a
+    solve at n=65k; fine for a backward pass).
+    """
+    del vals  # numerically baked into the plan; used for AD routing only
+    return _waves_forward(plan, b)
+
+
+def _solve_vjp_fwd(plan, vals, b):
+    x = _waves_forward(plan, b)
+    return x, (plan, x, jnp.asarray(vals)[:0])  # empty slice: dtype token
+
+
+def _solve_vjp_bwd(res, g):
+    plan, x, vtok = res
+    vdt = vtok.dtype
+    if plan.t_plan is None or plan.pat_rows is None:
+        raise ValueError(
+            "trisolve_waves_solve backward pass needs "
+            "trisolve_waves_plan(..., with_grads=True)")
+    w = _waves_forward(plan.t_plan, g)  # T⁻ᵀ g
+    dvals = (-(w[plan.pat_rows] * x[plan.pat_cols])
+             * plan.pat_scale).astype(vdt)
+    return jax.tree_util.tree_map(_ct_zero, plan), dvals, w
+
+
+trisolve_waves_solve.defvjp(_solve_vjp_fwd, _solve_vjp_bwd)

@@ -246,3 +246,83 @@ def test_splu_solve_multi_rhs(rng):
     import scipy.sparse.linalg as spl
     want = spl.spsolve(sp.tocsc(), B.astype(np.float64))
     np.testing.assert_allclose(X, want, rtol=2e-3, atol=0.5)
+
+
+# ---- parameter gradients ---------------------------------------------------
+
+
+@pytest.mark.parametrize("unit", [False, True])
+def test_waves_solve_grad_in_vals(rng, unit):
+    from sparsematrix_tpu.kernels.trisolve_waves import trisolve_waves_solve
+
+    L, _ = _poisson_ilu_L(16)  # n=256, chain mode
+    n = 256
+    plan = trisolve_waves_plan(L, lower=True, unit_diagonal=unit,
+                               with_grads=True)
+    b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    W = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    vals = L.data
+
+    def loss(v, bb):
+        return jnp.vdot(W, trisolve_waves_solve(plan, v, bb))
+
+    g_vals, g_b = jax.grad(loss, argnums=(0, 1))(vals, b)
+
+    # independent oracle: dense fp32 triangular solve autodiff
+    rows = np.asarray(plan.pat_rows)
+    cols = np.asarray(plan.pat_cols)
+    cap = vals.shape[0]
+
+    def loss_dense(v):
+        # scatter only the real (non-padding) slots
+        Td = jnp.zeros((n, n)).at[rows, cols].add(
+            jnp.where(jnp.arange(cap) < L.nnz, v, 0.0))
+        if unit:
+            Td = Td - jnp.diag(jnp.diag(Td)) + jnp.eye(n)
+        x = jax.scipy.linalg.solve_triangular(Td, b, lower=True)
+        return jnp.vdot(W, x)
+
+    g_dense = jax.grad(loss_dense)(vals)
+    # padding + inert-diagonal slots must carry exactly zero cotangent
+    scale = np.asarray(plan.pat_scale)
+    np.testing.assert_array_equal(np.asarray(g_vals)[scale == 0], 0.0)
+    live = scale != 0
+    np.testing.assert_allclose(np.asarray(g_vals)[live],
+                               np.asarray(g_dense)[live],
+                               rtol=2e-3, atol=2e-3)
+    # b-gradient = T^-T W
+    want_b = _solve_oracle(L.to_scipy().T, np.asarray(W), lower=False,
+                           unit=unit)
+    np.testing.assert_allclose(np.asarray(g_b), want_b, rtol=2e-3,
+                               atol=1e-3)
+
+
+def test_waves_solve_grad_upper_binv(rng):
+    from sparsematrix_tpu.kernels.trisolve_waves import trisolve_waves_solve
+
+    sp = _rand_lower(rng, 384, 0.02).T.tocsr().astype(np.float32)  # upper
+    n = 384
+    A = CSR.from_scipy(sp)
+    plan = trisolve_waves_plan(A, lower=False, mode="binv", m=2,
+                               with_grads=True)
+    b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    W = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+
+    def loss(v):
+        return jnp.vdot(W, trisolve_waves_solve(plan, v, b))
+
+    g_vals = jax.grad(loss)(A.data)
+    rows = np.asarray(plan.pat_rows)
+    cols = np.asarray(plan.pat_cols)
+
+    def loss_dense(v):
+        Td = jnp.zeros((n, n)).at[rows, cols].add(
+            jnp.where(jnp.arange(A.data.shape[0]) < A.nnz, v, 0.0))
+        x = jax.scipy.linalg.solve_triangular(Td, b, lower=False)
+        return jnp.vdot(W, x)
+
+    g_dense = jax.grad(loss_dense)(A.data)
+    live = np.asarray(plan.pat_scale) != 0
+    np.testing.assert_allclose(np.asarray(g_vals)[live],
+                               np.asarray(g_dense)[live],
+                               rtol=2e-3, atol=2e-3)
