@@ -22,8 +22,9 @@ def main(argv=None):
     check = bool(int(argv[3])) if len(argv) > 3 else True
     filt = BenchFilter(argv[4] if len(argv) > 4 else None)
 
-    # session calibration first: installs the measured HBM bandwidth as the
-    # SoL denominator (and normalizes cross-session relay variance)
+    # session calibration first: emits the fixed-artifact rows that let two
+    # result JSONs be normalized against each other (SoL denominators stay
+    # on the spec sheet — a noisy relay session must not inflate SoL%)
     import jax
 
     # persistent executable cache: axon's remote compiles are 2-5 min per

@@ -812,6 +812,36 @@ def bench_spgemm(check=True, n=2048, density=0.01, **kw):
              res, nnz=plan.n_pairs, checked=checked)
     r4.sol_frac = r4.nnz_per_s / sol
     rows.append(r4)
+
+    # distributed packed numeric phase on a 1-device mesh: proves the
+    # shard_map composition (local superblock pair program + psum)
+    # inherits the packed kernel's throughput before any scaling model
+    # multiplies it out (parallel/dist_spgemm.py)
+    from jax.sharding import Mesh as _Mesh
+
+    from ..parallel.dist_spgemm import (dist_spgemm_packed_apply,
+                                        dist_spgemm_packed_plan,
+                                        shard_dist_spgemm_packed)
+
+    t0 = _time.time()
+    mesh1 = _Mesh(np.array(jax.devices()[:1]), ("shard",))
+    dpp = shard_dist_spgemm_packed(
+        dist_spgemm_packed_plan(A, B, 1), mesh1)
+    dist_pack_s = _time.time() - t0
+    fdp = jax.jit(lambda q, bd: dist_spgemm_packed_apply(
+        q, mesh1, b_data=bd).data)
+    res = bench_fn_slope(fdp, dpp, B.data, iters=6,
+                         perturb_max_bytes=1 << 20)
+    checked = None
+    if check:
+        got = np.asarray(fdp(dpp, B.data))
+        checked = relative_check(got[: dpp.c_nnz], want.data)
+    r5 = Row("spgemm/dist-packed-1shard",
+             f"n={n},d={density},pairs={plan.n_pairs}",
+             res, nnz=plan.n_pairs, checked=checked)
+    r5.sol_frac = r5.nnz_per_s / sol
+    r5.extras = {"pack_seconds": dist_pack_s}
+    rows.append(r5)
     return rows
 
 
@@ -1106,6 +1136,36 @@ def bench_trisolve(check=True, n=4096, nnz_row=8, **kw):
         r6.sol_frac = r6.nnz_per_s / sol_l
         r6.extras = {"pack_seconds": pack_s}
         rows.append(r6)
+        if label == "waves-ilu":
+            waves_ilu_min_ms = res6.min_ms
+
+    # multi-RHS chain solve: 8 RHS per MXU grid pass — the block-solver /
+    # preconditioned-panel regime (kernels/trisolve_waves.py apply_mm)
+    from ..kernels.trisolve_waves import trisolve_waves_apply_mm
+
+    k_mm = 8
+    wplan_l = trisolve_waves_plan(Lf, lower=True, unit_diagonal=True)
+    Bl = jnp.asarray(gen_matrix_random(rng, side * side, k_mm))
+    fmm = jax.jit(trisolve_waves_apply_mm)
+    res7 = bench_fn_slope(fmm, wplan_l, Bl, iters=6, perturb_max_bytes=0)
+    checked7 = None
+    if check:
+        import scipy.sparse.linalg as spla
+
+        want_mm = spla.spsolve_triangular(Ld.tocsr(), np.asarray(Bl),
+                                          lower=True)
+        checked7 = relative_check(np.asarray(fmm(wplan_l, Bl)), want_mm)
+    r7 = Row(f"trisolve/waves-ilu-mm{k_mm}",
+             f"n={n},nnz={nnz_l},k={k_mm},mode={wplan_l.mode}",
+             res7, nnz=nnz_l * k_mm, checked=checked7)
+    # SoL: plan bytes stream once for all k RHS, plus k in/out vectors
+    r7.sol_frac = r7.nnz_per_s / speed_of_light_nnz_s(
+        nnz_l * k_mm, spmv_csr_bytes(nnz_l, n, n) + 2 * k_mm * n * 4)
+    r7.extras = {"per_rhs_ms": res7.min_ms / k_mm,
+                 "single_rhs_ms": waves_ilu_min_ms,
+                 "vs_single_per_rhs": waves_ilu_min_ms
+                 / max(res7.min_ms / k_mm, 1e-9)}
+    rows.append(r7)
     return rows
 
 
