@@ -27,7 +27,9 @@ from ..formats.base import default_index_dtype, register_sparse_pytree
 
 __all__ = ["DistSpGEMMPlan", "dist_spgemm_plan", "dist_spgemm_apply",
            "DistSpGEMMPacked", "dist_spgemm_packed_plan",
-           "shard_dist_spgemm_packed", "dist_spgemm_packed_apply"]
+           "shard_dist_spgemm_packed", "dist_spgemm_packed_apply",
+           "DistSpGEMM2D", "dist_spgemm_packed_plan_2d",
+           "shard_dist_spgemm_packed_2d", "dist_spgemm_packed_apply_2d"]
 
 
 @register_sparse_pytree
@@ -241,6 +243,45 @@ def dist_spgemm_packed_plan(A: CSR, B: CSR, n_shards: int,
     cg = np.full(c_nnz, c_nnz, np.int64)
     cg[: len(rank_r)] = rank_r
 
+    built, src_arrs = _kband_programs(sa, sb, n_shards, group, k_tiles,
+                                      key_c, rank_r, c_nnz, B.nnz)
+    p_stack, src = _stack_superblocks(built, src_arrs)
+
+    idt = default_index_dtype
+    return DistSpGEMMPacked(
+        p_stack=p_stack,
+        src=jnp.asarray(src, idt),
+        b_data=B.data,
+        c_gather=jnp.asarray(cg, jnp.int32),
+        c_indptr=jnp.asarray(c_indptr, idt),
+        c_indices=jnp.asarray(
+            np.concatenate([c_indices,
+                            np.zeros(max(c_nnz - len(c_indices), 0),
+                                     np.int64)]), idt),
+        c_row_ids=jnp.asarray(
+            np.concatenate([c_rows,
+                            np.full(max(c_nnz - len(c_rows), 0), m,
+                                    np.int64)]), idt),
+        shape=(m, n), n_shards=n_shards, c_nnz=int(pattern.nnz),
+    )
+
+
+def _kband_programs(sa, sb, n_shards, group, k_tiles, key_c, rank_r,
+                    c_rows_pad, b_nnz_global):
+    """Per-k-band superblock pair programs against a padded C row space.
+
+    ``key_c``/``rank_r`` define the caller's C slot ordering (CSC rank);
+    every pack's P matrix gets ``c_rows_pad`` rows so packs from
+    different callers (e.g. the row bands of the 2-D plan) stack with
+    equal static shapes.
+    """
+    import scipy.sparse as sps
+
+    from ..kernels.spmv_superblock import pack_superblock
+    from ..ops.spgemm import _color_b_ranks
+
+    m, k = sa.shape
+    n = sb.shape[1]
     band = -(-k // n_shards)
     per = []
     b_indptr_g = sb.indptr.astype(np.int64)
@@ -284,10 +325,10 @@ def dist_spgemm_packed_plan(A: CSR, B: CSR, n_shards: int,
     built, src_arrs = [], []
     for s, item in enumerate(packs):
         if item is None:
-            P = sps.csr_matrix((c_nnz, p_cols), dtype=np.float32)
+            P = sps.csr_matrix((c_rows_pad, p_cols), dtype=np.float32)
             built.append(pack_superblock(CSR.from_scipy(P), group=group,
                                          k_tiles=k_tiles))
-            src_arrs.append(np.full(p_cols, B.nnz, np.int64))
+            src_arrs.append(np.full(p_cols, b_nnz_global, np.int64))
             continue
         av, pb_v, tgt_v, bnnz, goff = item
         k0 = s * band
@@ -302,16 +343,20 @@ def dist_spgemm_packed_plan(A: CSR, B: CSR, n_shards: int,
         row_of = rank_r[tgt_v]
         alloc_r = _color_b_ranks(row_of, rank[pb_v], bnnz)
         alloc = alloc_r[rank]
-        src = np.full(p_cols, B.nnz, np.int64)  # sentinel → zero
+        src = np.full(p_cols, b_nnz_global, np.int64)  # sentinel → zero
         src[alloc] = np.arange(bnnz) + goff  # global B entry ids
         P = sps.coo_matrix((av, (row_of, alloc[pb_v])),
-                           shape=(c_nnz, p_cols)).tocsr()
+                           shape=(c_rows_pad, p_cols)).tocsr()
         built.append(pack_superblock(CSR.from_scipy(P.astype(np.float32)),
                                      group=group, k_tiles=k_tiles))
         src_arrs.append(src)
+    return built, src_arrs
 
-    # equalize group counts and stack (zero slabs pointing at the last
-    # superblock: accumulate exactly 0 — the rowlane padding stance)
+
+def _stack_superblocks(built, src_arrs):
+    """Equalize group counts and stack packs on a leading device axis
+    (zero slabs pointing at the last superblock: accumulate exactly 0 —
+    the rowlane padding stance)."""
     n_groups = max(p.s_idx.shape[0] for p in built)
     stacked = {}
     for field in ("s_idx", "vals", "group_super", "slab_win", "slab_tloc"):
@@ -338,24 +383,7 @@ def dist_spgemm_packed_plan(A: CSR, B: CSR, n_shards: int,
         s_idx=stacked["s_idx"], vals=stacked["vals"],
         group_super=stacked["group_super"], slab_win=stacked["slab_win"],
         slab_tloc=stacked["slab_tloc"])
-
-    idt = default_index_dtype
-    return DistSpGEMMPacked(
-        p_stack=p_stack,
-        src=jnp.asarray(np.stack(src_arrs), idt),
-        b_data=B.data,
-        c_gather=jnp.asarray(cg, jnp.int32),
-        c_indptr=jnp.asarray(c_indptr, idt),
-        c_indices=jnp.asarray(
-            np.concatenate([c_indices,
-                            np.zeros(max(c_nnz - len(c_indices), 0),
-                                     np.int64)]), idt),
-        c_row_ids=jnp.asarray(
-            np.concatenate([c_rows,
-                            np.full(max(c_nnz - len(c_rows), 0), m,
-                                    np.int64)]), idt),
-        shape=(m, n), n_shards=n_shards, c_nnz=int(pattern.nnz),
-    )
+    return p_stack, np.stack(src_arrs)
 
 
 def shard_dist_spgemm_packed(plan: DistSpGEMMPacked, mesh: Mesh,
@@ -403,5 +431,159 @@ def dist_spgemm_packed_apply(plan: DistSpGEMMPacked, mesh: Mesh,
     y = run(plan.p_stack, plan.src, bv)
     ypad = jnp.concatenate([y, jnp.zeros((1,), y.dtype)])
     c_data = ypad[plan.c_gather]
+    return CSR(indptr=plan.c_indptr, indices=plan.c_indices, data=c_data,
+               row_ids=plan.c_row_ids, shape=plan.shape, nnz=plan.c_nnz)
+
+
+# ---------------------------------------------------------------------------
+# 2-D block-partitioned SpGEMM: C rows × contraction (k) over a 2-D mesh.
+#
+# The SURVEY §2.4 north star names "2-D block-partitioned SpGEMM across a
+# TPU mesh" explicitly.  Device (i, s) holds the pair program of C's row
+# band i against contraction band s; partials psum over the "k" axis only
+# (1/n_row the bytes of the 1-D plan's global reduction), and C's data
+# lands row-sharded — the layout the next op (dist SpMV/SpMM on C) wants.
+# Local compute is the same superblock pair program as the 1-D plan.
+# ---------------------------------------------------------------------------
+
+
+@register_sparse_pytree
+@dataclasses.dataclass(frozen=True)
+class DistSpGEMM2D:
+    """(n_row × n_k)-stacked pair programs; C structure replicated."""
+
+    p_stack: object  # SellSuperblock with (n_row, n_k, ...) array fields
+    src: jnp.ndarray  # (n_row, n_k, p_cols) global B entry ids
+    b_data: jnp.ndarray  # (b_nnz,)
+    c_gather: jnp.ndarray  # (c_nnz,) into flattened (n_row*c_band_pad)
+    c_indptr: jnp.ndarray  # (m+1,)
+    c_indices: jnp.ndarray  # (c_cap,)
+    c_row_ids: jnp.ndarray  # (c_cap,)
+    shape: Tuple[int, int] = dataclasses.field(metadata={"static": True})
+    n_row: int = dataclasses.field(metadata={"static": True})
+    n_k: int = dataclasses.field(metadata={"static": True})
+    c_nnz: int = dataclasses.field(metadata={"static": True})
+    c_band_pad: int = dataclasses.field(metadata={"static": True})
+
+
+def dist_spgemm_packed_plan_2d(A: CSR, B: CSR, n_row: int, n_k: int,
+                               group: int = 16,
+                               k_tiles: int = 16) -> DistSpGEMM2D:
+    """Host symbolic phase for the (row × k) 2-D mesh (see module note)."""
+    sa = A.to_scipy().tocsr()
+    sb = B.to_scipy().tocsr()
+    sa.sort_indices()
+    sb.sort_indices()
+    m, k = sa.shape
+    k2, n = sb.shape
+    if k != k2:
+        raise ValueError("inner dims mismatch")
+
+    pattern = ((sa != 0) @ (sb != 0)).tocsr()
+    pattern.sort_indices()
+    c_nnz = max(int(pattern.nnz), 1)
+    c_indptr = pattern.indptr
+    c_indices = pattern.indices.astype(np.int64)
+    c_rows = np.repeat(np.arange(m), np.diff(c_indptr)).astype(np.int64)
+
+    band_m = -(-m // n_row)
+    band_nnz = [int(c_indptr[min((i + 1) * band_m, m)]
+                    - c_indptr[min(i * band_m, m)]) for i in range(n_row)]
+    c_band_pad = max(max(band_nnz), 1)
+
+    built_all, src_all = [], []
+    gather = np.full(c_nnz, n_row * c_band_pad, np.int64)  # sentinel → 0
+    for i in range(n_row):
+        r0, r1 = min(i * band_m, m), min((i + 1) * band_m, m)
+        sa_i = sa[r0:r1].tocsr()
+        pat_i = pattern[r0:r1].tocsr()
+        pat_i.sort_indices()
+        rows_i = np.repeat(np.arange(pat_i.shape[0]),
+                           np.diff(pat_i.indptr)).astype(np.int64)
+        cols_i = pat_i.indices.astype(np.int64)
+        key_c_i = rows_i * n + cols_i  # ascending (CSR order)
+        order_r_i = np.argsort(cols_i * max(pat_i.shape[0], 1) + rows_i,
+                               kind="stable")
+        rank_r_i = np.empty(len(order_r_i), np.int64)
+        rank_r_i[order_r_i] = np.arange(len(order_r_i))
+        built, srcs = _kband_programs(sa_i, sb, n_k, group, k_tiles,
+                                      key_c_i, rank_r_i, c_band_pad,
+                                      B.nnz)
+        built_all += built
+        src_all += srcs
+        e0 = int(c_indptr[r0])
+        gather[e0:e0 + pat_i.nnz] = i * c_band_pad + rank_r_i
+
+    p_flat, src_flat = _stack_superblocks(built_all, src_all)
+    reshape = lambda a: jnp.asarray(a).reshape((n_row, n_k) + a.shape[1:])
+    p_stack = dataclasses.replace(
+        p_flat,
+        s_idx=reshape(p_flat.s_idx), vals=reshape(p_flat.vals),
+        group_super=reshape(p_flat.group_super),
+        slab_win=reshape(p_flat.slab_win),
+        slab_tloc=reshape(p_flat.slab_tloc))
+
+    idt = default_index_dtype
+    return DistSpGEMM2D(
+        p_stack=p_stack,
+        src=jnp.asarray(src_flat.reshape(n_row, n_k, -1), idt),
+        b_data=B.data,
+        c_gather=jnp.asarray(gather, idt),
+        c_indptr=jnp.asarray(c_indptr, idt),
+        c_indices=jnp.asarray(
+            np.concatenate([c_indices,
+                            np.zeros(max(c_nnz - len(c_indices), 0),
+                                     np.int64)]), idt),
+        c_row_ids=jnp.asarray(
+            np.concatenate([c_rows,
+                            np.full(max(c_nnz - len(c_rows), 0), m,
+                                    np.int64)]), idt),
+        shape=(m, n), n_row=n_row, n_k=n_k, c_nnz=int(pattern.nnz),
+        c_band_pad=c_band_pad,
+    )
+
+
+def shard_dist_spgemm_packed_2d(plan: DistSpGEMM2D, mesh: Mesh):
+    """Place the 2-D stack sharded (row, k); C structure + B replicated."""
+    sharded = NamedSharding(mesh, P("row", "k"))
+    repl = NamedSharding(mesh, P())
+    put_s = lambda a: jax.device_put(a, sharded)
+    put_r = lambda a: jax.device_put(a, repl)
+    return dataclasses.replace(
+        plan,
+        p_stack=jax.tree_util.tree_map(put_s, plan.p_stack),
+        src=put_s(plan.src),
+        b_data=put_r(plan.b_data),
+        c_gather=put_r(plan.c_gather),
+        c_indptr=put_r(plan.c_indptr),
+        c_indices=put_r(plan.c_indices),
+        c_row_ids=put_r(plan.c_row_ids),
+    )
+
+
+def dist_spgemm_packed_apply_2d(plan: DistSpGEMM2D, mesh: Mesh,
+                                b_data=None) -> CSR:
+    """Numeric phase on the ('row','k') mesh: per-device superblock pair
+    program + psum over 'k' only; C data lands row-sharded (jittable)."""
+    from ..kernels.spmv_superblock import spmv_superblock
+
+    bv = plan.b_data if b_data is None else b_data
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("row", "k"), P("row", "k"), P()),
+        out_specs=P("row"),
+        check_vma=False,  # per-shard-pure pallas local compute
+    )
+    def run(p_local, src_local, bvals):
+        local = jax.tree_util.tree_map(lambda a: a[0, 0], p_local)
+        x = jnp.concatenate([bvals, jnp.zeros((1,), bvals.dtype)]
+                            )[src_local[0, 0]]
+        y = spmv_superblock(local, x)
+        return jax.lax.psum(y, "k")[None]
+
+    y = run(plan.p_stack, plan.src, bv)  # (n_row, c_band_pad)
+    y_flat = jnp.concatenate([y.reshape(-1), jnp.zeros((1,), y.dtype)])
+    c_data = y_flat[plan.c_gather]
     return CSR(indptr=plan.c_indptr, indices=plan.c_indices, data=c_data,
                row_ids=plan.c_row_ids, shape=plan.shape, nnz=plan.c_nnz)

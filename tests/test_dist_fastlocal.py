@@ -187,3 +187,63 @@ def test_dist_spmm_dualgather_rect_jit(rng):
     Y = np.asarray(f(part, jnp.asarray(X)))
     np.testing.assert_allclose(Y, dense.astype(np.float64) @ X,
                                rtol=2e-3, atol=0.5)
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2), (2, 2)])
+def test_dist_spgemm_packed_2d_matches(rng, mesh_shape):
+    import scipy.sparse as sps
+
+    from sparsematrix_tpu.parallel import (dist_spgemm_packed_apply_2d,
+                                           dist_spgemm_packed_plan_2d,
+                                           make_mesh_2d,
+                                           shard_dist_spgemm_packed_2d)
+
+    n_row, n_k = mesh_shape
+    n = 512
+    sa = sps.random(n, n, density=0.02, random_state=13, format="csr",
+                    dtype=np.float32)
+    sb = sps.random(n, n, density=0.02, random_state=14, format="csr",
+                    dtype=np.float32)
+    sa.data = rng.uniform(-10, 10, sa.nnz).astype(np.float32)
+    sb.data = rng.uniform(-10, 10, sb.nnz).astype(np.float32)
+    mesh = make_mesh_2d(n_row, n_k, axis_names=("row", "k"))
+    plan = shard_dist_spgemm_packed_2d(
+        dist_spgemm_packed_plan_2d(CSR.from_scipy(sa), CSR.from_scipy(sb),
+                                   n_row, n_k, group=4, k_tiles=8), mesh)
+    C = dist_spgemm_packed_apply_2d(plan, mesh)
+    want = (sa.astype(np.float64) @ sb.astype(np.float64)).tocsr()
+    want.sort_indices()
+    got = np.asarray(C.data)[: plan.c_nnz]
+    np.testing.assert_allclose(got, want.data, rtol=2e-3, atol=1e-3)
+
+
+def test_dist_spgemm_packed_2d_rect_new_bvals(rng):
+    import scipy.sparse as sps
+
+    from sparsematrix_tpu.parallel import (dist_spgemm_packed_apply_2d,
+                                           dist_spgemm_packed_plan_2d,
+                                           make_mesh_2d,
+                                           shard_dist_spgemm_packed_2d)
+
+    m, k, n = 300, 700, 450  # rectangular; uneven row bands
+    sa = sps.random(m, k, density=0.02, random_state=23, format="csr",
+                    dtype=np.float32)
+    sb = sps.random(k, n, density=0.02, random_state=24, format="csr",
+                    dtype=np.float32)
+    sa.data = rng.uniform(-5, 5, sa.nnz).astype(np.float32)
+    sb.data = rng.uniform(-5, 5, sb.nnz).astype(np.float32)
+    mesh = make_mesh_2d(4, 2, axis_names=("row", "k"))
+    A, B = CSR.from_scipy(sa), CSR.from_scipy(sb)
+    plan = shard_dist_spgemm_packed_2d(
+        dist_spgemm_packed_plan_2d(A, B, 4, 2, group=4, k_tiles=8), mesh)
+    # numeric phase accepts fresh B values (same pattern)
+    b2 = rng.uniform(-5, 5, sb.nnz).astype(np.float32)
+    f = jax.jit(lambda q, bd: dist_spgemm_packed_apply_2d(
+        q, mesh, b_data=bd).data)
+    got = np.asarray(f(plan, jnp.asarray(np.concatenate(
+        [b2, np.zeros(B.data.shape[0] - sb.nnz, np.float32)]))))
+    sb2 = sps.csr_matrix((b2, sb.indices, sb.indptr), shape=sb.shape)
+    want = (sa.astype(np.float64) @ sb2.astype(np.float64)).tocsr()
+    want.sort_indices()
+    np.testing.assert_allclose(got[: plan.c_nnz], want.data, rtol=2e-3,
+                               atol=1e-3)
