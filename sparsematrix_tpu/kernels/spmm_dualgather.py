@@ -81,12 +81,7 @@ def _dg_mm_call(group_tile, slab_win, idxA, idxB, vals, xt, *, group,
     )(group_tile, slab_win.reshape(-1), idxA, idxB, vals, xt)
 
 
-def spmm_dualgather(packed: DualGather, X):
-    """``Y = A @ X`` over a dual-gather pack; X is (n, k) dense.
-
-    Requires a k_tiles=1 pack without tail/splits (the per-tile grid —
-    ops.spmm's auto path builds exactly this).
-    """
+def _spmm_dg_forward(packed: DualGather, X):
     if packed.k_tiles != 1 or packed.tail is not None or packed.splits:
         raise ValueError("spmm_dualgather needs a plain k_tiles=1 pack "
                          "(no tail, no splits)")
@@ -114,3 +109,56 @@ def spmm_dualgather(packed: DualGather, X):
         )
         y = y + jnp.where(touched[:, None, None], out, 0)
     return y.transpose(0, 2, 1).reshape(packed.n_tiles * _LANES, k)[:rows]
+
+
+@jax.custom_vjp
+def spmm_dualgather(packed: DualGather, X):
+    """``Y = A @ X`` over a dual-gather pack; X is (n, k) dense.
+
+    Requires a k_tiles=1 pack without tail/splits (the per-tile grid —
+    ops.spmm's auto path builds exactly this).  Differentiable in X and
+    in the slab values (the spmv_dualgather VJP generalized over the RHS
+    panel; the X cotangent is the XLA scatter ``A^T @ G`` — correct, not
+    fast, the backward-pass stance of spmv_dualgather's fallback).
+    """
+    return _spmm_dg_forward(packed, X)
+
+
+def _dgmm_fwd(packed, X):
+    return _spmm_dg_forward(packed, X), (packed, X)
+
+
+def _dgmm_bwd(res, G):
+    import dataclasses
+
+    import numpy as np
+
+    from .spmv_dualgather import _slot_row_col
+
+    packed, X = res
+    rows, cols = packed.shape
+    k = X.shape[1]
+    row, col = _slot_row_col(packed)  # (n_groups, group*8, 128)
+    Gpad = jnp.zeros((packed.n_tiles * _LANES, k), G.dtype).at[:rows].set(G)
+    Xpad = jnp.zeros((packed.n_win * 8 * _LANES, k), X.dtype
+                     ).at[:cols].set(X)
+    gv = Gpad[row] * packed.vals[..., None]  # (n_groups, GH, 128, k)
+    gX = (jnp.zeros((packed.n_win * 8 * _LANES, k), X.dtype)
+          .at[col.reshape(-1)]
+          .add(gv.reshape(-1, k).astype(X.dtype)))[:cols]
+    mask = packed.vals != 0  # padding slots carry no gradient
+    dvals = jnp.where(
+        mask, jnp.sum(Xpad[col] * Gpad[row], axis=-1), 0
+    ).astype(packed.vals.dtype)
+
+    def ct_zero(p):
+        if jnp.issubdtype(jnp.asarray(p).dtype, jnp.inexact):
+            return jnp.zeros_like(p)
+        return np.zeros(jnp.shape(p), jax.dtypes.float0)
+
+    dpacked = jax.tree_util.tree_map(ct_zero, packed)
+    dpacked = dataclasses.replace(dpacked, vals=dvals)
+    return dpacked, gX
+
+
+spmm_dualgather.defvjp(_dgmm_fwd, _dgmm_bwd)

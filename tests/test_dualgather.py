@@ -241,3 +241,37 @@ def test_dualgather_superblock_splits(rng):
         np.testing.assert_allclose(got, want, rtol=2e-3, atol=0.5)
     finally:
         dgm._SMEM_PREFETCH_BUDGET = old
+
+
+def test_spmm_dualgather_vjp(rng):
+    from sparsematrix_tpu.kernels.spmv_dualgather import pack_dualgather
+    from sparsematrix_tpu.kernels.spmm_dualgather import spmm_dualgather
+    from sparsematrix_tpu.formats import CSR
+    from sparsematrix_tpu.utils.testutils import gen_random_dense_sparse
+
+    n, k = 640, 6
+    dense = gen_random_dense_sparse(rng, n, n, density=0.02)
+    packed = pack_dualgather(CSR.fromdense(dense), group=4, k_tiles=1)
+    X = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
+    W = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
+
+    import dataclasses
+
+    def loss(v, Xv):
+        return jnp.vdot(W, spmm_dualgather(
+            dataclasses.replace(packed, vals=v), Xv))
+
+    g_vals, gX = jax.grad(loss, argnums=(0, 1))(packed.vals, X)
+    # d/dX <W, A X> = A^T W
+    np.testing.assert_allclose(np.asarray(gX),
+                               dense.T.astype(np.float64) @ np.asarray(W),
+                               rtol=2e-3, atol=0.5)
+    # value cotangents: rebuild dense gradient via the slab coordinates
+    from sparsematrix_tpu.kernels.spmv_dualgather import _slot_row_col
+    row, col = _slot_row_col(packed)
+    dv = np.asarray(g_vals)
+    want_dense = np.asarray(W, np.float64) @ np.asarray(X, np.float64).T
+    mask = np.asarray(packed.vals) != 0
+    got = dv[mask]
+    want = want_dense[np.asarray(row)[mask], np.asarray(col)[mask]]
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=0.5)
