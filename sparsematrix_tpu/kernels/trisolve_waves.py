@@ -509,7 +509,7 @@ def _waves_forward(plan: TriWavesPlan, b):
                          interpret=config.interpret())
     x = out.reshape(-1)
     if plan.reversed:
-        x = _rev_pad(x, n, N)
+        x = _rev_pad(jax.lax.optimization_barrier(x), n, N)
     return x[:n]
 
 
@@ -641,6 +641,10 @@ def _mm_forward(plan: TriWavesPlan, B):
             outs.append(o)
         Xp = jnp.concatenate(outs, axis=1)[:, :k]
     if plan.reversed:
+        # barrier: XLA's algebraic simplifier crashes sinking a reverse
+        # into the interpret-mode pallas output (HandleReverse →
+        # CreateBinary(kMap)); keep the flip out of that fusion
+        Xp = jax.lax.optimization_barrier(Xp)
         Xp = jnp.roll(jnp.flip(Xp, axis=0), n - N, axis=0)
     return Xp[:n]
 

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..formats import CSR
@@ -195,17 +197,42 @@ def ilu_apply(plans, r):
     """Apply the preconditioner: ``M⁻¹ r`` (jittable).
 
     Accepts any plan family (level-scheduled, fixed-point, level-packed,
-    fused single-call, or wave)."""
-    from ..kernels.trisolve_fused import TriFusedPlan, trisolve_fused_apply
-    from ..kernels.trisolve_waves import TriWavesPlan, trisolve_waves_apply
+    fused single-call, or wave).  A 2-D ``r`` panel (n, k) routes to the
+    multi-RHS engines (waves: 8 RHS per MXU pass; fused: column scan)."""
+    from ..kernels.trisolve_fused import (TriFusedPlan,
+                                          trisolve_fused_apply,
+                                          trisolve_fused_apply_batched)
+    from ..kernels.trisolve_waves import (TriWavesPlan,
+                                          trisolve_waves_apply,
+                                          trisolve_waves_apply_mm)
 
     lp, up = plans
+    multi = jnp.ndim(r) == 2
     if isinstance(lp, TriFixPlan):
+        if multi:
+            return jax.vmap(
+                lambda c: trisolve_fixpoint_apply(
+                    up, trisolve_fixpoint_apply(lp, c)),
+                in_axes=1, out_axes=1)(r)
         return trisolve_fixpoint_apply(up, trisolve_fixpoint_apply(lp, r))
     if isinstance(lp, TriLevelPlan):
+        if multi:
+            return jax.vmap(
+                lambda c: trisolve_level_apply(
+                    up, trisolve_level_apply(lp, c)),
+                in_axes=1, out_axes=1)(r)
         return trisolve_level_apply(up, trisolve_level_apply(lp, r))
     if isinstance(lp, TriFusedPlan):
+        if multi:
+            return trisolve_fused_apply_batched(
+                up, trisolve_fused_apply_batched(lp, r))
         return trisolve_fused_apply(up, trisolve_fused_apply(lp, r))
     if isinstance(lp, TriWavesPlan):
+        if multi:
+            return trisolve_waves_apply_mm(up, trisolve_waves_apply_mm(
+                lp, r))
         return trisolve_waves_apply(up, trisolve_waves_apply(lp, r))
+    if multi:
+        return jax.vmap(lambda c: trisolve_apply(up, trisolve_apply(lp, c)),
+                        in_axes=1, out_axes=1)(r)
     return trisolve_apply(up, trisolve_apply(lp, r))
