@@ -293,3 +293,43 @@ def test_dist_spmv_rowlane_kernel():
         y = np.asarray(jax.jit(
             lambda p, v: dist_spmv_rowlane(p, v, mesh))(part, jnp.asarray(x)))
         np.testing.assert_allclose(y, A @ x, rtol=2e-4, atol=1e-4)
+
+
+def test_var_halo_ragged_branch_cpu_limitation(rng, mesh):
+    """The ragged_all_to_all branch (halo.py dist_spmv_halo_var
+    use_ragged=True) cannot execute on XLA:CPU — pin the documented
+    limitation so we notice the day the backend gains the kernel.
+
+    The branch itself is validated on real TPU hardware by
+    benchmarks/probe_ragged_tpu.py (1-device mesh, oracle-exact; see
+    docs/mosaic_repros.md for the r4 run log).
+    """
+    from sparsematrix_tpu.parallel import (
+        dist_spmv_halo_var, partition_csr_halo_var,
+    )
+
+    n = 128
+    dense = np.zeros((n, n), np.float32)
+    for i in range(n):
+        for j in range(max(0, i - 3), min(n, i + 4)):
+            dense[i, j] = rng.standard_normal()
+    part = partition_csr_halo_var(CSR.fromdense(dense), 8)
+    sharded = jax.tree_util.tree_map(
+        lambda a: jax.device_put(
+            a, jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec("shard"))), part)
+    x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    import pytest
+
+    try:
+        got = dist_spmv_halo_var(sharded, x, mesh, use_ragged=True)
+        got = np.asarray(got)
+    except Exception as e:  # noqa: BLE001 — backend raises JaxRuntimeError
+        assert "ragged-all-to-all" in str(e) or "UNIMPLEMENTED" in str(e), e
+        return
+    # If XLA:CPU gained the kernel, the result must be correct — and the
+    # use_ragged=None auto-pick in halo.py should be widened to CPU.
+    np.testing.assert_allclose(got, dense.astype(np.float64) @ np.asarray(x),
+                               rtol=2e-3, atol=0.5)
+    pytest.fail("XLA:CPU now supports ragged_all_to_all — update "
+                "dist_spmv_halo_var's auto-pick (halo.py) and this test")

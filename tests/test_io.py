@@ -49,3 +49,40 @@ def test_npz_roundtrip_bsr(rng, tmp_path):
     save_npz(p, bsr)
     back = load_npz(p)
     np.testing.assert_array_equal(np.asarray(back.todense()), dense)
+
+
+def test_orbax_sharded_checkpoint_roundtrip(rng, tmp_path):
+    """Sharded save/restore on the 8-device mesh (SURVEY §5: distributed
+    configs need restartable state; orbax path io/serialize.py)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from sparsematrix_tpu.io import load_checkpoint, save_checkpoint
+    from sparsematrix_tpu.formats import CSR
+    from sparsematrix_tpu.parallel import partition_csr_rows
+
+    dense = gen_random_dense_sparse(rng, 64, 64, density=0.1)
+    part = partition_csr_rows(CSR.fromdense(dense), n_shards=8)
+
+    mesh = Mesh(np.array(jax.devices()), ("shard",))
+    sh = NamedSharding(mesh, P("shard"))
+    arrays = {
+        "indptr": jax.device_put(part.indptr, sh),
+        "indices": jax.device_put(part.indices, sh),
+        "data": jax.device_put(part.data, sh),
+        "row_ids": jax.device_put(part.row_ids, sh),
+        "x": jax.device_put(jnp.arange(64.0).reshape(8, 8), sh),
+    }
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, arrays)
+
+    abstract = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=a.sharding),
+        arrays,
+    )
+    back = load_checkpoint(path, abstract)
+    for k in arrays:
+        got = back[k]
+        assert got.sharding == arrays[k].sharding, k
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(arrays[k]))
