@@ -341,6 +341,16 @@ def bench_spmm_csr(check=True, n=2048, density=0.05, ks=(32, 128, 512), **kw):
     dense = gen_random_dense_sparse(rng, n, n, density=density)
     A = CSR.fromdense(dense)
     D = Dense.from_sparse(A)  # build-time materialization (dense regime)
+    # round-4 quantized pre-dense containers: bf16 halves the dominant A
+    # plane AND swaps the multi-pass fp32 MXU for the native systolic
+    # path; int8 halves it again on the integer MXU (the reference's own
+    # codebook-quantization trade, blas_test.h:139-145, generalized via
+    # per-row scales).  Checked against the fp64 oracle with the
+    # reference's 0.1 relative policy — measured error ~1e-2 / ~4e-3.
+    from ..formats import QuantDense
+
+    Dbf = Dense.from_sparse(A, dtype=jnp.bfloat16)
+    Q = QuantDense.from_sparse(A)
     rows = []
     for k in ks:
         X = jnp.asarray(gen_matrix_random(rng, n, k))
@@ -348,6 +358,8 @@ def bench_spmm_csr(check=True, n=2048, density=0.05, ks=(32, 128, 512), **kw):
             ("spmm_csr/segsum", jax.jit(functools.partial(spmm_reference)), A),
             ("spmm_csr/densify", jax.jit(functools.partial(spmm_densify)), A),
             ("spmm_csr/pre-dense", jax.jit(lambda a, x: spmm(a, x)), D),
+            ("spmm_csr/pre-dense-bf16", jax.jit(lambda a, x: spmm(a, x)), Dbf),
+            ("spmm_csr/pre-dense-int8", jax.jit(lambda a, x: spmm(a, x)), Q),
         ):
             res = bench_fn_slope(f, op, X, iters=6)
             checked = None
@@ -1402,4 +1414,22 @@ def bench_codebook_gemm(check=True, density=0.25, **kw):
                 f"m={m},n={n},k={k} dense on-MXU", res, nnz=b_csr.nnz)
         r.extras = {"vs_baseline": REF_BASELINE_MS / res.min_ms}
         rows.append(r)
+    # the reference harness's third lane: PREPACKED dense GEMM
+    # (SGEMM_PRE_INVOKER, blas_test.cc:43, blas_test.h:254-290) — operand
+    # layout conversion paid once at encode time, the timed call reuses
+    # it.  TPU analogue: operands pre-cast to the MXU-native bf16 at
+    # build; the timed call is the single-pass systolic contraction with
+    # fp32 accumulate (vs dense-race-fp32's per-call multi-pass HIGHEST).
+    a_pre = a.astype(jnp.bfloat16)
+    b_pre = b_dense32.astype(jnp.bfloat16)
+    fp = jax.jit(lambda aa, bb, cc: cc + jnp.dot(
+        aa, bb, preferred_element_type=jnp.float32))
+    res = bench_fn_slope(fp, a_pre, b_pre, c, iters=8,
+                         inner_lo=16, inner_hi=144)
+    checked = _bf16_check(np.asarray(fp(a_pre, b_pre, c))) if check else None
+    r = Row("codebook_gemm/dense-race-pre",
+            f"m={m},n={n},k={k} prepacked bf16 on-MXU", res, nnz=b_csr.nnz,
+            checked=checked)
+    r.extras = {"vs_baseline": REF_BASELINE_MS / res.min_ms}
+    rows.append(r)
     return rows

@@ -4,6 +4,7 @@ from .csr import CSR, CSC
 from .ell import ELL, BlockedELL
 from .bsr import BSR
 from .dense import Dense
+from .quantdense import QuantDense
 from .stripdense import StripDense
 from .codebook_dense import CodebookDense
 from .codebook import (
@@ -35,6 +36,7 @@ __all__ = [
     "CodebookCSR",
     "CodebookDense",
     "Dense",
+    "QuantDense",
     "StripDense",
     "CodebookStream",
     "encode_stream",

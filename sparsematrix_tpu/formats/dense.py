@@ -29,19 +29,30 @@ class Dense(SparseFormat):
     nnz: int = dataclasses.field(metadata={"static": True})
 
     @classmethod
-    def fromdense(cls, dense):
+    def fromdense(cls, dense, dtype=None):
+        """``dtype=jnp.bfloat16`` stores the plane half-width: halves the
+        dominant HBM stream AND swaps the slow multi-pass fp32 MXU for the
+        native bf16 systolic path (measured 37.5 → ~12 µs at n=2048
+        k=128).  Accuracy ~1e-2 relative — inside the reference's 0.1
+        relative-error policy (blas_test.h:163-173)."""
         dense = np.asarray(dense)
+        arr = jnp.asarray(dense)
+        if dtype is not None:
+            arr = arr.astype(dtype)
         return cls(
-            data=jnp.asarray(dense),
+            data=arr,
             shape=(int(dense.shape[0]), int(dense.shape[1])),
             nnz=int((dense != 0).sum()),
         )
 
     @classmethod
-    def from_sparse(cls, sp):
+    def from_sparse(cls, sp, dtype=None):
         """Materialize any sparse container once (host/device build step)."""
+        arr = jnp.asarray(sp.todense())
+        if dtype is not None:
+            arr = arr.astype(dtype)
         return cls(
-            data=jnp.asarray(sp.todense()),
+            data=arr,
             shape=sp.shape,
             nnz=sp.nnz,
         )

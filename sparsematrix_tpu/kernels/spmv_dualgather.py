@@ -120,6 +120,11 @@ class DualGather:
     # (8,128) int8 plane (lo/hi nibble) — halves the idxA stream
     nibble: bool = dataclasses.field(
         default=False, metadata={"static": True})
+    # two-window slabs: slab_win packs (wa | wb<<16) and idxA's 4th bit
+    # selects the window per (sublane, lane) cell — fill bound becomes
+    # mean/max of PAIRED window row degrees (0.507 → 0.663 at XL)
+    two_win: bool = dataclasses.field(
+        default=False, metadata={"static": True})
 
     @property
     def fill_rate(self) -> float:
@@ -252,7 +257,77 @@ def _pack_pooled(r, c, v, rows, cols, group, dtype):
     )
 
 
-def _assign_slots(r, c, rows, cols, max_rounds=2000):
+def _pair_windows(deg):
+    """Per-tile greedy matching of windows into pairs minimizing the joint
+    slab count ceil(max_row(deg_a + deg_b) / 8).
+
+    deg: (n_tiles, n_win, _T) per-(tile, window, row-lane) degree counts.
+    Returns pairs (n_tiles, n_pairs, 2) — odd window counts pair the last
+    window with itself (harmless: the side bit just never selects b).
+    Matching highest-max windows first against their cheapest complement
+    recovers most of the gain of optimal matching (measured on the XL
+    shape: 0.663 matched vs 0.639 adjacent vs 0.507 single-window fill).
+    """
+    n_tiles, n_win, _ = deg.shape
+    n_pairs = (n_win + 1) // 2
+    pairs = np.zeros((n_tiles, n_pairs, 2), np.int64)
+    for ti in range(n_tiles):
+        d = deg[ti]
+        order = np.argsort(-d.max(axis=1))
+        used = np.zeros(n_win, bool)
+        out = []
+        for wi in order:
+            if used[wi]:
+                continue
+            used[wi] = True
+            cand = np.nonzero(~used)[0]
+            if cand.size == 0:
+                out.append((wi, wi))
+                continue
+            joint = d[wi][None, :] + d[cand]
+            cost = -(-joint.max(axis=1) // 8)
+            best = cand[int(np.argmin(cost))]
+            used[best] = True
+            out.append((wi, best))
+        pairs[ti] = np.asarray(out)
+    return pairs
+
+
+def _two_win_ids(r, c, rows, cols):
+    """Per-entry (pair-id, synthetic-chunk) for the two-window layout:
+    slabs carry TWO window pointers and idxA grows a 4th bit selecting
+    between them per (sublane, lane) cell — so the fill bound becomes
+    mean/max of the PAIRED row degrees (λ doubles, max/mean tightens).
+
+    Returns (w_ids, ch_ids, pairtab): w_ids = tile-local pair index,
+    ch_ids = chunk 0-7 + 8·side, pairtab (n_tiles, n_pairs, 2) windows.
+    """
+    t = r // _T
+    l = r % _T
+    w = c // _W
+    n_tiles = max(-(-rows // _T), 1)
+    n_win = max(-(-cols // _W), 1)
+    deg = np.zeros((n_tiles, n_win, _T), np.int32)
+    np.add.at(deg, (t, w, l), 1)
+    pairtab = _pair_windows(deg)
+    pid_of = np.zeros((n_tiles, n_win), np.int64)
+    side_of = np.zeros((n_tiles, n_win), np.int64)
+    ar = np.arange(pairtab.shape[1])
+    for ti in range(n_tiles):
+        pid_of[ti, pairtab[ti, :, 0]] = ar
+        side_of[ti, pairtab[ti, :, 0]] = 0
+        pid_of[ti, pairtab[ti, :, 1]] = ar
+        side_of[ti, pairtab[ti, :, 1]] = 1
+        # self-paired windows keep side 0
+        selfp = pairtab[ti, :, 0] == pairtab[ti, :, 1]
+        side_of[ti, pairtab[ti, selfp, 0]] = 0
+    w_ids = pid_of[t, w]
+    ch_ids = (c % _W) // _LANES + 8 * side_of[t, w]
+    return w_ids, ch_ids, pairtab
+
+
+def _assign_slots(r, c, rows, cols, max_rounds=2000, w_ids=None,
+                  ch_ids=None):
     """Vectorized conflict-repair assignment (active-set formulation).
 
     Returns (t, w, s, u, l, cl, ch) numpy arrays, one per entry, satisfying
@@ -265,12 +340,15 @@ def _assign_slots(r, c, rows, cols, max_rounds=2000):
     Settled entries never move (their occupancy lives in sorted key
     arrays queried by searchsorted), so convergence is monotone and each
     round costs O(active · log n) — XL packs stay seconds, not minutes.
+
+    ``w_ids``/``ch_ids`` override the default window/chunk coordinates
+    (two-window layout: pair index + 4-bit synthetic chunk).
     """
     t = r // _T
     l = r % _T
-    w = c // _W
+    w = c // _W if w_ids is None else w_ids
     cl = c % _LANES
-    ch = (c % _W) // _LANES
+    ch = (c % _W) // _LANES if ch_ids is None else ch_ids
     n = r.size
     n_win = max(-(-cols // _W), 1)
 
@@ -471,7 +549,8 @@ def pack_dualgather(csr: CSR, group: int | None = None,
                     with_transpose: bool = False,
                     spill_cap: int | None = None,
                     k_tiles: int = 1,
-                    dtype=None) -> DualGather:
+                    dtype=None,
+                    two_win: bool = False) -> DualGather:
     """Pack CSR into dual-gather slabs.
 
     ``group``: slabs per grid step (None → auto by the ≤15 % padding-waste
@@ -486,7 +565,17 @@ def pack_dualgather(csr: CSR, group: int | None = None,
     and pools the Poisson tail.  None = no cap (single-layer pack);
     "auto" = 8·ceil((mean_deg + sqrt(mean_deg)) / 8) when that beats the
     uncapped bound.
+
+    ``two_win``: each slab carries TWO window pointers (matched per tile
+    to minimize the joint slab count) and idxA's 4th bit selects between
+    them per cell — the round-4 fill break (0.507 → 0.663 structural at
+    the XL shape, i.e. ~8.3 B/nnz fp32 with nibble idxA).  Superblock
+    path only (requires ``k_tiles > 1``); incompatible with spill_cap.
     """
+    if two_win and k_tiles <= 1:
+        raise ValueError("two_win requires the superblock path (k_tiles>1)")
+    if two_win and spill_cap is not None:
+        raise ValueError("two_win is incompatible with spill_cap")
     sp = csr.to_scipy().tocoo()
     rows, cols = sp.shape
     r = sp.row.astype(np.int64)
@@ -525,29 +614,49 @@ def pack_dualgather(csr: CSR, group: int | None = None,
             )
             r, c, v = r[~sm], c[~sm], v[~sm]
     assigned = None
+    pairtab = None
+    if two_win and r.size:
+        w_ids, ch_ids, pairtab = _two_win_ids(r, c, rows, cols)
     if tail is None and r.size:
         # slot assignment is (r, c)-only and costs ~100 s at 16 M nnz;
         # cache it per CSR object so re-packs at other (group, k_tiles,
         # dtype) configurations are nearly free
         import weakref
 
-        key = id(csr)
+        key = (id(csr), two_win)
         ent = _ASSIGN_CACHE.get(key)
         if ent is not None and ent[0]() is csr:
             assigned = ent[1]
         else:
-            assigned = _assign_slots(r, c, rows, cols)
+            if two_win:
+                assigned = _assign_slots(r, c, rows, cols, w_ids=w_ids,
+                                         ch_ids=ch_ids)
+            else:
+                assigned = _assign_slots(r, c, rows, cols)
             ref = weakref.ref(csr,
                               lambda _u, k=key: _ASSIGN_CACHE.pop(k, None))
             _ASSIGN_CACHE[key] = (ref, assigned)
     arrs = _pack_arrays(r, c, v, rows, cols, group, v.dtype,
                         k_tiles=k_tiles, assigned=assigned)
+    if two_win:
+        # slab_win currently holds the tile-local PAIR index; repack it as
+        # (wa | wb << 16) physical window pointers for the kernel
+        gsup = np.asarray(arrs["group_tile"])[:, None]
+        tile = np.minimum(gsup * k_tiles + np.asarray(arrs["slab_tloc"]),
+                          arrs["n_tiles"] - 1)
+        pid = np.asarray(arrs["slab_win"])
+        if pairtab is None:  # empty matrix
+            pairtab = np.zeros((arrs["n_tiles"], 1, 2), np.int64)
+        pid = np.minimum(pid, pairtab.shape[1] - 1)
+        wa = pairtab[tile, pid, 0]
+        wb = pairtab[tile, pid, 1]
+        arrs["slab_win"] = wa | (wb << 16)
     t_pack = None
     if with_transpose:
         t_pack = pack_dualgather(
             CSR.from_scipy(csr.to_scipy().T.tocsr()), group=group,
             spill_cap=spill_cap, k_tiles=k_tiles, with_transpose=False,
-            dtype=dtype,
+            dtype=dtype, two_win=two_win,
         )
     vals_np = arrs["vals"]
     idxA_np = np.asarray(arrs["idxA"], np.int8)
@@ -579,6 +688,7 @@ def pack_dualgather(csr: CSR, group: int | None = None,
         splits=(tuple(_sb_splits(arrs["group_tile"], arrs["group"]))
                 if k_tiles > 1 else ()),
         nibble=nibble,
+        two_win=two_win,
     )
 
 
@@ -654,12 +764,16 @@ def _dualgather_call(group_tile, slab_win, idxA, idxB, vals, xp, *, group,
 def _dualgather_sb_kernel(super_ref, win_ref, tloc_ref, commit_ref,
                           idxA_ref, idxB_ref, vals_ref, x_ref, o_ref,
                           acc_ref, *, group: int, k_tiles: int,
-                          nibble: bool):
+                          nibble: bool, two_win: bool):
     """Superblock variant: the output block spans k_tiles tiles, so group
     padding quantizes per superblock (~k_tiles× fewer pad slabs at large
     groups).  Per-slab row sums land in a (k_tiles, 128) accumulator via
     a masked add (2 VPU rows of work); the superblock's LAST group
-    commits the accumulator into sublane 0 of each tile block."""
+    commits the accumulator into sublane 0 of each tile block.
+
+    ``two_win``: win_ref packs (wa | wb<<16); the 4-bit iA's high bit
+    picks between the two loaded windows per cell (one extra gather +
+    select per slab — the fill gain pays for it ~3× over in HBM bytes)."""
     g = pl.program_id(0)
 
     @pl.when(jnp.logical_or(g == 0, super_ref[g] != super_ref[g - 1]))
@@ -670,18 +784,31 @@ def _dualgather_sb_kernel(super_ref, win_ref, tloc_ref, commit_ref,
     acc = jnp.zeros((k_tiles, _LANES), jnp.float32)
     for b in range(group):
         w = win_ref[g * group + b]
-        xw = x_ref[pl.ds(pl.multiple_of(w * 8, 8), 8), :]
         if nibble:
             # int8 shifts don't legalize in Mosaic; widen to int32
             pk = idxA_ref[0, (b // 2) * 8:(b // 2 + 1) * 8, :].astype(
                 jnp.int32)
             if b % 2:
                 pk = jax.lax.shift_right_logical(pk, 4)
-            iA = jnp.bitwise_and(pk, 15).astype(jnp.int8)
+            iA4 = jnp.bitwise_and(pk, 15)
+        elif two_win:
+            iA4 = idxA_ref[0, b * 8:(b + 1) * 8, :].astype(jnp.int32)
         else:
-            iA = idxA_ref[0, b * 8:(b + 1) * 8, :]
+            iA4 = idxA_ref[0, b * 8:(b + 1) * 8, :]
         iB = idxB_ref[0, b * 8:(b + 1) * 8, :]
-        t1 = jnp.take_along_axis(xw, iA, axis=0)
+        if two_win:
+            wa = jnp.bitwise_and(w, 0xFFFF)
+            wb = jax.lax.shift_right_logical(w, 16)
+            xa = x_ref[pl.ds(pl.multiple_of(wa * 8, 8), 8), :]
+            xb = x_ref[pl.ds(pl.multiple_of(wb * 8, 8), 8), :]
+            ch = jnp.bitwise_and(iA4, 7).astype(jnp.int8)
+            t1a = jnp.take_along_axis(xa, ch, axis=0)
+            t1b = jnp.take_along_axis(xb, ch, axis=0)
+            t1 = jnp.where(iA4 >= 8, t1b, t1a)
+        else:
+            xw = x_ref[pl.ds(pl.multiple_of(w * 8, 8), 8), :]
+            t1 = jnp.take_along_axis(
+                xw, iA4.astype(jnp.int8) if nibble else iA4, axis=0)
         gth = jnp.take_along_axis(t1, iB, axis=1)
         prod = vals_ref[0, b * 8:(b + 1) * 8, :] * gth
         part = jnp.sum(prod, axis=0, keepdims=True)  # (1, 128)
@@ -695,10 +822,11 @@ def _dualgather_sb_kernel(super_ref, win_ref, tloc_ref, commit_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("group", "k_tiles", "n_super",
-                                             "nibble", "interpret"))
+                                             "nibble", "two_win",
+                                             "interpret"))
 def _dualgather_sb_call(group_super, slab_win, slab_tloc, commit, idxA,
                         idxB, vals, xp, *, group, k_tiles, n_super,
-                        nibble=False, interpret=False):
+                        nibble=False, two_win=False, interpret=False):
     n_groups = idxA.shape[0]
     ia_rows = (group // 2 if nibble else group) * 8
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -723,7 +851,7 @@ def _dualgather_sb_call(group_super, slab_win, slab_tloc, commit, idxA,
     )
     return pl.pallas_call(
         functools.partial(_dualgather_sb_kernel, group=group,
-                          k_tiles=k_tiles, nibble=nibble),
+                          k_tiles=k_tiles, nibble=nibble, two_win=two_win),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_super * 8 * k_tiles, _LANES),
                                        jnp.float32),
@@ -806,7 +934,7 @@ def _dualgather_forward(packed: DualGather, x):
                 packed.idxA[g0:g1], packed.idxB[g0:g1],
                 packed.vals[g0:g1], xp,
                 group=packed.group, k_tiles=k, n_super=n_super,
-                nibble=packed.nibble,
+                nibble=packed.nibble, two_win=packed.two_win,
                 interpret=config.interpret(),
             )
             # sublane 0 of each tile block carries that tile's row sums
@@ -884,6 +1012,12 @@ def _slot_row_col(packed: DualGather):
             jnp.int32)
     ch = jnp.take_along_axis(iA4, iB4, axis=3)  # (n_groups, group, 8, 128)
     win = packed.slab_win[:, :, None, None]
+    if packed.two_win:
+        # win packs (wa | wb<<16); iA's 4th bit picks the window
+        wa = jnp.bitwise_and(win, 0xFFFF)
+        wb = jax.lax.shift_right_logical(win, 16)
+        win = jnp.where(ch >= 8, wb, wa)
+        ch = jnp.bitwise_and(ch, 7)
     col = win * _W + ch * _LANES + iB4
     lane = jnp.arange(_LANES)[None, None, None, :]
     if packed.k_tiles > 1:

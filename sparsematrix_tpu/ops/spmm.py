@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from ..config import config
 from ..formats import (BSR, COO, CSR, ELL, BlockedELL, CodebookCSR,
-                       CodebookDense, Dense, StripDense)
+                       CodebookDense, Dense, QuantDense, StripDense)
 
 __all__ = ["spmm", "spmm_reference", "spmm_right"]
 
@@ -100,8 +100,26 @@ def _spmm_codebook_dense_jnp(A: CodebookDense, X):
 
 
 def _spmm_dense_jnp(A: Dense, X):
+    if A.data.dtype == jnp.bfloat16 and X.dtype == jnp.float32:
+        # half-width A plane feeding the native bf16 systolic path;
+        # accumulate fp32 so only the input rounding (~1e-2 rel) remains
+        return jnp.dot(A.data, X.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
     return jnp.dot(A.data, X, preferred_element_type=X.dtype,
                    precision=_mxu_precision(A.data.dtype))
+
+
+def _spmm_quantdense_jnp(A: QuantDense, X):
+    # per-column symmetric quantization of X (two VPU passes), int8 MXU
+    # contraction with int32 accumulate, rank-1 rescale.  Mirrors the
+    # codebook int8-gemm path (the measured winner at the reference shape,
+    # BASELINE codebook_gemm/int8-gemm) for arbitrary-valued matrices.
+    colmax = jnp.max(jnp.abs(X), axis=0)
+    t = jnp.where(colmax > 0, colmax / 127.0, 1.0).astype(jnp.float32)
+    Xq = jnp.clip(jnp.round(X / t[None, :]), -127, 127).astype(jnp.int8)
+    Yi = jnp.dot(A.data, Xq, preferred_element_type=jnp.int32)
+    return (Yi.astype(jnp.float32) * A.scale[:, None] * t[None, :]).astype(
+        X.dtype)
 
 
 def _spmm_strip_jnp(A: StripDense, X):
@@ -124,6 +142,7 @@ _JNP_IMPLS = {
     CodebookCSR: _spmm_codebook_jnp,
     CodebookDense: _spmm_codebook_dense_jnp,
     Dense: _spmm_dense_jnp,
+    QuantDense: _spmm_quantdense_jnp,
     StripDense: _spmm_strip_jnp,
 }
 
@@ -236,6 +255,10 @@ def spmm(A, X, method: str = "auto"):
         )
     if method == "densify":
         return spmm_densify(A, X)
+    if type(A) in (Dense, QuantDense):
+        # already-materialized containers: their jnp impl IS the fast path
+        # (bf16 plane / int8 MXU contraction) — never re-densify
+        return spmm_reference(A, X)
     if method == "auto" and type(A) is BSR and _should_densify(A):
         # small-block BSR underutilizes the MXU on every sparse path
         # (measured: grouped 0.98 Gnnz/s, panel 0.28 at (8,8) blocks);

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..config import config
 from ..formats import (BSR, COO, CSR, ELL, BlockedELL, CodebookCSR,
-                       CodebookDense, Dense, StripDense)
+                       CodebookDense, Dense, QuantDense, StripDense)
 
 __all__ = ["spmv", "spmv_reference", "prepare_spmv"]
 
@@ -100,7 +100,16 @@ def _spmv_codebook_dense_jnp(A: CodebookDense, x):
 
 
 def _spmv_dense_jnp(A: Dense, x):
+    if A.data.dtype == jnp.bfloat16 and x.dtype == jnp.float32:
+        return jnp.dot(A.data, x.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
     return jnp.dot(A.data, x, precision=_mxu_precision(A.data.dtype))
+
+
+def _spmv_quantdense_jnp(A: QuantDense, x):
+    from .spmm import _spmm_quantdense_jnp
+
+    return _spmm_quantdense_jnp(A, x[:, None])[:, 0]
 
 
 def _spmv_strip_jnp(A: StripDense, x):
@@ -122,6 +131,7 @@ _JNP_IMPLS = {
     CodebookCSR: _spmv_codebook_jnp,
     CodebookDense: _spmv_codebook_dense_jnp,
     Dense: _spmv_dense_jnp,
+    QuantDense: _spmv_quantdense_jnp,
     StripDense: _spmv_strip_jnp,
 }
 

@@ -275,3 +275,68 @@ def test_spmm_dualgather_vjp(rng):
     got = dv[mask]
     want = want_dense[np.asarray(row)[mask], np.asarray(col)[mask]]
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=0.5)
+
+
+@pytest.mark.parametrize("shape,density,group,k_tiles", [
+    ((512, 4096), 0.08, 4, 2),    # even group → nibble + two_win
+    ((300, 3000), 0.05, 3, 2),    # odd group → plain-byte two_win
+    ((1024, 8192), 0.02, 8, 4),
+])
+def test_dualgather_two_win_matches_oracle(rng, shape, density, group,
+                                           k_tiles):
+    """Two-window slabs (round-4 fill break): oracle match through the
+    interpret-mode superblock kernel, both nibble and byte idxA."""
+    A, dense = _rand_csr(rng, *shape, density)
+    packed = pack_dualgather(A, group=group, k_tiles=k_tiles, two_win=True)
+    assert packed.two_win
+    x = rng.standard_normal(shape[1]).astype(np.float32)
+    got = np.asarray(spmv_dualgather(packed, jnp.asarray(x)))
+    want = dense.astype(np.float64) @ x
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=0.5)
+
+
+def test_dualgather_two_win_fill_gain(rng):
+    """The pairing must beat the single-window structural fill."""
+    A, _ = _rand_csr(rng, 1024, 8192, 0.02)
+    base = pack_dualgather(A, group=8, k_tiles=4)
+    tw = pack_dualgather(A, group=8, k_tiles=4, two_win=True)
+    assert tw.fill_rate > base.fill_rate * 1.1, (
+        tw.fill_rate, base.fill_rate)
+
+
+def test_dualgather_two_win_vjp(rng):
+    A, dense = _rand_csr(rng, 256, 2048, 0.1)
+    packed = pack_dualgather(A, group=4, k_tiles=2, two_win=True)
+    x = jnp.asarray(rng.standard_normal(2048).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal(256).astype(np.float32))
+
+    y, vjp = jax.vjp(lambda xx: spmv_dualgather(packed, xx), x)
+    (gx,) = vjp(g)
+    want = dense.astype(np.float64).T @ np.asarray(g)
+    np.testing.assert_allclose(np.asarray(gx), want, rtol=2e-3, atol=0.5)
+
+    def loss_vals(vals):
+        import dataclasses as dc
+
+        p2 = dc.replace(packed, vals=vals)
+        return jnp.vdot(spmv_dualgather(p2, x), g)
+
+    dv = jax.grad(loss_vals)(packed.vals)
+    # finite-check a few slots against x[col]*g[row]
+    from sparsematrix_tpu.kernels.spmv_dualgather import _slot_row_col
+
+    row, col = _slot_row_col(packed)
+    mask = np.asarray(packed.vals) != 0
+    want_dv = np.where(mask,
+                       np.asarray(x)[np.asarray(col).reshape(mask.shape)]
+                       * np.asarray(g)[np.asarray(row).reshape(mask.shape)],
+                       0)
+    np.testing.assert_allclose(np.asarray(dv), want_dv, rtol=2e-3, atol=1e-4)
+
+
+def test_dualgather_two_win_rejects_bad_config(rng):
+    A, _ = _rand_csr(rng, 128, 1024, 0.1)
+    with pytest.raises(ValueError):
+        pack_dualgather(A, two_win=True)  # k_tiles=1
+    with pytest.raises(ValueError):
+        pack_dualgather(A, k_tiles=2, two_win=True, spill_cap=8)
