@@ -657,16 +657,17 @@ def bench_csr_spmv_xl(check=True, n=32768, nnz_row=512, **kw):
                     / active_chip().hbm_gbps,
                     **res.extras}
         rows.append(r)
-    # dual-gather superblock: the measured-best unstructured layout (the
-    # round-3 fill-barrier break).  Per-dtype best configs from the
-    # probe_dualgather_xl4 sweep: fp32 g256/kt32 (62.4 Gnnz/s, 61% SoL),
-    # bf16 g512/kt32 (77.2).  The slot-assignment cache makes the second
-    # pack nearly free.
+    # dual-gather superblock: the measured-best unstructured layout.
+    # Round-4 fp32 config: TWO-WINDOW slabs (matched window pairing +
+    # 4-bit idxA) on 8-tile superblocks — 75.0 Gnnz/s (73.4 % SoL) vs
+    # 67.7 single-window kt32 (probe_dualgather_xl5); bf16 keeps the r3
+    # g512/kt32 single-window config (its kernel is gather-bound, so the
+    # two-window ops cost more than the fill gain buys).
     from ..kernels.spmv_dualgather import pack_dualgather, spmv_dualgather
 
     fdg = jax.jit(lambda p, v: spmv_dualgather(p, v))
     for tag, pack_kw in (
-            ("fp32", dict(group=256, k_tiles=32)),
+            ("fp32", dict(group=128, k_tiles=8, two_win=True)),
             ("bf16", dict(group=512, k_tiles=32, dtype=jnp.bfloat16))):
         t0 = time.time()
         packed = pack_dualgather(A, **pack_kw)
@@ -680,7 +681,7 @@ def bench_csr_spmv_xl(check=True, n=32768, nnz_row=512, **kw):
                 want_bf16 if tag == "bf16" else want)
         r = Row(f"csr_spmv_xl/dualgather-{tag}",
                 f"n={n},nnz={A.nnz/1e6:.1f}M,g={packed.group},"
-                f"kt={packed.k_tiles},"
+                f"kt={packed.k_tiles},tw={int(packed.two_win)},"
                 f"fill={packed.fill_rate:.2f}",
                 res, nnz=A.nnz, checked=checked)
         nb = packed.vals.dtype.itemsize
@@ -903,6 +904,30 @@ def bench_spgemm_xl(check=True, n=16384, density=0.001, **kw):
         r.sol_frac = r.nnz_per_s / sol
         r.extras = {"pack_seconds": pack_s, "c_nnz": pp.c_nnz}
         rows.append(r)
+        if label == "superblock":
+            # CSC-native output (C^T as CSR — the reference's
+            # CopyTo(trans) convention): skips the c_nnz-element output
+            # permutation that dominates the CSR row (measured 10.1×:
+            # 32.3 → 3.2 ms, probe_spgemm_xl.py — an arbitrary gather
+            # costs ~6.7 ns/element on this hardware)
+            from ..ops.spgemm import spgemm_apply_packed_csc
+
+            fpc = jax.jit(lambda q, bd: spgemm_apply_packed_csc(q, bd).data)
+            res = bench_fn_slope(fpc, pp, B.data, iters=6,
+                                 perturb_max_bytes=1 << 20)
+            checked = None
+            if check:
+                wantT = want.T.tocsr()
+                wantT.sort_indices()
+                got = np.asarray(fpc(pp, B.data))
+                checked = relative_check(got[: pp.c_nnz], wantT.data)
+            r = Row("spgemm_xl/superblock-csc",
+                    f"n={n},d={density},pairs={n_pairs},"
+                    f"fill={pp.p_packed.fill_rate:.2f}",
+                    res, nnz=n_pairs, checked=checked)
+            r.sol_frac = r.nnz_per_s / sol
+            r.extras = {"pack_seconds": pack_s, "c_nnz": pp.c_nnz}
+            rows.append(r)
     # dense race at XL: n² fp32 temporaries are 1 GB each but FIT — the
     # honest fight the sparse path must win here (2n³ = 8.8 TFLOP on the
     # MXU vs ~4.4M pairs through the pair program).  Steps are ~50-200 ms,
@@ -982,6 +1007,24 @@ def bench_spgemm_crossover(check=True, **kw):
         sol = speed_of_light_nnz_s(
             n_pairs, n_pairs * (2 * 4 + 3 * 4) + pp.c_nnz * 4)
         r = Row("spgemm_crossover/packed",
+                f"n={n},d={density},pairs={n_pairs}", res, nnz=n_pairs,
+                checked=checked)
+        r.sol_frac = r.nnz_per_s / sol
+        r.extras = {"pack_seconds": pack_s}
+        rows.append(r)
+        # CSC-native output: no c_nnz output permutation (see spgemm_xl)
+        from ..ops.spgemm import spgemm_apply_packed_csc
+
+        fpc = jax.jit(lambda q, bd: spgemm_apply_packed_csc(q, bd).data)
+        res = bench_fn_slope(fpc, pp, B.data, iters=6,
+                             perturb_max_bytes=1 << 20)
+        checked = None
+        if check:
+            wantT = want.T.tocsr()
+            wantT.sort_indices()
+            got = np.asarray(fpc(pp, B.data))
+            checked = relative_check(got[: pp.c_nnz], wantT.data)
+        r = Row("spgemm_crossover/packed-csc",
                 f"n={n},d={density},pairs={n_pairs}", res, nnz=n_pairs,
                 checked=checked)
         r.sol_frac = r.nnz_per_s / sol
@@ -1181,10 +1224,17 @@ def bench_trisolve(check=True, n=4096, nnz_row=8, **kw):
     return rows
 
 
-def _bench_cg_to_tol(check, n, iters, tol, maxiter, group_name):
+def _bench_cg_to_tol(check, n, iters, tol, maxiter, group_name,
+                     eps=1.0, variant_names=None):
     """Preconditioned CG on the 2-D Poisson system: per-iteration slope
     time × measured iterations-to-tolerance = wall-clock to ‖r‖/‖b‖ ≤ tol
-    (the number that decides whether preconditioning wins end-to-end)."""
+    (the number that decides whether preconditioning wins end-to-end).
+
+    ``eps``: anisotropy ratio of the 5-point operator (−u_xx − eps·u_yy).
+    eps=1 is the isotropic system where plain CG wins on this hardware
+    (BASELINE r3); stiff anisotropy multiplies plain CG's iteration count
+    (measured 12×/32× at eps=100/1000) while IC(0)'s stays flat — the
+    regime where the wave-solve preconditioners win end-to-end."""
     import time
 
     import scipy.sparse as sps
@@ -1195,11 +1245,16 @@ def _bench_cg_to_tol(check, n, iters, tol, maxiter, group_name):
 
     side = int(np.sqrt(n))
     n = side * side
-    # standard 5-point Laplacian
+    # 5-point Laplacian (anisotropic for eps != 1)
     Iq = sps.eye(side)
-    T = sps.diags([-1, 4, -1], [-1, 0, 1], (side, side))
-    Apo = (sps.kron(Iq, T) + sps.kron(sps.diags([-1, -1], [-1, 1],
-                                               (side, side)), Iq)).tocsr()
+    if eps == 1.0:
+        T = sps.diags([-1, 4, -1], [-1, 0, 1], (side, side))
+        Apo = (sps.kron(Iq, T) + sps.kron(sps.diags([-1, -1], [-1, 1],
+                                                    (side, side)),
+                                          Iq)).tocsr()
+    else:
+        Tx = sps.diags([-1.0, 2.0, -1.0], [-1, 0, 1], (side, side))
+        Apo = (sps.kron(Iq, Tx) + eps * sps.kron(Tx, Iq)).tocsr()
     A = CSR.from_scipy(Apo.astype(np.float32).tocsr())
     rng = np.random.default_rng(8)
     b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
@@ -1213,18 +1268,26 @@ def _bench_cg_to_tol(check, n, iters, tol, maxiter, group_name):
         plans = builder()
         return (lambda r: apply_(plans, r)), time.time() - t0
 
+    builders = {
+        # truncated Neumann on the row-lane SpMV layout (approximate)
+        "ilu0-fix6": (lambda: ilu0_fixpoint_plans(A, n_iters=6), ilu_apply),
+        # exact solves on host-inverted wave plans (trisolve_waves)
+        "ilu0-waves": (lambda: ilu0_waves_plans(A), ilu_apply),
+        "ic0-waves": (lambda: ic0_waves_plans(A), ic_apply),
+        # bf16 inverse-block planes: halves the dominant plan stream
+        "ic0-waves-bf16": (lambda: ic0_waves_plans(A, dtype=jnp.bfloat16),
+                           ic_apply),
+        # round-2's best exact engine, the honest race for the waves
+        "ic0-fused": (lambda: ic0_fused_plans(A), ic_apply),
+    }
+    if variant_names is None:
+        variant_names = ("ilu0-fix6", "ilu0-waves", "ic0-waves",
+                         "ic0-fused")
     variants = [("plain", None, 0.0)]
-    # truncated Neumann on the row-lane SpMV layout (approximate solve)
-    M, s = _mk(lambda: ilu0_fixpoint_plans(A, n_iters=6), ilu_apply)
-    variants.append(("ilu0-fix6", M, s))
-    # exact solves on host-inverted wave plans (kernels/trisolve_waves)
-    M, s = _mk(lambda: ilu0_waves_plans(A), ilu_apply)
-    variants.append(("ilu0-waves", M, s))
-    M, s = _mk(lambda: ic0_waves_plans(A), ic_apply)
-    variants.append(("ic0-waves", M, s))
-    # round-2's best exact engine, kept as the honest race for the waves
-    M, s = _mk(lambda: ic0_fused_plans(A), ic_apply)
-    variants.append(("ic0-fused", M, s))
+    for name in variant_names:
+        bld, apply_ = builders[name]
+        M, s = _mk(bld, apply_)
+        variants.append((name, M, s))
 
     rows = []
     plain_iters = None
@@ -1287,6 +1350,20 @@ def bench_ilu_cg_xl(check=True, n=65536, iters=25, tol=1e-5,
     4e-6·‖b‖ (measured r3 pass_s), so 1e-6 cannot be confirmed — the
     bench pins the tightest tolerance the hardware dtype can certify."""
     return _bench_cg_to_tol(check, n, iters, tol, maxiter, "ilu_cg_xl")
+
+
+@registry.register("ilu_cg_aniso")
+def bench_ilu_cg_aniso(check=True, n=65536, iters=25, tol=1e-5,
+                       maxiter=12000, eps=1000.0, **kw):
+    """The demonstrated preconditioner WIN case (VERDICT r3 weak item 5):
+    stiff anisotropic Poisson (−u_xx − 1000·u_yy).  Plain CG's iteration
+    count blows up ~32× while IC(0)'s stays flat (measured on the CPU
+    oracle), so the wave engine's per-iteration premium is finally paid
+    for.  Isotropic Poisson (ilu_cg/ilu_cg_xl) remains the honest
+    negative: plain CG wins there."""
+    return _bench_cg_to_tol(check, n, iters, tol, maxiter, "ilu_cg_aniso",
+                            eps=eps,
+                            variant_names=("ic0-waves", "ic0-waves-bf16"))
 
 
 @registry.register("codebook_gemm")

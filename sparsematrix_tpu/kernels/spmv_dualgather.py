@@ -382,88 +382,161 @@ def _assign_slots(r, c, rows, cols, max_rounds=2000, w_ids=None,
         base = (twk[idx] * s_span + s[idx]) * 8 + u[idx]
         return base * _T + l[idx], base * _LANES + cl[idx]
 
-    for _ in range(max_rounds):
-        if active.size == 0:
-            break
-        k1a, k2a = _k(active)
-        cha = ch[active].astype(np.int8)
-        # conflicts with settled occupancy
-        p1 = np.searchsorted(occ_row, k1a)
-        bad = (p1 < occ_row.size) & (occ_row[p1 % max(occ_row.size, 1)]
-                                     == k1a) if occ_row.size else \
-            np.zeros(active.size, bool)
-        p2 = np.searchsorted(occ_cell, k2a)
-        if occ_cell.size:
-            hit = (p2 < occ_cell.size) & (
-                occ_cell[np.minimum(p2, occ_cell.size - 1)] == k2a)
-            bad |= hit & (occ_cell_ch[np.minimum(p2, occ_cell.size - 1)]
-                          != cha)
-        # conflicts among the active set itself: first of each (k1) group
-        # wins; within a (k2) group the first DISTINCT ch wins
-        o1 = np.argsort(k1a, kind="stable")
-        k1o = k1a[o1]
-        f1 = np.empty(active.size, bool)
-        f1[0] = True
-        f1[1:] = k1o[1:] != k1o[:-1]
-        b1 = np.zeros(active.size, bool)
-        b1[o1] = ~f1
-        bad |= b1
-        o2 = np.lexsort((cha, k2a))
-        k2o = k2a[o2]
-        f2 = np.empty(active.size, bool)
-        f2[0] = True
-        f2[1:] = k2o[1:] != k2o[:-1]
-        grp_start = np.maximum.accumulate(
-            np.where(f2, np.arange(active.size), 0))
-        b2 = np.zeros(active.size, bool)
-        b2[o2] = cha[o2] != cha[o2][grp_start]
-        bad |= b2
+    def _sweep(active):
+        nonlocal occ_row, occ_cell, occ_cell_ch, s_span
+        stall = 0
+        prev_size = -1
+        for _ in range(max_rounds):
+            if active.size == 0:
+                return
+            if active.size == prev_size:
+                stall += 1
+            else:
+                stall, prev_size = 0, active.size
+            k1a, k2a = _k(active)
+            cha = ch[active].astype(np.int8)
+            # conflicts with settled occupancy
+            p1 = np.searchsorted(occ_row, k1a)
+            bad = (p1 < occ_row.size) & (occ_row[p1 % max(occ_row.size, 1)]
+                                         == k1a) if occ_row.size else \
+                np.zeros(active.size, bool)
+            p2 = np.searchsorted(occ_cell, k2a)
+            if occ_cell.size:
+                hit = (p2 < occ_cell.size) & (
+                    occ_cell[np.minimum(p2, occ_cell.size - 1)] == k2a)
+                bad |= hit & (occ_cell_ch[np.minimum(p2, occ_cell.size - 1)]
+                              != cha)
+            # conflicts among the active set itself: first of each (k1)
+            # group wins; within a (k2) group the first DISTINCT ch wins
+            o1 = np.argsort(k1a, kind="stable")
+            k1o = k1a[o1]
+            f1 = np.empty(active.size, bool)
+            f1[0] = True
+            f1[1:] = k1o[1:] != k1o[:-1]
+            b1 = np.zeros(active.size, bool)
+            b1[o1] = ~f1
+            bad |= b1
+            # winner of a (k2) cell group: smallest ch first (slightly
+            # better fill), EXCEPT after a stall — inconsistent winner
+            # orders between the k1 (first-by-index) and k2 rules can
+            # deadlock a same-(row,cl) pair into lockstep (both bad every
+            # round, advancing together forever); the index rule makes
+            # every conflict group's first-by-index entry unkillable by
+            # self-conflicts, guaranteeing progress
+            if stall >= 50:
+                o2 = np.argsort(k2a, kind="stable")
+            else:
+                o2 = np.lexsort((cha, k2a))
+            k2o = k2a[o2]
+            f2 = np.empty(active.size, bool)
+            f2[0] = True
+            f2[1:] = k2o[1:] != k2o[:-1]
+            grp_start = np.maximum.accumulate(
+                np.where(f2, np.arange(active.size), 0))
+            b2 = np.zeros(active.size, bool)
+            b2[o2] = cha[o2] != cha[o2][grp_start]
+            bad |= b2
 
-        # settle the winners: fold their keys into the occupancy arrays
-        # (sorted inserts: O(existing + new), not a re-sort per round)
-        win = active[~bad]
-        if win.size:
-            wk1, wk2 = _k(win)
-            wk1.sort()
-            occ_row = np.insert(occ_row, np.searchsorted(occ_row, wk1), wk1)
-            ord2 = np.argsort(wk2, kind="stable")
-            wk2s = wk2[ord2]
-            wch = ch[win][ord2].astype(np.int8)
-            # dedupe new cells (several same-column entries share one)
-            keep = np.empty(wk2s.size, bool)
-            keep[0] = True
-            keep[1:] = wk2s[1:] != wk2s[:-1]
-            wk2s, wch = wk2s[keep], wch[keep]
-            pos = np.searchsorted(occ_cell, wk2s)
-            occ_cell = np.insert(occ_cell, pos, wk2s)
-            occ_cell_ch = np.insert(occ_cell_ch, pos, wch)
+            # settle the winners: fold their keys into the occupancy
+            # arrays (sorted inserts, not a re-sort per round)
+            win = active[~bad]
+            if win.size:
+                wk1, wk2 = _k(win)
+                wk1.sort()
+                occ_row = np.insert(occ_row, np.searchsorted(occ_row, wk1),
+                                    wk1)
+                ord2 = np.argsort(wk2, kind="stable")
+                wk2s = wk2[ord2]
+                wch = ch[win][ord2].astype(np.int8)
+                # dedupe new cells (same-column entries share one)
+                keep = np.empty(wk2s.size, bool)
+                keep[0] = True
+                keep[1:] = wk2s[1:] != wk2s[:-1]
+                wk2s, wch = wk2s[keep], wch[keep]
+                pos = np.searchsorted(occ_cell, wk2s)
+                occ_cell = np.insert(occ_cell, pos, wk2s)
+                occ_cell_ch = np.insert(occ_cell_ch, pos, wch)
 
-        active = active[bad]
-        if active.size:
-            u[active] = (u[active] + 1) % 8
-            tries[active] += 1
-            promote = active[tries[active] >= 8]
-            s[promote] += 1
-            tries[promote] = 0
-            if s.max() * 16 >= s_span:  # headroom exceeded: rebase spans
-                s_span = np.int64(int(s.max()) * 64)
-                # settled keys were computed with the old span — recompute
-                settled_mask = np.ones(n, bool)
-                settled_mask[active] = False
-                sk1, sk2 = _k(np.nonzero(settled_mask)[0])
-                occ_row = np.sort(sk1)
-                so = np.argsort(sk2, kind="stable")
-                occ_cell = sk2[so]
-                occ_cell_ch = ch[np.nonzero(settled_mask)[0]][so].astype(
-                    np.int8)
-                keep = np.empty(occ_cell.size, bool)
-                if occ_cell.size:
-                    keep[0] = True
-                    keep[1:] = occ_cell[1:] != occ_cell[:-1]
-                    occ_cell = occ_cell[keep]
-                    occ_cell_ch = occ_cell_ch[keep]
-    else:
+            active = active[bad]
+            if active.size:
+                u[active] = (u[active] + 1) % 8
+                tries[active] += 1
+                promote = active[tries[active] >= 8]
+                s[promote] += 1
+                tries[promote] = 0
+                if s.max() * 16 >= s_span:  # headroom exceeded: rebase
+                    s_span = np.int64(int(s.max()) * 64)
+                    # settled keys used the old span — recompute
+                    settled_mask = np.ones(n, bool)
+                    settled_mask[active] = False
+                    sk1, sk2 = _k(np.nonzero(settled_mask)[0])
+                    occ_row = np.sort(sk1)
+                    so = np.argsort(sk2, kind="stable")
+                    occ_cell = sk2[so]
+                    occ_cell_ch = ch[np.nonzero(settled_mask)[0]][so].astype(
+                        np.int8)
+                    keep = np.empty(occ_cell.size, bool)
+                    if occ_cell.size:
+                        keep[0] = True
+                        keep[1:] = occ_cell[1:] != occ_cell[:-1]
+                        occ_cell = occ_cell[keep]
+                        occ_cell_ch = occ_cell_ch[keep]
         raise RuntimeError("dualgather packer failed to converge")
+
+    _sweep(active)
+
+    # compaction: the forward-only search overshoots the Koenig bound by
+    # one slab in ~60 % of cells (a promoted entry never retries LOWER s
+    # once others settle).  Re-sweep every entry parked at s >= its
+    # cell's bound from s=0 against the final occupancy — monotone: an
+    # entry at worst re-reaches its old, now-freed slot.  (Measured at
+    # the XL two-win point: 27027 -> ~25k slabs, fill 0.602 -> ~0.65.)
+    def _n_slabs():
+        kk = twk * np.int64(s.max() + 1) + s
+        return np.unique(kk).size
+
+    for _compact in range(2):
+        deg = np.zeros((twk.max() + 1, _T), np.int32)
+        np.add.at(deg, (twk, l), 1)
+        bound_cell = -(-deg.max(axis=1) // 8)
+        excess = np.nonzero(s >= bound_cell[twk])[0]
+        if excess.size == 0:
+            break
+        before = _n_slabs()
+        save_s, save_u = s.copy(), u.copy()
+        keep_mask = np.ones(n, bool)
+        keep_mask[excess] = False
+        kept = np.nonzero(keep_mask)[0]
+        kk1, kk2 = _k(kept)
+        occ_row = np.sort(kk1)
+        so = np.argsort(kk2, kind="stable")
+        occ_cell = kk2[so]
+        occ_cell_ch = ch[kept][so].astype(np.int8)
+        if occ_cell.size:
+            keep = np.empty(occ_cell.size, bool)
+            keep[0] = True
+            keep[1:] = occ_cell[1:] != occ_cell[:-1]
+            occ_cell = occ_cell[keep]
+            occ_cell_ch = occ_cell_ch[keep]
+        # reseed by occurrence rank within (cell, row): same-row resets
+        # get DISTINCT (s, u) so the sweep never livelocks in lockstep
+        keyx = twk[excess] * np.int64(_T) + l[excess]
+        ox = np.argsort(keyx, kind="stable")
+        kxo = keyx[ox]
+        newx = np.empty(excess.size, bool)
+        newx[0] = True
+        newx[1:] = kxo[1:] != kxo[:-1]
+        rsx = np.maximum.accumulate(np.where(newx, np.arange(excess.size),
+                                             0))
+        dx = np.empty(excess.size, np.int64)
+        dx[ox] = np.arange(excess.size) - rsx
+        s[excess] = dx // 8
+        u[excess] = (dx + l[excess] + cl[excess]) % 8
+        tries[excess] = 0
+        _sweep(excess.copy())
+        if _n_slabs() >= before:  # not an improvement: keep the original
+            s, u = save_s, save_u
+            break
     return t, w, s, u, l, cl, ch
 
 
@@ -764,7 +837,8 @@ def _dualgather_call(group_tile, slab_win, idxA, idxB, vals, xp, *, group,
 def _dualgather_sb_kernel(super_ref, win_ref, tloc_ref, commit_ref,
                           idxA_ref, idxB_ref, vals_ref, x_ref, o_ref,
                           acc_ref, *, group: int, k_tiles: int,
-                          nibble: bool, two_win: bool):
+                          nibble: bool, two_win: bool,
+                          acc_mode: str = "masked"):
     """Superblock variant: the output block spans k_tiles tiles, so group
     padding quantizes per superblock (~k_tiles× fewer pad slabs at large
     groups).  Per-slab row sums land in a (k_tiles, 128) accumulator via
@@ -782,6 +856,7 @@ def _dualgather_sb_kernel(super_ref, win_ref, tloc_ref, commit_ref,
 
     sub = jax.lax.broadcasted_iota(jnp.int32, (k_tiles, _LANES), 0)
     acc = jnp.zeros((k_tiles, _LANES), jnp.float32)
+    acc8 = jnp.zeros((8, _LANES), jnp.float32)  # runacc: value-carried
     for b in range(group):
         w = win_ref[g * group + b]
         if nibble:
@@ -811,9 +886,40 @@ def _dualgather_sb_kernel(super_ref, win_ref, tloc_ref, commit_ref,
                 xw, iA4.astype(jnp.int8) if nibble else iA4, axis=0)
         gth = jnp.take_along_axis(t1, iB, axis=1)
         prod = vals_ref[0, b * 8:(b + 1) * 8, :] * gth
+        i = g * group + b
+        if acc_mode == "runacc":
+            # run-accumulate (8,128) prods in registers; slabs are sorted
+            # by tloc within the group, so a sum + dynamic-row commit
+            # happens only when the tile changes (~1/100 slabs at XL) and
+            # once at group end — ~2 VPU ops/slab instead of the masked
+            # add's 3·(k_tiles/8)+3
+            acc8 = acc8 + prod
+            tl = tloc_ref[i]
+            if b < group - 1:
+                flush = tloc_ref[i] != tloc_ref[i + 1]
+
+                @pl.when(flush)
+                def _(acc8=acc8, tl=tl):
+                    part = jnp.sum(acc8, axis=0, keepdims=True)
+                    acc_ref[pl.ds(tl, 1), :] = (
+                        acc_ref[pl.ds(tl, 1), :] + part)
+
+                acc8 = jnp.where(flush, jnp.zeros_like(acc8), acc8)
+            else:  # unconditional flush at group end
+                part = jnp.sum(acc8, axis=0, keepdims=True)
+                acc_ref[pl.ds(tl, 1), :] = acc_ref[pl.ds(tl, 1), :] + part
+            continue
         part = jnp.sum(prod, axis=0, keepdims=True)  # (1, 128)
-        acc = acc + jnp.where(sub == tloc_ref[g * group + b], part, 0.0)
-    acc_ref[:] = acc_ref[:] + acc
+        if acc_mode == "rmw":
+            # dynamic single-row read-modify-write per slab: measured
+            # SLOWER (61.5 vs 64.6 Gnnz/s XL kt=32 — the per-slab VMEM
+            # round trip serializes); kept for the record
+            tl = tloc_ref[i]
+            acc_ref[pl.ds(tl, 1), :] = acc_ref[pl.ds(tl, 1), :] + part
+        else:
+            acc = acc + jnp.where(sub == tloc_ref[i], part, 0.0)
+    if acc_mode == "masked":
+        acc_ref[:] = acc_ref[:] + acc
 
     @pl.when(commit_ref[g] == 1)
     def _():
@@ -821,12 +927,24 @@ def _dualgather_sb_kernel(super_ref, win_ref, tloc_ref, commit_ref,
             o_ref[tl * 8:tl * 8 + 1, :] = acc_ref[tl:tl + 1, :]
 
 
+# accumulate mode for the superblock kernel (probe_dualgather_xl5):
+#   "masked"  — per-slab masked add into (k_tiles,128); WINNER at k_tiles=8
+#               (75.0 Gnnz/s XL two_win — the accumulator is 1 vreg)
+#   "rmw"     — per-slab dynamic-row RMW: 61.5 Gnnz/s (VMEM round trip
+#               serializes)
+#   "runacc"  — register run-accumulate + commit on tile change: 6.3
+#               Gnnz/s (per-slab predicated branches stall the pipeline)
+# (all measured on the XL point, benchmarks/probe_dualgather_xl5)
+_ACC_MODE = "masked"
+
+
 @functools.partial(jax.jit, static_argnames=("group", "k_tiles", "n_super",
-                                             "nibble", "two_win",
+                                             "nibble", "two_win", "acc_mode",
                                              "interpret"))
 def _dualgather_sb_call(group_super, slab_win, slab_tloc, commit, idxA,
                         idxB, vals, xp, *, group, k_tiles, n_super,
-                        nibble=False, two_win=False, interpret=False):
+                        nibble=False, two_win=False, acc_mode="masked",
+                        interpret=False):
     n_groups = idxA.shape[0]
     ia_rows = (group // 2 if nibble else group) * 8
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -851,7 +969,8 @@ def _dualgather_sb_call(group_super, slab_win, slab_tloc, commit, idxA,
     )
     return pl.pallas_call(
         functools.partial(_dualgather_sb_kernel, group=group,
-                          k_tiles=k_tiles, nibble=nibble, two_win=two_win),
+                          k_tiles=k_tiles, nibble=nibble, two_win=two_win,
+                          acc_mode=acc_mode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_super * 8 * k_tiles, _LANES),
                                        jnp.float32),
@@ -935,6 +1054,7 @@ def _dualgather_forward(packed: DualGather, x):
                 packed.vals[g0:g1], xp,
                 group=packed.group, k_tiles=k, n_super=n_super,
                 nibble=packed.nibble, two_win=packed.two_win,
+                acc_mode=_ACC_MODE,
                 interpret=config.interpret(),
             )
             # sublane 0 of each tile block carries that tile's row sums

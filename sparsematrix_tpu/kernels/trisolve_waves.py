@@ -101,6 +101,29 @@ def _dense_block(sp, r0, r1, c0, c1):
     return out
 
 
+def _diag_blocks(r, c, v, B, n_blocks):
+    """All (B, B) diagonal blocks in ONE vectorized pass.
+
+    The round-3 plan builder sliced scipy per block (sp[r0:r1, c0:c1] —
+    ~10-30 ms each), which dominated setup (32-38 s at n=65536,
+    BASELINE ilu_cg_xl).  A single fancy-index scatter replaces ~all of
+    it (measured ~100× on the XL plan)."""
+    out = np.zeros((n_blocks, B, B), np.float64)
+    blk = r // B
+    sel = (c // B) == blk
+    out[blk[sel], r[sel] % B, c[sel] % B] = v[sel]
+    return out
+
+
+def _sub_blocks(r, c, v, B, n_blocks, K):
+    """All (B, B) sub-diagonal blocks at reach 1..K, one scatter."""
+    out = np.zeros((n_blocks, K, B, B), np.float64)
+    bd = r // B - c // B
+    sel = (bd >= 1) & (bd <= K)
+    out[(r[sel] // B), bd[sel] - 1, r[sel] % B, c[sel] % B] = v[sel]
+    return out
+
+
 def _invert_lower(D, n_real):
     """inv of a dense lower-triangular block; padding rows → identity."""
     import scipy.linalg as sla
@@ -251,28 +274,40 @@ def trisolve_waves_plan(A: CSR, lower: bool = True,
     vdt = np.float32 if dtype is None else np.dtype(jnp.bfloat16
                                                     if dtype == jnp.bfloat16
                                                     else dtype)
-    spl = sp.tolil() if unit_diagonal else sp
     if unit_diagonal:
-        spl.setdiag(1.0)
-        sp = spl.tocsr()
+        # work on the coo arrays directly (a lil round-trip at XL costs
+        # seconds): force stored diagonal entries to 1 and append any
+        # missing ones
+        dmask = r == c
+        v = v.copy()
+        v[dmask] = 1.0
+        have = np.zeros(n, bool)
+        have[r[dmask]] = True
+        missing = np.nonzero(~have)[0]
+        if missing.size:
+            r = np.concatenate([r, missing])
+            c = np.concatenate([c, missing])
+            v = np.concatenate([v, np.ones(missing.size, v.dtype)])
 
     if mode == "chain":
         n_waves = -(-n_tiles // 8)
         S = n_waves * 8
-        a1 = np.zeros((S, _LANES, _LANES), np.float64)
-        a2 = np.zeros((S, K, _LANES, _LANES), np.float64)
-        for t in range(S):
-            r0 = t * _LANES
-            if r0 >= n:
-                a1[t] = np.eye(_LANES)
-                continue
-            D = _dense_block(sp, r0, r0 + _LANES, r0, r0 + _LANES)
-            inv = _invert_lower(D, min(n - r0, _LANES))
-            a1[t] = inv.T
-            for k in range(1, min(K, t) + 1):
-                C = _dense_block(sp, r0, r0 + _LANES, r0 - k * _LANES,
-                                 r0 - (k - 1) * _LANES)
-                a2[t, k - 1] = C.T @ inv.T
+        D = _diag_blocks(r, c, v, _LANES, S)
+        # padding: identity rows past n (whole tiles AND the ragged tail)
+        tiles_r0 = np.arange(S) * _LANES
+        pad_from = np.clip(n - tiles_r0, 0, _LANES)
+        rows_iota = np.arange(_LANES)
+        pad_mask = rows_iota[None, :] >= pad_from[:, None]  # (S, 128)
+        D[np.nonzero(pad_mask)[0], np.nonzero(pad_mask)[1],
+          np.nonzero(pad_mask)[1]] = 1.0
+        # batched inversion: LAPACK LU over the whole stack (the matrices
+        # are triangular, so LU is exact and cheap)
+        invD = np.linalg.solve(D, np.broadcast_to(
+            np.eye(_LANES), D.shape).copy())
+        a1 = invD.transpose(0, 2, 1).copy()  # inv^T
+        C = _sub_blocks(r, c, v, _LANES, S, K)
+        # a2[t, k-1] = C^T · inv^T = (inv · C)^T, batched
+        a2 = np.matmul(invD[:, None], C).transpose(0, 1, 3, 2)
         plan_kwargs = dict(
             a1=jnp.asarray(a1.reshape(n_waves, 8 * _LANES, _LANES), vdt),
             a2=jnp.asarray(
@@ -286,11 +321,20 @@ def trisolve_waves_plan(A: CSR, lower: bool = True,
         n_waves = -(-n_tiles // m)
         S = 8 * (-(-(n_waves * m) // 8))
         B = m * _LANES
-        a1 = np.zeros((n_waves, B, B), np.float64)
-        for i in range(n_waves):
-            r0 = i * B
-            D = _dense_block(sp, r0, r0 + B, r0, r0 + B)
-            a1[i] = _invert_lower(D, max(min(n - r0, B), 0)).T
+        D = _diag_blocks(r, c, v, B, n_waves)
+        waves_r0 = np.arange(n_waves) * B
+        pad_from = np.clip(n - waves_r0, 0, B)
+        rows_iota = np.arange(B)
+        pad_mask = rows_iota[None, :] >= pad_from[:, None]
+        D[np.nonzero(pad_mask)[0], np.nonzero(pad_mask)[1],
+          np.nonzero(pad_mask)[1]] = 1.0
+        import scipy.linalg as sla
+
+        a1 = np.empty((n_waves, B, B), np.float64)
+        eye = np.eye(B)
+        for i in range(n_waves):  # per-wave O(B³/3) triangular solves
+            a1[i] = sla.solve_triangular(D[i], eye, lower=True,
+                                         check_finite=False).T
         cross = c < (r // B) * B
         packed = _pack_wave_slabs(r[cross], c[cross], v[cross].astype(vdt),
                                   m, n_tiles, max(-(-n // _W), 1), None)

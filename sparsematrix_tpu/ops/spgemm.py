@@ -161,15 +161,29 @@ def _estimate_pairs(A: CSR, B: CSR) -> int:
     return int((acol[: len(brow)] * brow).sum())
 
 
-def spgemm(A: CSR, B: CSR, method: str = "auto") -> CSR:
+def spgemm(A: CSR, B: CSR, method: str = "auto",
+           output: str = "csr") -> CSR:
     """One-shot SpGEMM (symbolic on host + numeric on device).
 
     method: "auto" (density-adaptive: dense MXU product below the
     measured crossover, packed pair program above), "sparse" (pair
     program only), or "densify" (force the dense product + extract).
+
+    output: "csr" (C as CSR) or "csc" (C^T as CSR — the reference's
+    ``CopyTo(trans)`` convention, sparse-matrix.cc:124).  The clustered
+    pair program emits CSC order NATIVELY, so "csc" skips the output
+    permutation — a measured 10.1× at the XL point (32.3 → 3.2 ms,
+    benchmarks/probe_spgemm_xl.py): an arbitrary c_nnz-element gather
+    costs ~6.7 ns/element on this hardware and dominates everything else.
     """
     if method not in ("auto", "sparse", "densify"):
         raise ValueError(f"unknown method {method!r}")
+    if output not in ("csr", "csc"):
+        raise ValueError(f"unknown output {output!r}")
+    if output == "csc":
+        # the packed clustered program is the only CSC-native path
+        pp = spgemm_plan_packed(A, B)
+        return spgemm_apply_packed_csc(pp, B.data)
     m, k = A.shape
     _, n = B.shape
     if method != "sparse":

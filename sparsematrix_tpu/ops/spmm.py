@@ -217,6 +217,28 @@ def _dg_pack_of(A: CSR):
     return packed
 
 
+_BSR_DENSE_CACHE: dict = {}
+
+
+def _bsr_dense_of(A: BSR):
+    """Build-time Dense materialization of a small-block BSR (cached per
+    container).  A TRACED todense() would re-scatter on every call (~2 ms
+    at n=2048 — the round-3 silent-slow-default); caching the concrete
+    container makes the auto path a pure MXU contraction."""
+    import jax.core
+
+    if isinstance(A.data, jax.core.Tracer):
+        return None
+    key = id(A)
+    entry = _BSR_DENSE_CACHE.get(key)
+    if entry is not None and entry[0]() is A:
+        return entry[1]
+    bd = Dense.from_sparse(A)
+    ref = weakref.ref(A, lambda _u, k=key: _BSR_DENSE_CACHE.pop(k, None))
+    _BSR_DENSE_CACHE[key] = (ref, bd)
+    return bd
+
+
 def _codebook_dense_of(A: CodebookCSR):
     import jax.core
 
@@ -265,9 +287,15 @@ def spmm(A, X, method: str = "auto"):
         # at densify-eligible density the dense MXU contraction wins ~10x,
         # so auto reroutes BEFORE the format kernel gets a say.  MXU-sized
         # blocks ((128,128)+) keep the grouped kernel: each stored block
-        # is already a full systolic tile.
+        # is already a full systolic tile.  The BSR-native Pallas kernels
+        # remain available via method="sparse" but are DEPRECATED as a
+        # default (measured losers at every small-block point, BASELINE
+        # bsr rows).
         bm, bn = A.block_shape
         if bm * bn < 4096:
+            bd = _bsr_dense_of(A)
+            if bd is not None:  # build-time materialization, cached
+                return spmm_reference(bd, X)
             return spmm_densify(A, X)
     if method != "jnp" and config.use_pallas():
         impl = _pallas_impl(type(A))

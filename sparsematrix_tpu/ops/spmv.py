@@ -153,6 +153,26 @@ def spmv_reference(A, x):
 import weakref
 
 _AUTO_PACK_CACHE: dict = {}
+_BSR_CSR_CACHE: dict = {}
+
+
+def _bsr_csr_of(A: BSR):
+    """Build-time BSR→CSR conversion (cached per container) so small-block
+    BSR SpMV inherits the CSR auto-pack fast path."""
+    import jax.core
+
+    if isinstance(A.data, jax.core.Tracer):
+        return None
+    key = id(A)
+    entry = _BSR_CSR_CACHE.get(key)
+    if entry is not None and entry[0]() is A:
+        return entry[1]
+    from ..formats.convert import bsr_to_csr
+
+    csr = bsr_to_csr(A)
+    ref = weakref.ref(A, lambda _u, k=key: _BSR_CSR_CACHE.pop(k, None))
+    _BSR_CSR_CACHE[key] = (ref, csr)
+    return csr
 # auto-pack pays off once rows are long enough for slabs to fill; below
 # this the XLA path is used (still correct, and packing cost isn't hidden
 # where it can't win)
@@ -206,13 +226,16 @@ def prepare_spmv(A: "CSR", layout: str = "auto", **pack_kwargs):
         from ..kernels.spmv_dualgather import pack_dualgather
 
         n_tiles = -(-A.shape[0] // 128)
-        # 32-tile superblocks measured best at XL (62.4 vs 55.5 Gnnz/s
-        # fp32 at kt=16 — probe_dualgather_xl4 r3 sweep)
-        kt = 32 if n_tiles >= 32 else 16 if n_tiles >= 16 else 1
+        # round-4 best: TWO-WINDOW slabs on 8-tile superblocks (XL: 75.0
+        # vs 67.7 Gnnz/s fp32 single-window kt=32 — probe_dualgather_xl5;
+        # kt=8 keeps the masked accumulator a single (8,128) vreg)
+        kt = 8 if n_tiles >= 8 else 1
         dg_kwargs = {k: v for k, v in pack_kwargs.items()
                      if k in ("dtype", "group", "k_tiles", "spill_cap",
-                              "with_transpose")}
+                              "with_transpose", "two_win")}
         dg_kwargs.setdefault("k_tiles", kt)
+        if kt > 1 and "spill_cap" not in dg_kwargs:
+            dg_kwargs.setdefault("two_win", True)
         packed = pack_dualgather(A, **dg_kwargs)
         # scattered patterns (~1 slab/tile) stay dispatch-bound on any
         # per-tile grid; the rowlane superblock layout batches them wider
@@ -303,6 +326,16 @@ def spmv(A, x):
             f"spmv: x shape {x.shape} incompatible with matrix {A.shape}"
         )
     if config.use_pallas():
+        if type(A) is BSR and A.block_shape[0] * A.block_shape[1] < 4096:
+            # small-block BSR: the CSR auto-pack (dual-gather slabs) is
+            # the measured-best SpMV path by ~6x over the batched-einsum
+            # default (BASELINE bsr/spmv 8.8 vs csr_spmv/auto 59 Gnnz/s);
+            # convert once at build time (cached per container).  The
+            # BSR-native kernel stays available via spmv_reference but is
+            # DEPRECATED as a default.
+            csr = _bsr_csr_of(A)
+            if csr is not None:
+                A = csr
         if type(A) is CSR:
             packed = _auto_pack(A)
             if isinstance(packed, DualGather):

@@ -295,3 +295,28 @@ def test_spgemm_packed_dualgather_layout(rng):
     want.sort_indices()
     np.testing.assert_allclose(got[: pp.c_nnz], want.data, rtol=1e-4,
                                atol=1e-4)
+
+
+def test_spgemm_output_csc_dispatch(rng):
+    """spgemm(output='csc') returns C^T as CSR (CopyTo(trans) analogue) —
+    the path that skips the measured-dominant output permutation."""
+    import scipy.sparse as sps
+
+    from sparsematrix_tpu.ops.spgemm import spgemm
+
+    n = 256
+    sa = sps.random(n, n, density=0.03, random_state=3, format="csr",
+                    dtype=np.float32)
+    sb = sps.random(n, n, density=0.03, random_state=4, format="csr",
+                    dtype=np.float32)
+    sa.data = rng.uniform(-10, 10, sa.nnz).astype(np.float32)
+    sb.data = rng.uniform(-10, 10, sb.nnz).astype(np.float32)
+    A, B = CSR.from_scipy(sa), CSR.from_scipy(sb)
+    Ct = spgemm(A, B, output="csc")
+    want = (sa.astype(np.float64) @ sb.astype(np.float64)).T.tocsr()
+    np.testing.assert_allclose(np.asarray(Ct.todense()),
+                               want.todense(), rtol=2e-3, atol=0.5)
+    import pytest
+
+    with pytest.raises(ValueError):
+        spgemm(A, B, output="weird")
