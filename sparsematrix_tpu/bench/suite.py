@@ -364,8 +364,20 @@ def bench_spmm_csr(check=True, n=2048, density=0.05, ks=(32, 128, 512), **kw):
             res = bench_fn_slope(f, op, X, iters=6)
             checked = None
             if check:
-                checked = relative_check(np.asarray(f(op, X)),
-                                         dense.astype(np.float64) @ np.asarray(X))
+                got = np.asarray(f(op, X))
+                want = dense.astype(np.float64) @ np.asarray(X)
+                if label.endswith(("bf16", "int8")):
+                    # quantized paths: error is ~1e-2 of the OUTPUT SCALE
+                    # (operand rounding) — scale-floored policy, same as
+                    # the codebook group's bf16/int8 checks
+                    from ..utils.testutils import quantized_check
+
+                    checked = quantized_check(
+                        got, want,
+                        med_tol=0.04 if label.endswith("int8") else 0.02,
+                        q99_tol=0.2 if label.endswith("int8") else 0.1)
+                else:
+                    checked = relative_check(got, want)
             sol = speed_of_light_nnz_s(A.nnz, spmm_bytes(A.nnz, n, n, k))
             r = Row(label, f"n={n},k={k},d={density}", res, nnz=A.nnz,
                     checked=checked)
@@ -533,9 +545,12 @@ def bench_bsr(check=True, n=2048, block=(8, 8), density=0.05, k=128, **kw):
     x = jnp.asarray(gen_matrix_random(rng, n, 1)[:, 0])
     X = jnp.asarray(gen_matrix_random(rng, n, k))
     rows = []
-    f1 = jax.jit(lambda a, v: spmv(a, v))
-    res = bench_fn_slope(f1, A, x, iters=6, perturb_max_bytes=1 << 20)
-    chk = relative_check(np.asarray(f1(A, x)), dense @ np.asarray(x)) if check else None
+    # encode-once convention: close over the CONCRETE container so the
+    # build-time conversion caches engage (a traced A defeats them — the
+    # r4 pass-E lesson: 8.2 vs ~50 Gnnz/s for the routed spmv)
+    f1 = jax.jit(lambda v: spmv(A, v))
+    res = bench_fn_slope(f1, x, iters=6, perturb_max_bytes=1 << 20)
+    chk = relative_check(np.asarray(f1(x)), dense @ np.asarray(x)) if check else None
     sol = speed_of_light_nnz_s(A.nnz, spmv_csr_bytes(A.nnz, n, n, idx_bytes=4 / (block[0] * block[1])))
     r = Row("bsr/spmv", f"n={n},b={block},d={density}", res, nnz=A.nnz, checked=chk)
     r.sol_frac = r.nnz_per_s / sol
@@ -553,10 +568,10 @@ def bench_bsr(check=True, n=2048, block=(8, 8), density=0.05, k=128, **kw):
     rows.append(r)
     # zero-hint auto dispatch: small dense-enough blocks reroute to the
     # dense MXU contraction (the measured-best path for this regime)
-    f2a = jax.jit(lambda a, m: spmm(a, m, method="auto"))
-    res = bench_fn_slope(f2a, A, X, iters=6, perturb_max_bytes=1 << 20)
+    f2a = jax.jit(lambda m: spmm(A, m, method="auto"))
+    res = bench_fn_slope(f2a, X, iters=6, perturb_max_bytes=1 << 20)
     chk = (
-        relative_check(np.asarray(f2a(A, X)),
+        relative_check(np.asarray(f2a(X)),
                        dense.astype(np.float64) @ np.asarray(X))
         if check
         else None

@@ -19,6 +19,16 @@ Its CPU kernel streams (delta, idx) pairs and does scalar AXPYs
 Computes C^T tiles (grid over n); the final transpose is an XLA layout
 choice, not a data movement.
 
+**Status: DEPRECATED as a dispatch path (round-4 decision).**  A full
+VMEM-config sweep (benchmarks/probe_codebook_sweep.py: tn∈{128,256,512},
+kt∈{512,1024,2048}, mt∈{128,512}) measured the best fused config at
+31.9 µs vs 17.4 µs for XLA's fused LUT-gather+dot in the same session —
+the hand kernel loses ~1.8× at every point because the in-kernel
+dequant costs ~6 VPU ops per (8,128) tile while XLA fuses the gather
+into the matmul operand stream.  The kernel remains available explicitly
+(``codebook_matmul``) at its best-known config as the measured-negative
+record; ``spmm``/``add_mat_mat`` route CodebookDense to the XLA path.
+
 STATUS (measured, rounds 2-3): this hand-written kernel LOSES to XLA's
 fused dequant+dot at both benchmark shapes (48.6 vs 20.7 µs; 254.6 vs
 140.3 µs — BASELINE.md codebook_gemm), because XLA fuses the table
@@ -55,7 +65,8 @@ _LANES = 128
 # large fraction of the 24 µs total — bigger panels trade VMEM for fewer
 # steps (idx (512, 2048) int8 is only 1 MB).  Module-level so the bench
 # sweep can retune; threaded as static args so jit caches stay correct.
-_TN = 128  # output rows (of C^T) per grid step
+_TN = 512  # output rows (of C^T) per grid step — best of the
+# r4 config sweep (31.9 us vs 52.9 at 128; probe_codebook_sweep)
 _KT = 512  # k-panel per grid step (VMEM holds only per-step panels)
 _MT = 512  # m-panel per grid step (m itself padded to ≥128 MXU rows)
 

@@ -233,7 +233,9 @@ def _bsr_dense_of(A: BSR):
     entry = _BSR_DENSE_CACHE.get(key)
     if entry is not None and entry[0]() is A:
         return entry[1]
-    bd = Dense.from_sparse(A)
+    # todense is jnp; evaluate eagerly even under an active jit trace
+    with jax.ensure_compile_time_eval():
+        bd = Dense.from_sparse(A)
     ref = weakref.ref(A, lambda _u, k=key: _BSR_DENSE_CACHE.pop(k, None))
     _BSR_DENSE_CACHE[key] = (ref, bd)
     return bd

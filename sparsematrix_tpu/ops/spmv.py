@@ -169,7 +169,10 @@ def _bsr_csr_of(A: BSR):
         return entry[1]
     from ..formats.convert import bsr_to_csr
 
-    csr = bsr_to_csr(A)
+    # the conversion runs jnp ops (todense); force eager evaluation even
+    # when called under an active jit trace (the container is concrete)
+    with jax.ensure_compile_time_eval():
+        csr = bsr_to_csr(A)
     ref = weakref.ref(A, lambda _u, k=key: _BSR_CSR_CACHE.pop(k, None))
     _BSR_CSR_CACHE[key] = (ref, csr)
     return csr
@@ -226,10 +229,18 @@ def prepare_spmv(A: "CSR", layout: str = "auto", **pack_kwargs):
         from ..kernels.spmv_dualgather import pack_dualgather
 
         n_tiles = -(-A.shape[0] // 128)
-        # round-4 best: TWO-WINDOW slabs on 8-tile superblocks (XL: 75.0
-        # vs 67.7 Gnnz/s fp32 single-window kt=32 — probe_dualgather_xl5;
-        # kt=8 keeps the masked accumulator a single (8,128) vreg)
-        kt = 8 if n_tiles >= 8 else 1
+        # round-4 best configs (probe_dualgather_xl5 + the n=4096 A/B):
+        # TWO-WINDOW slabs everywhere; at many tiles kt=8/g=128 wins (XL:
+        # 75.0 vs 67.7 Gnnz/s single-window — the masked accumulator is a
+        # single (8,128) vreg); at few tiles kt=8's per-superblock group
+        # padding collapses fill (0.72→0.49 at n=4096), so kt=32/g=256
+        # wins there (69.9 vs 58.6 Gnnz/s single-window)
+        if n_tiles >= 128:
+            kt, grp = 8, 128
+        elif n_tiles >= 16:
+            kt, grp = min(32, n_tiles), 256
+        else:
+            kt, grp = 1, None
         dg_kwargs = {k: v for k, v in pack_kwargs.items()
                      if k in ("dtype", "group", "k_tiles", "spill_cap",
                               "with_transpose", "two_win")}
@@ -237,6 +248,16 @@ def prepare_spmv(A: "CSR", layout: str = "auto", **pack_kwargs):
         if kt > 1 and "spill_cap" not in dg_kwargs:
             dg_kwargs.setdefault("two_win", True)
         packed = pack_dualgather(A, **dg_kwargs)
+        if (grp is not None and "group" not in pack_kwargs
+                and packed.two_win and packed.group < grp):
+            # the ≤15%-waste auto group ignores grid-step overhead (it
+            # picked g=16 → 27.3 Gnnz/s vs g=256 → 69.9 at n=4096); a
+            # large fixed group wins unless its superblock padding
+            # collapses fill.  The slot assignment is cached, so the
+            # second pack costs only the array scatter.
+            wide = pack_dualgather(A, **{**dg_kwargs, "group": grp})
+            if wide.fill_rate >= 0.8 * packed.fill_rate:
+                packed = wide
         # scattered patterns (~1 slab/tile) stay dispatch-bound on any
         # per-tile grid; the rowlane superblock layout batches them wider
         if packed.group > 2 or packed.n_tiles <= 256:
