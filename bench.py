@@ -27,8 +27,11 @@ def main():
         variants=("fused-pallas", "dense-dequant", "dense-dequant-bf16",
                   "fused-pallas-bf16", "int8-gemm"),
     )
-    # headline = fastest path that passes the reference's oracle check
-    ok = [r for r in rows if r.checked] or rows
+    # headline = fastest SPARSE path that passes the reference's oracle
+    # check (the dense-race rows — including the r4 prepacked lane — are
+    # the honesty races, not the headline)
+    sparse = [r for r in rows if "dense-race" not in r.name]
+    ok = [r for r in sparse if r.checked] or sparse
     r = min(ok, key=lambda r: r.result.min_ms)
     out = {
         "metric": "codebook_sparse_gemm_117x1023x2047_ms",
