@@ -200,6 +200,12 @@ class DistSpGEMMPacked:
     c_indptr: jnp.ndarray  # (m+1,)
     c_indices: jnp.ndarray  # (c_cap,)
     c_row_ids: jnp.ndarray  # (c_cap,)
+    # C^T CSR structure over the CSC-ordered slots — the kernel's native
+    # output order, so the csc apply skips the c_nnz output permutation
+    # (measured 10.2× on the single-chip XL row, probe_spgemm_xl)
+    ct_indptr: jnp.ndarray  # (n+1,)
+    ct_indices: jnp.ndarray  # (c_cap,)
+    ct_row_ids: jnp.ndarray  # (c_cap,)
     shape: Tuple[int, int] = dataclasses.field(metadata={"static": True})
     n_shards: int = dataclasses.field(metadata={"static": True})
     c_nnz: int = dataclasses.field(metadata={"static": True})
@@ -247,6 +253,11 @@ def dist_spgemm_packed_plan(A: CSR, B: CSR, n_shards: int,
                                       key_c, rank_r, c_nnz, B.nnz)
     p_stack, src = _stack_superblocks(built, src_arrs)
 
+    # C^T structure (slots in the kernel's native CSC order)
+    ct_counts = np.bincount(c_indices, minlength=n)
+    ct_indptr = np.concatenate([[0], np.cumsum(ct_counts)])
+    ct_indices_arr = c_rows[order_r]
+    ct_row_ids_arr = c_indices[order_r]
     idt = default_index_dtype
     return DistSpGEMMPacked(
         p_stack=p_stack,
@@ -262,6 +273,15 @@ def dist_spgemm_packed_plan(A: CSR, B: CSR, n_shards: int,
             np.concatenate([c_rows,
                             np.full(max(c_nnz - len(c_rows), 0), m,
                                     np.int64)]), idt),
+        ct_indptr=jnp.asarray(ct_indptr, idt),
+        ct_indices=jnp.asarray(
+            np.concatenate([ct_indices_arr,
+                            np.zeros(max(c_nnz - len(ct_indices_arr), 0),
+                                     np.int64)]), idt),
+        ct_row_ids=jnp.asarray(
+            np.concatenate([ct_row_ids_arr,
+                            np.full(max(c_nnz - len(ct_row_ids_arr), 0),
+                                    n, np.int64)]), idt),
         shape=(m, n), n_shards=n_shards, c_nnz=int(pattern.nnz),
     )
 
@@ -433,6 +453,39 @@ def dist_spgemm_packed_apply(plan: DistSpGEMMPacked, mesh: Mesh,
     c_data = ypad[plan.c_gather]
     return CSR(indptr=plan.c_indptr, indices=plan.c_indices, data=c_data,
                row_ids=plan.c_row_ids, shape=plan.shape, nnz=plan.c_nnz)
+
+
+def dist_spgemm_packed_apply_csc(plan: DistSpGEMMPacked, mesh: Mesh,
+                                 b_data=None,
+                                 axis_name: str = "shard") -> CSR:
+    """Numeric phase emitting ``C^T`` as CSR (C in CSC) — the kernel's
+    NATIVE slot order, skipping the c_nnz output permutation that
+    dominates the CSR-output apply (10.2× measured single-chip,
+    benchmarks/probe_spgemm_xl.py; same ~6.7 ns/element gather here)."""
+    from ..kernels.spmv_superblock import spmv_superblock
+
+    bv = plan.b_data if b_data is None else b_data
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(p_local, src_local, bvals):
+        local = jax.tree_util.tree_map(lambda a: a[0], p_local)
+        x = jnp.concatenate([bvals, jnp.zeros((1,), bvals.dtype)]
+                            )[src_local[0]]
+        y = spmv_superblock(local, x)
+        return jax.lax.psum(y, axis_name)
+
+    y = run(plan.p_stack, plan.src, bv)
+    cap = plan.ct_indices.shape[0]
+    c_data = jnp.zeros((cap,), y.dtype).at[: plan.c_nnz].set(
+        y[: plan.c_nnz])
+    return CSR(indptr=plan.ct_indptr, indices=plan.ct_indices,
+               data=c_data, row_ids=plan.ct_row_ids,
+               shape=(plan.shape[1], plan.shape[0]), nnz=plan.c_nnz)
 
 
 # ---------------------------------------------------------------------------

@@ -247,3 +247,35 @@ def test_dist_spgemm_packed_2d_rect_new_bvals(rng):
     want.sort_indices()
     np.testing.assert_allclose(got[: plan.c_nnz], want.data, rtol=2e-3,
                                atol=1e-3)
+
+
+def test_dist_spgemm_packed_csc_output(rng):
+    """CSC-native distributed numeric phase: same values as the CSR
+    apply, in C^T-CSR structure, no output permutation."""
+    import scipy.sparse as sps
+
+    from sparsematrix_tpu.parallel import (
+        dist_spgemm_packed_apply, dist_spgemm_packed_apply_csc,
+        dist_spgemm_packed_plan, shard_dist_spgemm_packed,
+    )
+
+    n = 512
+    sa = sps.random(n, n, density=0.02, random_state=5, format="csr",
+                    dtype=np.float32)
+    sb = sps.random(n, n, density=0.02, random_state=6, format="csr",
+                    dtype=np.float32)
+    sa.data = rng.uniform(-10, 10, sa.nnz).astype(np.float32)
+    sb.data = rng.uniform(-10, 10, sb.nnz).astype(np.float32)
+    A, B = CSR.from_scipy(sa), CSR.from_scipy(sb)
+    mesh = _mesh(8)
+    plan = shard_dist_spgemm_packed(
+        dist_spgemm_packed_plan(A, B, n_shards=8, group=4, k_tiles=8),
+        mesh)
+    Ct = dist_spgemm_packed_apply_csc(plan, mesh)
+    want = (sa.astype(np.float64) @ sb.astype(np.float64)).T.tocsr()
+    np.testing.assert_allclose(np.asarray(Ct.todense()), want.todense(),
+                               rtol=2e-3, atol=0.5)
+    # structural agreement with the CSR apply
+    C = dist_spgemm_packed_apply(plan, mesh)
+    np.testing.assert_allclose(np.asarray(Ct.todense()).T,
+                               np.asarray(C.todense()), rtol=1e-6)
