@@ -25,31 +25,41 @@ from .spmv_dualgather import _LANES, DualGather, _max_groups_per_call
 __all__ = ["spmm_dualgather"]
 
 
+_KP = 8  # columns per register panel (8 × (8,128) fp32 accumulators)
+
+
 def _dg_mm_kernel(tile_ref, win_ref, idxA_ref, idxB_ref, vals_ref, xt_ref,
                   o_ref, *, group: int, k: int, s_rows: int):
+    """Round-4 loop structure: the r3 version fori-looped columns with a
+    per-column dynamic-row o_ref read-modify-write — the accumulate
+    pattern probe_dualgather_xl5 measured serializing the pipeline (the
+    whole walk ran ~6× over its op-count estimate).  Columns are now
+    processed in UNROLLED panels of _KP with register-carried (8,128)
+    accumulators (2 gathers + 1 fma per slab·column, sums deferred to
+    panel end) and one o_ref accumulate per (panel, grid step)."""
     g = pl.program_id(0)
 
     @pl.when(jnp.logical_or(g == 0, tile_ref[g] != tile_ref[g - 1]))
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    def col_body(j, _):
-        acc = jnp.zeros((8, _LANES), jnp.float32)
+    for p0 in range(0, k, _KP):
+        kp = min(_KP, k - p0)
+        acc = [jnp.zeros((8, _LANES), jnp.float32) for _ in range(kp)]
         for b in range(group):
-            w = win_ref[g * group + b]
-            xw = xt_ref[pl.ds(j * s_rows + w * 8, 8), :]
             iA = idxA_ref[0, b * 8:(b + 1) * 8, :]
             iB = idxB_ref[0, b * 8:(b + 1) * 8, :]
-            t1 = jnp.take_along_axis(xw, iA, axis=0)
-            gth = jnp.take_along_axis(t1, iB, axis=1)
-            acc = acc + vals_ref[0, b * 8:(b + 1) * 8, :].astype(
-                jnp.float32) * gth
-        part = jnp.sum(acc, axis=0, keepdims=True)  # (1, 128)
-        o_ref[pl.ds(j, 1), :] = o_ref[pl.ds(j, 1), :] + part.astype(
-            o_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, k, col_body, 0)
+            vv = vals_ref[0, b * 8:(b + 1) * 8, :].astype(jnp.float32)
+            w = win_ref[g * group + b]
+            for j in range(kp):
+                xw = xt_ref[pl.ds((p0 + j) * s_rows + w * 8, 8), :]
+                t1 = jnp.take_along_axis(xw, iA, axis=0)
+                gth = jnp.take_along_axis(t1, iB, axis=1)
+                acc[j] = acc[j] + vv * gth
+        part = jnp.concatenate(
+            [jnp.sum(a, axis=0, keepdims=True) for a in acc], axis=0)
+        o_ref[p0:p0 + kp, :] = (o_ref[p0:p0 + kp, :]
+                                + part.astype(o_ref.dtype))
 
 
 @functools.partial(jax.jit, static_argnames=("group", "n_tiles", "k",
