@@ -809,6 +809,25 @@ def bench_spgemm(check=True, n=2048, density=0.01, **kw):
     r2.sol_frac = r2.nnz_per_s / sol
     r2.extras = {"pack_seconds": pack_s}
     rows.append(r2)
+    # CSC-native output (no c_nnz permutation — see spgemm_xl)
+    from ..ops.spgemm import spgemm_apply_packed_csc
+
+    fpc = jax.jit(lambda q, bd: spgemm_apply_packed_csc(q, bd).data)
+    res = bench_fn_slope(fpc, pp, B.data, iters=6,
+                         perturb_max_bytes=1 << 20)
+    checked = None
+    if check:
+        wantT = want.T.tocsr()
+        wantT.sort_indices()
+        got = np.asarray(fpc(pp, B.data))
+        checked = relative_check(got[: pp.c_nnz], wantT.data)
+    r2c = Row("spgemm/numeric-packed-csc",
+              f"n={n},d={density},pairs={plan.n_pairs},"
+              f"fill={pp.p_packed.fill_rate:.2f}",
+              res, nnz=plan.n_pairs, checked=checked)
+    r2c.sol_frac = r2c.nnz_per_s / sol
+    r2c.extras = {"pack_seconds": pack_s}
+    rows.append(r2c)
 
     # density-adaptive MXU path: full dense product (+ optional pattern
     # extraction) — below the crossover the MXU's ~10^3x FLOP advantage
