@@ -326,6 +326,46 @@ def _two_win_ids(r, c, rows, cols):
     return w_ids, ch_ids, pairtab
 
 
+def _assign_slots_native(r, c, rows, cols, w_ids=None, ch_ids=None):
+    """Native sequential first-fit assignment (native/codec.cc:
+    smtpu_assign_dualgather) — ~100× the numpy repair at the XL pack
+    with equal-or-better fill.  Returns the assigned tuple or None when
+    the native library is unavailable."""
+    from ..native import get_lib
+
+    lib = get_lib()
+    if lib is None or r.size == 0:
+        return None
+    import ctypes
+
+    t = (r // _T).astype(np.int64)
+    l = (r % _T).astype(np.int32)
+    w = (c // _W if w_ids is None else w_ids).astype(np.int64)
+    cl = (c % _LANES).astype(np.int32)
+    ch = ((c % _W) // _LANES if ch_ids is None else ch_ids).astype(np.int32)
+    n_win = max(-(-cols // _W), 1)
+    cellid = np.ascontiguousarray(t * n_win + w)
+    n_cells = int(cellid.max()) + 1
+    out_s = np.empty(r.size, np.int32)
+    out_u = np.empty(r.size, np.int8)
+    l_c = np.ascontiguousarray(l)
+    cl_c = np.ascontiguousarray(cl)
+    ch_c = np.ascontiguousarray(ch)
+    rc = lib.smtpu_assign_dualgather(
+        cellid.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        l_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cl_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ch_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        r.size, n_cells,
+        out_s.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_u.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+    )
+    if rc < 0:
+        return None
+    return (t, w, out_s.astype(np.int64), out_u.astype(np.int64),
+            l.astype(np.int64), cl.astype(np.int64), ch.astype(np.int64))
+
+
 def _assign_slots(r, c, rows, cols, max_rounds=2000, w_ids=None,
                   ch_ids=None):
     """Vectorized conflict-repair assignment (active-set formulation).
@@ -343,7 +383,14 @@ def _assign_slots(r, c, rows, cols, max_rounds=2000, w_ids=None,
 
     ``w_ids``/``ch_ids`` override the default window/chunk coordinates
     (two-window layout: pair index + 4-bit synthetic chunk).
+
+    The native first-fit (``_assign_slots_native``) is tried first; this
+    numpy machine is the fallback.
     """
+    native = _assign_slots_native(r, c, rows, cols, w_ids=w_ids,
+                                  ch_ids=ch_ids)
+    if native is not None:
+        return native
     t = r // _T
     l = r % _T
     w = c // _W if w_ids is None else w_ids

@@ -100,5 +100,10 @@ def get_lib():
         lib.smtpu_color_ranks.argtypes = [
             c_i32p, c_i32p, c_long, c_long, c_long, c_i64p,
         ]
+        lib.smtpu_assign_dualgather.restype = c_long
+        lib.smtpu_assign_dualgather.argtypes = [
+            c_i64p, c_i32p, c_i32p, c_i32p, c_long, c_long,
+            c_i32p, c_i8p,
+        ]
         _lib = lib
         return _lib
