@@ -16,6 +16,11 @@ from .suite import REF_K, REF_M, REF_N, registry
 
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
+    import os
+    import time
+
+    budget = os.environ.get("BENCH_BUDGET")
+    deadline = time.monotonic() + float(budget) if budget else None
     m = StepList(argv[0]) if len(argv) > 0 else StepList(REF_M)
     n = StepList(argv[1]) if len(argv) > 1 else StepList(REF_N)
     k = StepList(argv[2]) if len(argv) > 2 else StepList(REF_K)
@@ -41,7 +46,7 @@ def main(argv=None):
         for ni in n:
             for ki in k:
                 registry.run(filt, check=check, ref_m=mi, ref_n=ni, ref_k=ki,
-                             skip={"calibrate"})
+                             skip={"calibrate"}, deadline=deadline)
     registry.print_table()
 
     json_path = argv[5] if len(argv) > 5 else None

@@ -92,13 +92,23 @@ class BenchRegistry:
 
         return deco
 
-    def run(self, filt: BenchFilter, skip=None, **kwargs) -> List[Row]:
+    def run(self, filt: BenchFilter, skip=None, deadline=None,
+            **kwargs) -> List[Row]:
+        """``deadline`` (time.monotonic() stamp) stops cleanly BEFORE the
+        next group starts — so an external ``timeout`` never kills the
+        process mid-group and the partial JSON still gets written (the
+        570 s relay budget is tight for ilu_cg_xl/spgemm groups)."""
         import sys
+        import time
         import traceback
 
         for name, fn in self._benches.items():
             if not filt.accept(name) or (skip and name in skip):
                 continue
+            if deadline is not None and time.monotonic() > deadline:
+                print(f"[budget] BENCH_BUDGET exhausted — skipping {name} "
+                      "and the rest of this sweep", flush=True)
+                break
             try:
                 rows = fn(**kwargs)
             except Exception:

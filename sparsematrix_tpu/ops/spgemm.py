@@ -26,6 +26,7 @@ import numpy as np
 
 from ..formats import CSR
 from ..formats.base import default_index_dtype, register_sparse_pytree
+from .permute import apply_permutation, plan_gather_permutation
 
 __all__ = ["SpGEMMPlan", "spgemm_plan", "spgemm_apply", "spgemm",
            "SpGEMMPacked", "spgemm_plan_packed", "spgemm_apply_packed",
@@ -295,6 +296,12 @@ class SpGEMMPacked:
     ct_row_ids: object
     shape: Tuple[int, int] = dataclasses.field(metadata={"static": True})
     c_nnz: int = dataclasses.field(metadata={"static": True})
+    # planned sort-network permutations (ops/permute.py): the same maps
+    # as b_gather/c_gather but applied via lax.sort_key_val — measured
+    # 4.5× the arbitrary gather at 4.2 M elements (probe_permute.py);
+    # None on pre-existing plans (apply falls back to the gathers)
+    b_perm: object = None
+    c_perm: object = None
 
 
 def _color_b_ranks_native(row_of: np.ndarray, q: np.ndarray, n_ranks: int):
@@ -388,6 +395,7 @@ def _color_b_ranks(row_of: np.ndarray, q: np.ndarray, n_ranks: int):
 
 def spgemm_plan_packed(A: CSR, B: CSR, cluster: bool = True,
                        layout: str = "auto", stripe: str = "color",
+                       permute: str = "auto",
                        **pack_kwargs) -> SpGEMMPacked:
     """Symbolic phase + pack: fixes A's pattern AND values (and B's
     pattern); ``spgemm_apply_packed`` then multiplies any B values.
@@ -410,6 +418,9 @@ def spgemm_plan_packed(A: CSR, B: CSR, cluster: bool = True,
     """
     import scipy.sparse as sps
 
+    if permute not in ("auto", "sort", "gather"):
+        raise ValueError(f"unknown permute {permute!r}")
+    force_sort = {"auto": None, "sort": True, "gather": False}[permute]
     plan = spgemm_plan(A, B)
     pa = np.asarray(plan.pa)[: plan.n_pairs]
     pb = np.asarray(plan.pb)[: plan.n_pairs]
@@ -418,6 +429,7 @@ def spgemm_plan_packed(A: CSR, B: CSR, cluster: bool = True,
     b_cap = int(B.capacity)
     b_gather = None
     c_gather = None
+    b_perm = c_perm = None
     ct_indptr = ct_indices = ct_row_ids = None
     p_rows = max(plan.c_nnz, 1)
     p_cols = b_cap
@@ -444,6 +456,8 @@ def spgemm_plan_packed(A: CSR, B: CSR, cluster: bool = True,
         cg = np.full(cap, max(plan.c_nnz, 1), np.int64)
         cg[: plan.c_nnz] = rank_r
         c_gather = jnp.asarray(cg, jnp.int32)
+        c_perm = plan_gather_permutation(cg, n_src=max(plan.c_nnz, 1),
+                                        force_sort=force_sort)
         row_of = rank_r[tgt]
         # sublane position of each rank within its 1024-rank window:
         # conflict-graph coloring (one slab per (tile, window)), or the
@@ -461,6 +475,8 @@ def spgemm_plan_packed(A: CSR, B: CSR, cluster: bool = True,
         src = np.full(p_cols, b_cap, np.int64)
         src[alloc] = np.arange(len(b_key))
         b_gather = jnp.asarray(src, jnp.int32)
+        b_perm = plan_gather_permutation(src, n_src=b_cap,
+                                        force_sort=force_sort)
         col_of = alloc[pb]
         # C^T CSR structure over the CSC-ordered slots
         idt = default_index_dtype
@@ -501,6 +517,8 @@ def spgemm_plan_packed(A: CSR, B: CSR, cluster: bool = True,
         ct_row_ids=ct_row_ids,
         shape=plan.shape,
         c_nnz=plan.c_nnz,
+        b_perm=b_perm,
+        c_perm=c_perm,
     )
 
 
@@ -523,14 +541,18 @@ def spgemm_apply_packed(pp: SpGEMMPacked, b_data) -> CSR:
     """Numeric phase on the Pallas SpMV path (jittable, differentiable
     in ``b_data`` through the kernel's custom VJP)."""
     x = b_data
-    if pp.b_gather is not None:
-        # permute B values into the clustered column layout (gather form;
-        # the appended zero feeds every unallocated slot)
+    if pp.b_perm is not None:
+        # permute B values into the clustered column layout via the
+        # planned sort (4.5× the arbitrary gather at XL sizes)
+        x = apply_permutation(pp.b_perm, b_data)
+    elif pp.b_gather is not None:
         x = jnp.concatenate([b_data, jnp.zeros((1,), b_data.dtype)]
                             )[pp.b_gather]
     y = _p_spmv(pp.p_packed, x)
     cap = pp.c_indices.shape[0]
-    if pp.c_gather is not None:
+    if pp.c_perm is not None:
+        c_data = apply_permutation(pp.c_perm, y)
+    elif pp.c_gather is not None:
         ypad = jnp.concatenate([y, jnp.zeros((1,), y.dtype)])
         c_data = ypad[pp.c_gather]
     else:
@@ -558,8 +580,11 @@ def spgemm_apply_packed_csc(pp: SpGEMMPacked, b_data) -> CSR:
         raise ValueError(
             "CSC output needs a clustered plan "
             "(spgemm_plan_packed(..., cluster=True))")
-    x = jnp.concatenate([b_data, jnp.zeros((1,), b_data.dtype)]
-                        )[pp.b_gather]
+    if pp.b_perm is not None:
+        x = apply_permutation(pp.b_perm, b_data)
+    else:
+        x = jnp.concatenate([b_data, jnp.zeros((1,), b_data.dtype)]
+                            )[pp.b_gather]
     y = _p_spmv(pp.p_packed, x)
     cap = pp.ct_indices.shape[0]
     c_data = jnp.zeros((cap,), y.dtype).at[: pp.c_nnz].set(y[: pp.c_nnz])

@@ -512,6 +512,13 @@ class DistSpGEMM2D:
     c_indptr: jnp.ndarray  # (m+1,)
     c_indices: jnp.ndarray  # (c_cap,)
     c_row_ids: jnp.ndarray  # (c_cap,)
+    # per-band C^T structure: shard i's kernel output order IS the local
+    # CSR order of C^T[:, band_i] — so the csc apply emits a
+    # cols-partitioned C^T with ZERO data movement (no c_nnz gather, C
+    # stays row-band sharded; the layout a downstream dist op wants)
+    ct_indptr: jnp.ndarray  # (n_row, n+1)
+    ct_indices: jnp.ndarray  # (n_row, c_band_pad) — band-local C rows
+    ct_row_ids: jnp.ndarray  # (n_row, c_band_pad) — C cols (global)
     shape: Tuple[int, int] = dataclasses.field(metadata={"static": True})
     n_row: int = dataclasses.field(metadata={"static": True})
     n_k: int = dataclasses.field(metadata={"static": True})
@@ -546,6 +553,9 @@ def dist_spgemm_packed_plan_2d(A: CSR, B: CSR, n_row: int, n_k: int,
 
     built_all, src_all = [], []
     gather = np.full(c_nnz, n_row * c_band_pad, np.int64)  # sentinel → 0
+    ct_indptr = np.zeros((n_row, n + 1), np.int64)
+    ct_indices = np.zeros((n_row, c_band_pad), np.int64)
+    ct_row_ids = np.full((n_row, c_band_pad), n, np.int64)
     for i in range(n_row):
         r0, r1 = min(i * band_m, m), min((i + 1) * band_m, m)
         sa_i = sa[r0:r1].tocsr()
@@ -566,6 +576,11 @@ def dist_spgemm_packed_plan_2d(A: CSR, B: CSR, n_row: int, n_k: int,
         src_all += srcs
         e0 = int(c_indptr[r0])
         gather[e0:e0 + pat_i.nnz] = i * c_band_pad + rank_r_i
+        # band-local C^T CSR (C^T[:, r0:r1]): rank order is (col, row)
+        ct_indptr[i] = np.concatenate(
+            [[0], np.cumsum(np.bincount(cols_i, minlength=n))])
+        ct_indices[i, : pat_i.nnz] = rows_i[order_r_i]  # band-local rows
+        ct_row_ids[i, : pat_i.nnz] = cols_i[order_r_i]
 
     p_flat, src_flat = _stack_superblocks(built_all, src_all)
     reshape = lambda a: jnp.asarray(a).reshape((n_row, n_k) + a.shape[1:])
@@ -591,16 +606,23 @@ def dist_spgemm_packed_plan_2d(A: CSR, B: CSR, n_row: int, n_k: int,
             np.concatenate([c_rows,
                             np.full(max(c_nnz - len(c_rows), 0), m,
                                     np.int64)]), idt),
+        ct_indptr=jnp.asarray(ct_indptr, idt),
+        ct_indices=jnp.asarray(ct_indices, idt),
+        ct_row_ids=jnp.asarray(ct_row_ids, idt),
         shape=(m, n), n_row=n_row, n_k=n_k, c_nnz=int(pattern.nnz),
         c_band_pad=c_band_pad,
     )
 
 
 def shard_dist_spgemm_packed_2d(plan: DistSpGEMM2D, mesh: Mesh):
-    """Place the 2-D stack sharded (row, k); C structure + B replicated."""
+    """Place the 2-D stack sharded (row, k); C structure + B replicated;
+    per-band C^T structure sharded over 'row' (it travels with the band's
+    output data)."""
     sharded = NamedSharding(mesh, P("row", "k"))
+    row_sh = NamedSharding(mesh, P("row"))
     repl = NamedSharding(mesh, P())
     put_s = lambda a: jax.device_put(a, sharded)
+    put_b = lambda a: jax.device_put(a, row_sh)
     put_r = lambda a: jax.device_put(a, repl)
     return dataclasses.replace(
         plan,
@@ -611,6 +633,9 @@ def shard_dist_spgemm_packed_2d(plan: DistSpGEMM2D, mesh: Mesh):
         c_indptr=put_r(plan.c_indptr),
         c_indices=put_r(plan.c_indices),
         c_row_ids=put_r(plan.c_row_ids),
+        ct_indptr=put_b(plan.ct_indptr),
+        ct_indices=put_b(plan.ct_indices),
+        ct_row_ids=put_b(plan.ct_row_ids),
     )
 
 
@@ -640,3 +665,51 @@ def dist_spgemm_packed_apply_2d(plan: DistSpGEMM2D, mesh: Mesh,
     c_data = y_flat[plan.c_gather]
     return CSR(indptr=plan.c_indptr, indices=plan.c_indices, data=c_data,
                row_ids=plan.c_row_ids, shape=plan.shape, nnz=plan.c_nnz)
+
+
+def dist_spgemm_packed_apply_2d_csc(plan: DistSpGEMM2D, mesh: Mesh,
+                                    b_data=None) -> "PartitionedCSR":
+    """Numeric phase emitting C^T cols-partitioned — ZERO output movement.
+
+    Shard i's kernel output rank order IS the local CSR order of
+    ``C^T[:, band_i]`` (band-local (col, row) — the plan sorts each band's
+    slots by C column), so the per-band output vector ``y[i]`` is already
+    the data array of a cols-partitioned C^T shard: no c_nnz gather (the
+    ~6.7 ns/element permutation the CSR apply pays), and C's data STAYS
+    row-band sharded over 'row' — the layout a downstream distributed op
+    on C wants.  The reference's ``CopyTo(trans)`` convention
+    (/root/reference/src/sparse/sparse-matrix.cc:124) lifted to the mesh.
+    """
+    from .partition import PartitionedCSR
+
+    from ..kernels.spmv_superblock import spmv_superblock
+
+    m, n = plan.shape
+    bv = plan.b_data if b_data is None else b_data
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("row", "k"), P("row", "k"), P()),
+        out_specs=P("row"),
+        check_vma=False,  # per-shard-pure pallas local compute
+    )
+    def run(p_local, src_local, bvals):
+        local = jax.tree_util.tree_map(lambda a: a[0, 0], p_local)
+        x = jnp.concatenate([bvals, jnp.zeros((1,), bvals.dtype)]
+                            )[src_local[0, 0]]
+        y = spmv_superblock(local, x)
+        return jax.lax.psum(y, "k")[None]
+
+    y = run(plan.p_stack, plan.src, bv)  # (n_row, c_band_pad), row-sharded
+    return PartitionedCSR(
+        indptr=plan.ct_indptr,
+        indices=plan.ct_indices,
+        data=y,
+        row_ids=plan.ct_row_ids,
+        shape=(n, m),
+        n_shards=plan.n_row,
+        partition_axis="cols",
+        local_rows=n,
+        local_cols=-(-m // plan.n_row),
+        nnz=plan.c_nnz,
+    )

@@ -279,3 +279,47 @@ def test_dist_spgemm_packed_csc_output(rng):
     C = dist_spgemm_packed_apply(plan, mesh)
     np.testing.assert_allclose(np.asarray(Ct.todense()).T,
                                np.asarray(C.todense()), rtol=1e-6)
+
+
+def test_dist_spgemm_packed_2d_csc_output(rng):
+    """2-D CSC-native apply: per-band kernel output IS the data array of
+    a cols-partitioned C^T — no c_nnz permutation, data stays
+    row-band sharded."""
+    import scipy.sparse as sps
+
+    from sparsematrix_tpu.parallel import (
+        dist_spgemm_packed_apply_2d, dist_spgemm_packed_apply_2d_csc,
+        dist_spgemm_packed_plan_2d, make_mesh_2d,
+        shard_dist_spgemm_packed_2d,
+    )
+
+    m, k, n = 300, 700, 450  # rectangular; uneven row bands
+    sa = sps.random(m, k, density=0.02, random_state=33, format="csr",
+                    dtype=np.float32)
+    sb = sps.random(k, n, density=0.02, random_state=34, format="csr",
+                    dtype=np.float32)
+    sa.data = rng.uniform(-5, 5, sa.nnz).astype(np.float32)
+    sb.data = rng.uniform(-5, 5, sb.nnz).astype(np.float32)
+    mesh = make_mesh_2d(4, 2, axis_names=("row", "k"))
+    plan = shard_dist_spgemm_packed_2d(
+        dist_spgemm_packed_plan_2d(CSR.from_scipy(sa), CSR.from_scipy(sb),
+                                   4, 2, group=4, k_tiles=8), mesh)
+    Ct = dist_spgemm_packed_apply_2d_csc(plan, mesh)
+    assert Ct.partition_axis == "cols" and Ct.n_shards == 4
+    # reassemble C^T from the cols-partitioned shards
+    band_m = Ct.local_cols
+    blocks = []
+    for i in range(Ct.n_shards):
+        ip = np.asarray(Ct.indptr[i])
+        idx = np.asarray(Ct.indices[i])[: ip[-1]]
+        dat = np.asarray(Ct.data[i])[: ip[-1]]
+        w = min(band_m, m - i * band_m)
+        blocks.append(sps.csr_matrix((dat, idx, ip), shape=(n, w)))
+    ct = sps.hstack(blocks).tocsr()
+    want = (sa.astype(np.float64) @ sb.astype(np.float64)).T.tocsr()
+    np.testing.assert_allclose(ct.todense(), want.todense(), rtol=2e-3,
+                               atol=0.5)
+    # values agree with the CSR-output apply
+    C = dist_spgemm_packed_apply_2d(plan, mesh)
+    np.testing.assert_allclose(np.asarray(ct.T.todense()),
+                               np.asarray(C.todense()), rtol=1e-6)
