@@ -25,6 +25,165 @@ from .spmv_dualgather import _LANES, DualGather, _max_groups_per_call
 __all__ = ["spmm_dualgather"]
 
 
+_KP_SB = 8  # columns per superblock panel (acc scratch: kp × (k_tiles,128))
+
+
+def _dg_sb_mm_kernel(super_ref, win_ref, tloc_ref, commit_ref, idxA_ref,
+                     idxB_ref, vals_ref, xt_ref, o_ref, acc_ref, *,
+                     group: int, k_tiles: int, kp: int, nibble: bool,
+                     two_win: bool):
+    """Superblock multi-RHS walk: the SpMV superblock kernel's exact slab
+    walk, re-run per RHS column via a ``fori_loop`` over the panel (slabs
+    stay UNROLLED inside — program size matches the SpMV kernel, the
+    per-column re-loads of idx/vals are plain VMEM reads).  Per column a
+    single (k_tiles, 128) register accumulator takes the masked adds; one
+    dynamic-row RMW into the (kp, k_tiles, 128) scratch per (group,
+    column) — amortized over the whole group, NOT the serializing
+    per-slab RMW probe_dualgather_xl5 measured."""
+    g = pl.program_id(1)
+
+    @pl.when(jnp.logical_or(g == 0, super_ref[g] != super_ref[g - 1]))
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    sub = jax.lax.broadcasted_iota(jnp.int32, (k_tiles, _LANES), 0)
+
+    def col(j, carry):
+        acc = jnp.zeros((k_tiles, _LANES), jnp.float32)
+        for b in range(group):
+            w = win_ref[g * group + b]
+            if nibble:
+                pk = idxA_ref[0, (b // 2) * 8:(b // 2 + 1) * 8, :].astype(
+                    jnp.int32)
+                if b % 2:
+                    pk = jax.lax.shift_right_logical(pk, 4)
+                iA4 = jnp.bitwise_and(pk, 15)
+            elif two_win:
+                iA4 = idxA_ref[0, b * 8:(b + 1) * 8, :].astype(jnp.int32)
+            else:
+                iA4 = idxA_ref[0, b * 8:(b + 1) * 8, :]
+            iB = idxB_ref[0, b * 8:(b + 1) * 8, :]
+            if two_win:
+                wa = jnp.bitwise_and(w, 0xFFFF)
+                wb = jax.lax.shift_right_logical(w, 16)
+                xa = xt_ref[j, pl.ds(pl.multiple_of(wa * 8, 8), 8), :]
+                xb = xt_ref[j, pl.ds(pl.multiple_of(wb * 8, 8), 8), :]
+                ch = jnp.bitwise_and(iA4, 7).astype(jnp.int8)
+                t1a = jnp.take_along_axis(xa, ch, axis=0)
+                t1b = jnp.take_along_axis(xb, ch, axis=0)
+                t1 = jnp.where(iA4 >= 8, t1b, t1a)
+            else:
+                xw = xt_ref[j, pl.ds(pl.multiple_of(w * 8, 8), 8), :]
+                t1 = jnp.take_along_axis(
+                    xw, iA4.astype(jnp.int8) if nibble else iA4, axis=0)
+            gth = jnp.take_along_axis(t1, iB, axis=1)
+            prod = vals_ref[0, b * 8:(b + 1) * 8, :] * gth
+            part = jnp.sum(prod, axis=0, keepdims=True)  # (1, 128)
+            acc = acc + jnp.where(sub == tloc_ref[g * group + b], part, 0.0)
+        acc_ref[pl.ds(j, 1)] = acc_ref[pl.ds(j, 1)] + acc[None]
+        return carry
+
+    jax.lax.fori_loop(0, kp, col, 0)
+
+    @pl.when(commit_ref[g] == 1)
+    def _():
+        for j in range(kp):
+            for tl in range(k_tiles):
+                o_ref[j, tl * 8:tl * 8 + 1, :] = acc_ref[j, tl:tl + 1, :]
+
+
+@functools.partial(jax.jit, static_argnames=("group", "k_tiles", "n_super",
+                                             "kp", "nibble", "two_win",
+                                             "interpret"))
+def _dg_sb_mm_call(group_super, slab_win, slab_tloc, commit, idxA, idxB,
+                   vals, xt, *, group, k_tiles, n_super, kp,
+                   nibble=False, two_win=False, interpret=False):
+    n_groups = idxA.shape[0]
+    k_pad, S = xt.shape[0], xt.shape[1]
+    n_panels = k_pad // kp
+    ia_rows = (group // 2 if nibble else group) * 8
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_panels, n_groups),
+        in_specs=[
+            pl.BlockSpec((1, ia_rows, _LANES),
+                         lambda p, g, s, w, t, cm: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group * 8, _LANES),
+                         lambda p, g, s, w, t, cm: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group * 8, _LANES),
+                         lambda p, g, s, w, t, cm: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, S, _LANES),
+                         lambda p, g, s, w, t, cm: (p, 0, 0),
+                         memory_space=pltpu.VMEM),  # RHS column panel
+        ],
+        out_specs=pl.BlockSpec((kp, 8 * k_tiles, _LANES),
+                               lambda p, g, s, w, t, cm: (p, s[g], 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((kp, k_tiles, _LANES), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_dg_sb_mm_kernel, group=group, k_tiles=k_tiles,
+                          kp=kp, nibble=nibble, two_win=two_win),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (k_pad, n_super * 8 * k_tiles, _LANES), jnp.float32),
+        interpret=interpret,
+    )(group_super, slab_win.reshape(-1), slab_tloc.reshape(-1), commit,
+      idxA, idxB, vals, xt)
+
+
+def _spmm_dg_sb_forward(packed: DualGather, X):
+    """Multi-RHS walk over a SUPERBLOCK pack (k_tiles>1; nibble and
+    two-window layouts included — the XL native packs)."""
+    from .spmv_dualgather import _pooled_forward
+
+    rows, cols = packed.shape
+    k = X.shape[1]
+    kp = min(_KP_SB, k)
+    k_pad = -(-k // kp) * kp
+    S = packed.n_win * 8
+    # (k_pad, S, 128): column-major panels of the padded RHS
+    Xp = jnp.zeros((S * _LANES, k_pad), X.dtype).at[:cols, :k].set(X)
+    xt = Xp.T.reshape(k_pad, S, _LANES)
+    kt = packed.k_tiles
+    n_super = -(-packed.n_tiles // kt)
+    n_groups = packed.idxA.shape[0]
+    bounds = [0, *packed.splits, n_groups]
+    y = jnp.zeros((packed.n_tiles, k_pad, _LANES), jnp.float32)
+    for g0, g1 in zip(bounds[:-1], bounds[1:]):
+        out = _dg_sb_mm_call(
+            packed.group_tile[g0:g1], packed.slab_win[g0:g1],
+            packed.slab_tloc[g0:g1], packed.commit[g0:g1],
+            packed.idxA[g0:g1], packed.idxB[g0:g1], packed.vals[g0:g1],
+            xt, group=packed.group, k_tiles=kt, n_super=n_super, kp=kp,
+            nibble=packed.nibble, two_win=packed.two_win,
+            interpret=config.interpret(),
+        )
+        # sublane 0 of each tile block carries that tile's row sums
+        out = out.reshape(k_pad, n_super * kt, 8, _LANES)[:, :, 0, :]
+        touched = (
+            jnp.zeros(n_super, bool)
+            .at[packed.group_tile[g0:g1]]
+            .set(True)
+        )
+        out = out.reshape(k_pad, n_super, kt, _LANES)
+        out = jnp.where(touched[None, :, None, None], out, 0)
+        out = out.reshape(k_pad, n_super * kt, _LANES)[:, :packed.n_tiles]
+        y = y + out.transpose(1, 0, 2)
+    y = y.transpose(0, 2, 1).reshape(packed.n_tiles * _LANES, k_pad)
+    if packed.tail is not None:
+        xp2 = jnp.zeros((S * _LANES,), X.dtype)
+        cols_t = []
+        for j in range(k):
+            xpj = xp2.at[:cols].set(X[:, j]).reshape(S, _LANES)
+            cols_t.append(_pooled_forward(packed.tail, xpj).reshape(-1))
+        y = y.at[:, :k].add(jnp.stack(cols_t, axis=1)[: y.shape[0]])
+    return y[:rows, :k]
+
+
 _KP = 8  # columns per register panel (8 × (8,128) fp32 accumulators)
 
 
@@ -92,9 +251,11 @@ def _dg_mm_call(group_tile, slab_win, idxA, idxB, vals, xt, *, group,
 
 
 def _spmm_dg_forward(packed: DualGather, X):
-    if packed.k_tiles != 1 or packed.tail is not None or packed.splits:
-        raise ValueError("spmm_dualgather needs a plain k_tiles=1 pack "
-                         "(no tail, no splits)")
+    if packed.k_tiles > 1:
+        return _spmm_dg_sb_forward(packed, X)
+    if packed.tail is not None or packed.splits:
+        raise ValueError("spmm_dualgather needs a superblock pack or a "
+                         "plain k_tiles=1 pack (no tail, no splits)")
     rows, cols = packed.shape
     k = X.shape[1]
     S = packed.n_win * 8

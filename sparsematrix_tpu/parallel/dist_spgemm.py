@@ -24,6 +24,7 @@ from jax import shard_map
 
 from ..formats import CSR
 from ..formats.base import default_index_dtype, register_sparse_pytree
+from ..ops.permute import apply_permutation, plan_gather_permutation
 
 __all__ = ["DistSpGEMMPlan", "dist_spgemm_plan", "dist_spgemm_apply",
            "DistSpGEMMPacked", "dist_spgemm_packed_plan",
@@ -209,6 +210,9 @@ class DistSpGEMMPacked:
     shape: Tuple[int, int] = dataclasses.field(metadata={"static": True})
     n_shards: int = dataclasses.field(metadata={"static": True})
     c_nnz: int = dataclasses.field(metadata={"static": True})
+    # planned sort permutation for the CSR-output reorder (ops/permute.py;
+    # 4.5x the arbitrary gather at XL sizes); None on legacy plans
+    c_perm: object = None
 
 
 def dist_spgemm_packed_plan(A: CSR, B: CSR, n_shards: int,
@@ -283,6 +287,7 @@ def dist_spgemm_packed_plan(A: CSR, B: CSR, n_shards: int,
                             np.full(max(c_nnz - len(ct_row_ids_arr), 0),
                                     n, np.int64)]), idt),
         shape=(m, n), n_shards=n_shards, c_nnz=int(pattern.nnz),
+        c_perm=plan_gather_permutation(cg, n_src=c_nnz),
     )
 
 
@@ -423,6 +428,7 @@ def shard_dist_spgemm_packed(plan: DistSpGEMMPacked, mesh: Mesh,
         c_indptr=put_r(plan.c_indptr),
         c_indices=put_r(plan.c_indices),
         c_row_ids=put_r(plan.c_row_ids),
+        c_perm=jax.tree_util.tree_map(put_r, plan.c_perm),
     )
 
 
@@ -449,8 +455,11 @@ def dist_spgemm_packed_apply(plan: DistSpGEMMPacked, mesh: Mesh,
         return jax.lax.psum(y, axis_name)
 
     y = run(plan.p_stack, plan.src, bv)
-    ypad = jnp.concatenate([y, jnp.zeros((1,), y.dtype)])
-    c_data = ypad[plan.c_gather]
+    if plan.c_perm is not None:
+        c_data = apply_permutation(plan.c_perm, y)
+    else:
+        ypad = jnp.concatenate([y, jnp.zeros((1,), y.dtype)])
+        c_data = ypad[plan.c_gather]
     return CSR(indptr=plan.c_indptr, indices=plan.c_indices, data=c_data,
                row_ids=plan.c_row_ids, shape=plan.shape, nnz=plan.c_nnz)
 
@@ -524,6 +533,8 @@ class DistSpGEMM2D:
     n_k: int = dataclasses.field(metadata={"static": True})
     c_nnz: int = dataclasses.field(metadata={"static": True})
     c_band_pad: int = dataclasses.field(metadata={"static": True})
+    # planned sort for the CSR-output reorder (flattened band gather)
+    c_perm: object = None
 
 
 def dist_spgemm_packed_plan_2d(A: CSR, B: CSR, n_row: int, n_k: int,
@@ -611,6 +622,8 @@ def dist_spgemm_packed_plan_2d(A: CSR, B: CSR, n_row: int, n_k: int,
         ct_row_ids=jnp.asarray(ct_row_ids, idt),
         shape=(m, n), n_row=n_row, n_k=n_k, c_nnz=int(pattern.nnz),
         c_band_pad=c_band_pad,
+        c_perm=plan_gather_permutation(gather,
+                                       n_src=n_row * c_band_pad),
     )
 
 
@@ -636,6 +649,7 @@ def shard_dist_spgemm_packed_2d(plan: DistSpGEMM2D, mesh: Mesh):
         ct_indptr=put_b(plan.ct_indptr),
         ct_indices=put_b(plan.ct_indices),
         ct_row_ids=put_b(plan.ct_row_ids),
+        c_perm=jax.tree_util.tree_map(put_r, plan.c_perm),
     )
 
 
@@ -661,8 +675,12 @@ def dist_spgemm_packed_apply_2d(plan: DistSpGEMM2D, mesh: Mesh,
         return jax.lax.psum(y, "k")[None]
 
     y = run(plan.p_stack, plan.src, bv)  # (n_row, c_band_pad)
-    y_flat = jnp.concatenate([y.reshape(-1), jnp.zeros((1,), y.dtype)])
-    c_data = y_flat[plan.c_gather]
+    if plan.c_perm is not None:
+        c_data = apply_permutation(plan.c_perm, y.reshape(-1))
+    else:
+        y_flat = jnp.concatenate([y.reshape(-1),
+                                  jnp.zeros((1,), y.dtype)])
+        c_data = y_flat[plan.c_gather]
     return CSR(indptr=plan.c_indptr, indices=plan.c_indices, data=c_data,
                row_ids=plan.c_row_ids, shape=plan.shape, nnz=plan.c_nnz)
 

@@ -340,3 +340,54 @@ def test_dualgather_two_win_rejects_bad_config(rng):
         pack_dualgather(A, two_win=True)  # k_tiles=1
     with pytest.raises(ValueError):
         pack_dualgather(A, k_tiles=2, two_win=True, spill_cap=8)
+
+
+@pytest.mark.parametrize("pack_kwargs", [
+    dict(k_tiles=4, group=8),                  # nibble superblock
+    dict(k_tiles=4, group=8, two_win=True),    # two-window superblock
+    dict(k_tiles=8, group=16),
+])
+def test_spmm_dualgather_superblock(rng, pack_kwargs):
+    """Multi-RHS walk over superblock packs (nibble + two-window): the
+    fori-loop-per-column kernel must match the fp64 oracle for k not a
+    multiple of the panel width."""
+    from sparsematrix_tpu.kernels.spmm_dualgather import spmm_dualgather
+
+    n, k = 1100, 13  # odd rows; k % panel != 0
+    dense = gen_random_dense_sparse(rng, n, n, density=0.02)
+    packed = pack_dualgather(CSR.fromdense(dense), **pack_kwargs)
+    X = rng.standard_normal((n, k)).astype(np.float32)
+    got = np.asarray(spmm_dualgather(packed, jnp.asarray(X)))
+    want = dense.astype(np.float64) @ X
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=0.5)
+
+
+def test_spmm_dualgather_superblock_vjp(rng):
+    from sparsematrix_tpu.kernels.spmm_dualgather import spmm_dualgather
+
+    n, k = 640, 5
+    dense = gen_random_dense_sparse(rng, n, n, density=0.02)
+    packed = pack_dualgather(CSR.fromdense(dense), group=4, k_tiles=4)
+    X = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
+    gX = jax.grad(lambda x: spmm_dualgather(packed, x).sum())(X)
+    want = dense.astype(np.float64).T @ np.ones((n, k))
+    np.testing.assert_allclose(np.asarray(gX), want, rtol=2e-3, atol=0.5)
+
+
+def test_spmm_dualgather_superblock_splits_and_spill(rng):
+    """Chunked multi-call path + pooled tail through the multi-RHS walk."""
+    from sparsematrix_tpu.kernels import spmv_dualgather as dgm
+    from sparsematrix_tpu.kernels.spmm_dualgather import spmm_dualgather
+
+    A, dense = _rand_csr(rng, 2048, 2048, 0.03)
+    old = dgm._SMEM_PREFETCH_BUDGET
+    dgm._SMEM_PREFETCH_BUDGET = 600
+    try:
+        packed = pack_dualgather(A, group=2, k_tiles=2)
+        assert len(packed.splits) > 0
+        X = rng.standard_normal((2048, 9)).astype(np.float32)
+        got = np.asarray(spmm_dualgather(packed, jnp.asarray(X)))
+        want = dense.astype(np.float64) @ X
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=0.5)
+    finally:
+        dgm._SMEM_PREFETCH_BUDGET = old
