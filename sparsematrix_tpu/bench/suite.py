@@ -1258,6 +1258,25 @@ def bench_trisolve(check=True, n=4096, nnz_row=8, **kw):
     return rows
 
 
+def _poisson2d(n, eps=1.0):
+    """5-point Laplacian on a √n×√n grid (anisotropic for eps != 1);
+    returns (n_actual, scipy CSR)."""
+    import scipy.sparse as sps
+
+    side = int(np.sqrt(n))
+    n = side * side
+    Iq = sps.eye(side)
+    if eps == 1.0:
+        T = sps.diags([-1, 4, -1], [-1, 0, 1], (side, side))
+        Apo = (sps.kron(Iq, T) + sps.kron(sps.diags([-1, -1], [-1, 1],
+                                                    (side, side)),
+                                          Iq)).tocsr()
+    else:
+        Tx = sps.diags([-1.0, 2.0, -1.0], [-1, 0, 1], (side, side))
+        Apo = (sps.kron(Iq, Tx) + eps * sps.kron(Tx, Iq)).tocsr()
+    return n, Apo
+
+
 def _bench_cg_to_tol(check, n, iters, tol, maxiter, group_name,
                      eps=1.0, variant_names=None):
     """Preconditioned CG on the 2-D Poisson system: per-iteration slope
@@ -1277,18 +1296,7 @@ def _bench_cg_to_tol(check, n, iters, tol, maxiter, group_name,
     from ..ops.ilu import ilu0_fixpoint_plans, ilu0_waves_plans, ilu_apply
     from ..solvers import cg
 
-    side = int(np.sqrt(n))
-    n = side * side
-    # 5-point Laplacian (anisotropic for eps != 1)
-    Iq = sps.eye(side)
-    if eps == 1.0:
-        T = sps.diags([-1, 4, -1], [-1, 0, 1], (side, side))
-        Apo = (sps.kron(Iq, T) + sps.kron(sps.diags([-1, -1], [-1, 1],
-                                                    (side, side)),
-                                          Iq)).tocsr()
-    else:
-        Tx = sps.diags([-1.0, 2.0, -1.0], [-1, 0, 1], (side, side))
-        Apo = (sps.kron(Iq, Tx) + eps * sps.kron(Tx, Iq)).tocsr()
+    n, Apo = _poisson2d(n, eps)
     A = CSR.from_scipy(Apo.astype(np.float32).tocsr())
     rng = np.random.default_rng(8)
     b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
@@ -1384,6 +1392,165 @@ def bench_ilu_cg_xl(check=True, n=65536, iters=25, tol=1e-5,
     4e-6·‖b‖ (measured r3 pass_s), so 1e-6 cannot be confirmed — the
     bench pins the tightest tolerance the hardware dtype can certify."""
     return _bench_cg_to_tol(check, n, iters, tol, maxiter, "ilu_cg_xl")
+
+
+@registry.register("spmm_xl")
+def bench_spmm_xl(check=True, n=32768, k=32, **kw):
+    """XL multi-RHS regime map (TODO_ROUND5 item 2): at huge n the dense
+    pre-densify path streams n²·2 bytes of bf16 A per apply (a fixed
+    ~2.6 ms floor at n=32768), so the dual-gather walk wins wherever its
+    slab bytes + VPU gathers undercut that — measured crossover d ≈ 0.01
+    (probe_spmm_sb: walk 2.5× at nnz/row=64, pre-dense 1.09× at 507).
+    The kt1 pack beats the superblock-mm variants at BOTH points (the
+    sb kernel's per-column scratch RMW costs more than kt1's per-tile
+    grid granularity saves); superblock packs still run spmm through the
+    sb kernel so one pack can serve spmv AND spmm without repacking."""
+    import scipy.sparse as sps
+
+    from ..kernels.spmm_dualgather import spmm_dualgather
+    from ..kernels.spmv_dualgather import pack_dualgather
+
+    rng = np.random.default_rng(6)
+    rows = []
+    for nnz_row in (64, 507):
+        d = nnz_row / n
+        sp = sps.random(n, n, density=d, random_state=5, format="csr",
+                        dtype=np.float32)
+        sp.data = rng.uniform(-1, 1, sp.nnz).astype(np.float32)
+        A = CSR.from_scipy(sp)
+        X = jnp.asarray(rng.uniform(-1, 1, (n, k)), np.float32)
+        want = None
+        if check:
+            want = sp.astype(np.float64) @ np.asarray(X, np.float64)
+        pk = pack_dualgather(A, k_tiles=1)
+        f = jax.jit(lambda x, q: spmm_dualgather(q, x))
+        res = bench_fn_slope(f, X, pk, iters=4, inner_lo=2, inner_hi=10,
+                             perturb_max_bytes=1 << 20)
+        checked = None
+        if check:
+            got = np.asarray(f(X, pk))
+            checked = relative_check(got, want)
+        r = Row("spmm_xl/walk-kt1",
+                f"n={n},k={k},nnz/row={nnz_row},fill={pk.fill_rate:.2f}",
+                res, nnz=sp.nnz, checked=checked)
+        bytes_moved = (sp.nnz * (1 + 1 + 4) / max(pk.fill_rate, 1e-6)
+                       + n * k * 8)
+        r.sol_frac = r.nnz_per_s / speed_of_light_nnz_s(sp.nnz, bytes_moved)
+        rows.append(r)
+        # pre-dense bf16 race: the streaming-bound alternative
+        ad = jnp.asarray(sp.toarray(), jnp.bfloat16)
+        fd = jax.jit(lambda a, x: (a @ x.astype(jnp.bfloat16)).astype(
+            jnp.float32))
+        res = bench_fn_slope(fd, ad, X, iters=4, inner_lo=2, inner_hi=10,
+                             perturb_max_bytes=1 << 20)
+        checked = None
+        if check:
+            from ..utils.testutils import quantized_check
+
+            got = np.asarray(fd(ad, X))
+            checked = quantized_check(got, want)  # bf16 operand rounding
+        r = Row("spmm_xl/pre-dense-bf16", f"n={n},k={k},nnz/row={nnz_row}",
+                res, nnz=sp.nnz, checked=checked)
+        r.sol_frac = None
+        rows.append(r)
+        del ad
+    return rows
+
+
+@registry.register("block_cg_xl")
+def bench_block_cg_xl(check=True, n=65536, k=8, iters=25, tol=1e-5,
+                      maxiter=4000, **kw):
+    """Multi-RHS XL regime (TODO_ROUND5 item 6): does preconditioning pay
+    when k systems solve at once?  BOTH sides amortize — plain block CG
+    turns the SpMV into a strip-SpMM (one band stream serves k columns),
+    and ic0-waves turns the latency-bound wave solve into k-RHS MXU
+    passes (trisolve_waves_apply_mm) — so the ms-to-tol race, not either
+    side's speedup, decides.  The seq-plain-x{k} row is the do-nothing
+    baseline: k independent single-RHS plain CG solves."""
+    import time
+
+    from ..ops.ichol import ic0_waves_plans, ic_apply
+    from ..ops.spmv import prepare_spmv
+    from ..solvers import cg
+    from ..solvers.block import block_cg
+
+    n, Apo = _poisson2d(n)
+    A = CSR.from_scipy(Apo.astype(np.float32).tocsr())
+    rng = np.random.default_rng(9)
+    B = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
+    bnorm = np.linalg.norm(np.asarray(B), axis=0)
+    # matmat: the dual-gather multi-RHS walk — Poisson's window locality
+    # gives it near-perfect fill; measured ≤31 µs per k=8 matmat at
+    # n=65536 vs 640 µs for the strip batched-MXU form (StripDense
+    # densifies the 5-point band at ~0.8 % fill and streams 168 MB)
+    from ..kernels.spmm_dualgather import spmm_dualgather
+    from ..kernels.spmv_dualgather import pack_dualgather
+
+    S = pack_dualgather(A, k_tiles=1)
+
+    rows = []
+    # seq-plain baseline: single-RHS plain CG on the auto pack, scaled ×k
+    # (packs/plans travel as jit ARGUMENTS — closed-over they get baked
+    # into the HLO and the relay compile endpoint rejects >100 MB bodies)
+    Ap = prepare_spmv(A)
+    f1 = jax.jit(lambda bb, q: cg(q, bb, maxiter=iters, tol=0.0).x)
+    res1 = bench_fn_slope(f1, B[:, 0], Ap, iters=4, inner_lo=2, inner_hi=10)
+    sol1 = jax.jit(lambda bb, q: cg(q, bb, maxiter=maxiter, tol=tol))(
+        B[:, 0], Ap)
+    it1 = int(sol1.iters)
+    per1 = res1.min_ms / iters
+    from ..utils.timer import BenchResult
+
+    r = Row(f"block_cg_xl/seq-plain-x{k}", f"n={n},k={k},tol={tol:g}",
+            BenchResult(mean_ms=per1 * iters * k, min_ms=per1 * iters * k,
+                        compile_ms=0.0, iters=res1.iters, extras={}),
+            nnz=A.nnz * iters * k,
+            checked=bool(float(sol1.residual) <= tol * bnorm[0] * 1.001)
+            if check else None)
+    r.sol_frac = None
+    r.extras = {"per_iter_ms": per1 * k, "iters_to_tol": it1,
+                "ms_to_tol": per1 * it1 * k}
+    rows.append(r)
+
+    t0 = time.time()
+    plans = ic0_waves_plans(A)
+    pack_s = time.time() - t0
+    variants = [("block-plain", None, 0.0),
+                ("block-ic0-waves", True, pack_s)]
+    for label, M, ps in variants:
+        use_M = M is not None
+
+        def _mk(maxit, tl):
+            @jax.jit
+            def run(bb, Sq, pl):
+                mm = lambda V: spmm_dualgather(Sq, V)
+                Mf = (lambda R: ic_apply(pl, R)) if use_M else None
+                return block_cg(mm, bb, maxiter=maxit, tol=tl, M=Mf)
+
+            return run
+
+        f = lambda bb, Sq, pl, run=_mk(iters, 0.0): run(bb, Sq, pl).x
+        res = bench_fn_slope(f, B, S, plans, iters=4, inner_lo=2,
+                             inner_hi=10)
+        per_iter_ms = res.min_ms / iters
+        sol = _mk(maxiter, tol)(B, S, plans)
+        iters_tol = int(sol.iters)
+        reached = bool(
+            np.all(np.asarray(sol.residuals) <= tol * bnorm * 1.001)
+            and iters_tol < maxiter)
+        checked = None
+        if check:
+            X = np.asarray(sol.x)
+            true_res = np.linalg.norm(Apo @ X - np.asarray(B), axis=0)
+            checked = bool(reached and np.all(true_res <= 10 * tol * bnorm))
+        r = Row(f"block_cg_xl/{label}", f"n={n},k={k},tol={tol:g}", res,
+                nnz=A.nnz * iters * k, checked=checked)
+        r.sol_frac = None
+        r.extras = {"per_iter_ms": per_iter_ms, "iters_to_tol": iters_tol,
+                    "ms_to_tol": per_iter_ms * iters_tol,
+                    "reached_tol": reached, "pack_seconds": ps}
+        rows.append(r)
+    return rows
 
 
 @registry.register("ilu_cg_aniso")

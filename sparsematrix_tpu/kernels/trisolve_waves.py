@@ -657,6 +657,11 @@ def _mm_forward(plan: TriWavesPlan, B):
     N = plan.S * _LANES
     Bp = jnp.zeros((N, k), jnp.float32).at[:n].set(B.astype(jnp.float32))
     if plan.reversed:
+        # same simplifier crash as the output flip (see below): the
+        # barrier keeps the reverse off its fused operand (XLA CPU turns
+        # the upstream elementwise fusion into a multi-operand kMap and
+        # HandleReverse's operand-swap rewrite aborts on it)
+        Bp = jax.lax.optimization_barrier(Bp)
         Bp = jnp.roll(jnp.flip(Bp, axis=0), n - N, axis=0)
     if plan.mode != "chain":
         # binv: per-column scan of the single-RHS engine

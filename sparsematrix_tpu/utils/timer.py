@@ -63,6 +63,21 @@ def _block(x):
     return x
 
 
+def _fetch_one(x):
+    """Force completion via a 1-element VALUE fetch.
+
+    ``block_until_ready`` through the axon relay can return before
+    device work completes on fori_loop carries (CLAUDE.md); fetching one
+    element is a data dependency the relay cannot fake.  Transfer cost:
+    4 bytes."""
+    import numpy as _np
+
+    for leaf in jax.tree_util.tree_leaves(x):
+        if hasattr(leaf, "block_until_ready"):
+            _np.asarray(leaf.reshape(-1)[:1])
+    return x
+
+
 def bench_fn(fn: Callable, *args, iters: int = 20, warmup: int = 3) -> BenchResult:
     t0 = time.perf_counter()
     _block(fn(*args))
@@ -110,15 +125,15 @@ def bench_chain_slope(step: Callable, x0, *extra, inner_lo: int = 8,
 
     lo, hi = chained(inner_lo), chained(inner_hi)
     t0 = time.perf_counter()
-    _block(lo(x0, *extra))
-    _block(hi(x0, *extra))
+    _fetch_one(lo(x0, *extra))
+    _fetch_one(hi(x0, *extra))
     compile_ms = (time.perf_counter() - t0) * 1e3
 
     def sample(g):
         best = float("inf")
         for _ in range(iters):
             t0 = time.perf_counter()
-            _block(g(x0, *extra))
+            _fetch_one(g(x0, *extra))
             best = min(best, time.perf_counter() - t0)
         return best * 1e3
 
