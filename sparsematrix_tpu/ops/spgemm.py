@@ -142,14 +142,15 @@ def spgemm_apply(plan: SpGEMMPlan, a_data, b_data) -> CSR:
     )
 
 
-# density-adaptive SpGEMM routing constants (measured round 2/3 on v5e):
-# the dense MXU product runs ~45 TFLOP/s effective (fp32 HIGHEST, incl.
-# densify scatters), the packed pair program ~0.15 Gpairs/s.  Dense wins
-# iff 2·m·k·n / DENSE_FLOPS < pairs / PACKED_PAIRS_PER_S; at the bench
-# densities the crossover sits near n ≈ 6k (see BASELINE.md spgemm_xl /
-# spgemm_crossover rows).
-_DENSE_FLOPS_PER_S = 45e12
-_PACKED_PAIRS_PER_S = 0.15e9
+# density-adaptive SpGEMM routing constants (re-measured late round 4 on
+# v5e): the dense densify+product+extract path runs ~23 TFLOP/s effective
+# (fp32 HIGHEST); the packed pair program's CSR-output apply
+# runs ~0.35 Gpairs/s now that the output permutation ships as a sort
+# (spgemm_crossover rows: 2.86 ms at 1.1 M pairs / 6.58 at 2.2 M — the
+# packed path beats densify-mxu at EVERY measured crossover point; the
+# dense product only wins in the small-n high-density corner).
+_DENSE_FLOPS_PER_S = 23e12  # measured: 5.84 ms for 2*4096^3 incl. extract
+_PACKED_PAIRS_PER_S = 0.35e9
 _DENSIFY_MAX_DENSE_ELEMS = 512 * 1024 * 1024  # 2 GB fp32 product cap
 
 
