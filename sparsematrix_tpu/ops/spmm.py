@@ -208,7 +208,7 @@ def _dg_pack_of(A: CSR):
 
     if isinstance(A.data, jax.core.Tracer):
         return None
-    if A.nnz < 4096 or A.nnz < 8 * A.shape[0]:
+    if A.nnz < 4096:
         return None
     key = id(A)
     entry = _DG_CACHE.get(key)
@@ -218,9 +218,45 @@ def _dg_pack_of(A: CSR):
 
     with jax.ensure_compile_time_eval():
         packed = pack_dualgather(A, k_tiles=1)
+    if packed.fill_rate < 0.05:
+        # a pathological pack (scattered low-degree rows) still beats the
+        # segsum reference ~anywhere, but below this floor the slab bytes
+        # explode 20×; keep the reference/densify routing instead.  Band-
+        # local and Poisson-like matrices pack at 0.5-0.9 regardless of
+        # nnz/row — the old `nnz < 8·rows` guard wrongly sent those to
+        # segsum (measured: the walk runs the 65k 5-point Laplacian k=8
+        # matmat in ≤31 µs).
+        packed = None
     ref = weakref.ref(A, lambda _u, k=key: _DG_CACHE.pop(k, None))
     _DG_CACHE[key] = (ref, packed)
     return packed
+
+
+_STRIP_CACHE: dict = {}
+
+
+def _strip_of(A: CSR):
+    """Cached StripDense conversion for band-local CSR (same rule as the
+    spmv auto path's `_maybe_strip`: window cap 2048, strip fill ≥ 0.25).
+    The strip batched-MXU SpMM measured 42.8 Gnnz/s on the banded bench
+    vs ~7 G for the walk — band-local multi-RHS should never fall through
+    to the slab machinery.  Misses are cached too (the band scan is one
+    O(nnz) pass, but spmm may be called per step)."""
+    import jax.core
+
+    if isinstance(A.data, jax.core.Tracer):
+        return None
+    key = id(A)
+    entry = _STRIP_CACHE.get(key)
+    if entry is not None and entry[0]() is A:
+        return entry[1]
+    from .spmv import _maybe_strip
+
+    with jax.ensure_compile_time_eval():
+        S = _maybe_strip(A)
+    ref = weakref.ref(A, lambda _u, k=key: _STRIP_CACHE.pop(k, None))
+    _STRIP_CACHE[key] = (ref, S)
+    return S
 
 
 _BSR_DENSE_CACHE: dict = {}
@@ -313,6 +349,11 @@ def spmm(A, X, method: str = "auto"):
             bd = _codebook_dense_of(A)
             if bd is not None:
                 return spmm(bd, X)  # fused dequant+GEMM kernel
+        if method == "auto" and type(A) is CSR and not _should_densify(A):
+            # band-local CSR: strip batched-MXU SpMM (42.8 G vs ~7 G walk)
+            S = _strip_of(A)
+            if S is not None:
+                return _spmm_strip_jnp(S, X)
         if (method == "auto" and type(A) is CSR and not _should_densify(A)
                 and X.shape[1] <= 64):
             # low-density multi-RHS gap: walk the dual-gather slab layout
