@@ -23,7 +23,7 @@ from sparsematrix_tpu.utils.timer import bench_chain_slope
 
 print("devices:", jax.devices())
 
-for nnz in (262_144, 1_048_576, 4_194_304):
+for nnz in (65_536, 131_072, 262_144, 524_288, 1_048_576):
     rng = np.random.default_rng(0)
     perm = rng.permutation(nnz)
     inv = np.empty(nnz, np.int64)

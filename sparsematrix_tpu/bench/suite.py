@@ -918,6 +918,7 @@ def bench_spgemm_xl(check=True, n=16384, density=0.001, **kw):
         want = (sa.astype(np.float64) @ sb.astype(np.float64)).tocsr()
         want.sort_indices()
     for label, layout in (("superblock", "superblock"),
+                          ("octet", "octet"),
                           ("rowlane", "rowlane")):
         t0 = time.time()
         pp = spgemm_plan_packed(A, B, layout=layout)
@@ -938,7 +939,7 @@ def bench_spgemm_xl(check=True, n=16384, density=0.001, **kw):
         r.sol_frac = r.nnz_per_s / sol
         r.extras = {"pack_seconds": pack_s, "c_nnz": pp.c_nnz}
         rows.append(r)
-        if label == "superblock":
+        if label in ("superblock", "octet"):
             # CSC-native output (C^T as CSR — the reference's
             # CopyTo(trans) convention): skips the c_nnz-element output
             # permutation that dominates the CSR row (measured 10.1×:
@@ -955,7 +956,7 @@ def bench_spgemm_xl(check=True, n=16384, density=0.001, **kw):
                 wantT.sort_indices()
                 got = np.asarray(fpc(pp, B.data))
                 checked = relative_check(got[: pp.c_nnz], wantT.data)
-            r = Row("spgemm_xl/superblock-csc",
+            r = Row(f"spgemm_xl/{label}-csc",
                     f"n={n},d={density},pairs={n_pairs},"
                     f"fill={pp.p_packed.fill_rate:.2f}",
                     res, nnz=n_pairs, checked=checked)

@@ -489,9 +489,21 @@ def spgemm_plan_packed(A: CSR, B: CSR, cluster: bool = True,
     P = sps.coo_matrix(
         (a_host[pa], (row_of, col_of)), shape=(p_rows, p_cols)
     ).tocsr()
-    if layout not in ("auto", "superblock", "rowlane", "dualgather"):
+    if layout not in ("auto", "superblock", "rowlane", "dualgather",
+                      "octet"):
         raise ValueError(f"unknown layout {layout!r}")
-    if layout == "dualgather":
+    if layout == "octet" or (layout == "auto" and cluster
+                             and plan.n_pairs <= 2 * p_rows):
+        # ~1 pair per C slot: the octet layout packs 8 tiles per slab
+        # (fill 0.47 vs 0.11 at the XL point — the superblock wastes 7/8
+        # sublane cells when rows carry one entry)
+        from ..kernels.spmv_octet import pack_octet
+
+        pk = dict(pack_kwargs)
+        pk.setdefault("group", 32)
+        pk.setdefault("k_octets", 64)
+        packed = pack_octet(CSR.from_scipy(P), **pk)
+    elif layout == "dualgather":
         from ..kernels.spmv_dualgather import pack_dualgather
 
         pk = dict(pack_kwargs)
@@ -525,8 +537,11 @@ def spgemm_plan_packed(A: CSR, B: CSR, cluster: bool = True,
 
 def _p_spmv(p_packed, x):
     """Dispatch the pair-program SpMV to the layout it was packed for."""
+    from ..kernels.spmv_octet import Octet, spmv_octet
     from ..kernels.spmv_superblock import SellSuperblock, spmv_superblock
 
+    if isinstance(p_packed, Octet):
+        return spmv_octet(p_packed, x)
     if isinstance(p_packed, SellSuperblock):
         return spmv_superblock(p_packed, x)
     from ..kernels.spmv_dualgather import DualGather, spmv_dualgather

@@ -1,0 +1,129 @@
+"""Octet-slab SpMV kernel (kernels/spmv_octet.py) vs oracle, packer
+invariants, and the spgemm octet layout."""
+import numpy as np
+import pytest
+import scipy.sparse as sps
+
+import jax
+import jax.numpy as jnp
+
+from sparsematrix_tpu.formats import CSR
+from sparsematrix_tpu.kernels.spmv_octet import (Octet, pack_octet,
+                                                 spmv_octet)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(11)
+
+
+@pytest.mark.parametrize("shape,density", [
+    ((3000, 5000), 0.0005),   # multi-window, multi-octet
+    ((2048, 2048), 0.002),
+    ((1100, 900), 0.001),     # odd shapes
+    ((5000, 3000), 0.01),     # deg ~30: depth stress
+])
+def test_octet_matches_oracle(rng, shape, density):
+    n, m = shape
+    sp = sps.random(n, m, density=density, random_state=1, format="csr",
+                    dtype=np.float32)
+    sp.data = rng.uniform(-10, 10, sp.nnz).astype(np.float32)
+    A = CSR.from_scipy(sp)
+    pk = pack_octet(A, k_octets=4)
+    x = rng.uniform(-1, 1, m).astype(np.float32)
+    got = np.asarray(spmv_octet(pk, jnp.asarray(x)))
+    want = sp.astype(np.float64) @ x
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=0.5)
+
+
+def test_octet_pack_invariants(rng):
+    """Every stored entry routes to exactly its (row, col); no clobbers
+    (the depth/slot assignment must place ALL nnz)."""
+    import sparsematrix_tpu.kernels.spmv_octet as OC
+
+    sp = sps.random(2000, 3000, density=0.001, random_state=2,
+                    format="csr", dtype=np.float32)
+    sp.data = rng.uniform(1, 2, sp.nnz).astype(np.float32)  # no zeros
+    pk = pack_octet(CSR.from_scipy(sp), k_octets=2)
+    row, col = OC._slot_row_col(pk)
+    vals4 = np.asarray(pk.vals).reshape(pk.vals.shape[0], pk.group, 8,
+                                        128)
+    mask = vals4 != 0
+    assert mask.sum() == sp.nnz  # nothing dropped
+    rec = sps.coo_matrix(
+        (vals4[mask], (np.asarray(row)[mask], np.asarray(col)[mask])),
+        shape=(max(int(np.asarray(row)[mask].max()) + 1, 2000),
+               max(int(np.asarray(col)[mask].max()) + 1, 3000))).tocsr()
+    np.testing.assert_allclose(rec[:2000, :3000].toarray(), sp.toarray(),
+                               rtol=1e-6)
+
+
+def test_octet_vjp(rng):
+    sp = sps.random(1024, 1024, density=0.01, random_state=2,
+                    format="csr", dtype=np.float32)
+    sp.data = rng.uniform(-2, 2, sp.nnz).astype(np.float32)
+    pk = pack_octet(CSR.from_scipy(sp), k_octets=1)
+    x = jnp.asarray(rng.uniform(-1, 1, 1024).astype(np.float32))
+    gX = jax.grad(lambda xx: spmv_octet(pk, xx).sum())(x)
+    want = sp.T.astype(np.float64) @ np.ones(1024)
+    np.testing.assert_allclose(np.asarray(gX), want, rtol=2e-3, atol=0.5)
+    # vals cotangent finite + zero on padding
+    import dataclasses
+
+    gv = jax.grad(lambda v: spmv_octet(
+        dataclasses.replace(pk, vals=v), x).sum())(pk.vals)
+    gv = np.asarray(gv)
+    assert np.isfinite(gv).all()
+    assert (gv[np.asarray(pk.vals) == 0] == 0).all()
+
+
+def test_octet_empty():
+    A = CSR.fromdense(jnp.zeros((64, 64), jnp.float32))
+    pk = pack_octet(A)
+    y = np.asarray(spmv_octet(pk, jnp.ones(64, jnp.float32)))
+    assert (y == 0).all()
+
+
+def test_spgemm_octet_layout_matches(rng):
+    """spgemm packed on the octet layout == superblock layout == oracle
+    (csr AND csc outputs)."""
+    from sparsematrix_tpu.ops.spgemm import (spgemm_apply_packed,
+                                             spgemm_apply_packed_csc,
+                                             spgemm_plan_packed)
+
+    n = 600
+    sa = sps.random(n, n, density=0.004, random_state=3, format="csr",
+                    dtype=np.float32)
+    sb = sps.random(n, n, density=0.004, random_state=4, format="csr",
+                    dtype=np.float32)
+    sa.data = rng.uniform(-10, 10, sa.nnz).astype(np.float32)
+    sb.data = rng.uniform(-10, 10, sb.nnz).astype(np.float32)
+    A, B = CSR.from_scipy(sa), CSR.from_scipy(sb)
+    pp_o = spgemm_plan_packed(A, B, layout="octet", group=4, k_octets=2)
+    pp_s = spgemm_plan_packed(A, B, layout="superblock")
+    assert isinstance(pp_o.p_packed, Octet)
+    want = (sa.astype(np.float64) @ sb.astype(np.float64)).tocsr()
+    want.sort_indices()
+    got_o = np.asarray(spgemm_apply_packed(pp_o, B.data).data)
+    got_s = np.asarray(spgemm_apply_packed(pp_s, B.data).data)
+    np.testing.assert_allclose(got_o[: pp_o.c_nnz], want.data, rtol=2e-3,
+                               atol=1e-3)
+    np.testing.assert_allclose(got_o[: pp_o.c_nnz], got_s[: pp_s.c_nnz],
+                               rtol=1e-5, atol=1e-5)
+    wantT = want.T.tocsr()
+    wantT.sort_indices()
+    got_c = np.asarray(spgemm_apply_packed_csc(pp_o, B.data).data)
+    np.testing.assert_allclose(got_c[: pp_o.c_nnz], wantT.data, rtol=2e-3,
+                               atol=1e-3)
+
+
+def test_spgemm_auto_picks_octet_for_low_pair_density(rng):
+    from sparsematrix_tpu.ops.spgemm import spgemm_plan_packed
+
+    n = 800
+    sa = sps.random(n, n, density=0.002, random_state=5, format="csr",
+                    dtype=np.float32)
+    sb = sps.random(n, n, density=0.002, random_state=6, format="csr",
+                    dtype=np.float32)
+    pp = spgemm_plan_packed(CSR.from_scipy(sa), CSR.from_scipy(sb))
+    assert isinstance(pp.p_packed, Octet)  # pairs/slot ~1 → octet
