@@ -150,7 +150,7 @@ def spgemm_apply(plan: SpGEMMPlan, a_data, b_data) -> CSR:
 # packed path beats densify-mxu at EVERY measured crossover point; the
 # dense product only wins in the small-n high-density corner).
 _DENSE_FLOPS_PER_S = 23e12  # measured: 5.84 ms for 2*4096^3 incl. extract
-_PACKED_PAIRS_PER_S = 0.35e9
+_PACKED_PAIRS_PER_S = 0.4e9
 _DENSIFY_MAX_DENSE_ELEMS = 512 * 1024 * 1024  # 2 GB fp32 product cap
 
 
