@@ -217,7 +217,8 @@ class DistSpGEMMPacked:
 
 def dist_spgemm_packed_plan(A: CSR, B: CSR, n_shards: int,
                             group: int = 16,
-                            k_tiles: int = 16) -> DistSpGEMMPacked:
+                            k_tiles: int = 16,
+                            layout: str = "auto") -> DistSpGEMMPacked:
     """k-split symbolic phase + per-band superblock pair packs (host).
 
     Rows of every band's pair matrix live in the GLOBAL CSC-ordered C
@@ -253,9 +254,14 @@ def dist_spgemm_packed_plan(A: CSR, B: CSR, n_shards: int,
     cg = np.full(c_nnz, c_nnz, np.int64)
     cg[: len(rank_r)] = rank_r
 
+    from ..ops.spgemm import _estimate_pairs
+
+    packer = _band_packer(layout, _estimate_pairs(A, B), c_nnz, group,
+                          k_tiles)
     built, src_arrs = _kband_programs(sa, sb, n_shards, group, k_tiles,
-                                      key_c, rank_r, c_nnz, B.nnz)
-    p_stack, src = _stack_superblocks(built, src_arrs)
+                                      key_c, rank_r, c_nnz, B.nnz,
+                                      packer=packer)
+    p_stack, src = _stack_packs(built, src_arrs)
 
     # C^T structure (slots in the kernel's native CSC order)
     ct_counts = np.bincount(c_indices, minlength=n)
@@ -291,8 +297,31 @@ def dist_spgemm_packed_plan(A: CSR, B: CSR, n_shards: int,
     )
 
 
+def _band_packer(layout, n_pairs, c_nnz, group, k_tiles):
+    """Resolve the per-band pair-program packer: the octet layout when
+    rows carry ~1 pair (same rule as the single-chip auto; measured 8.5×
+    the superblock kernel at the XL point), else superblock."""
+    if layout not in ("auto", "superblock", "octet"):
+        raise ValueError(f"unknown layout {layout!r}")
+    use_octet = (layout == "octet"
+                 or (layout == "auto" and n_pairs <= 2 * max(c_nnz, 1)))
+    if use_octet:
+        from ..kernels.spmv_octet import pack_octet
+
+        return lambda csr: pack_octet(csr, group=32, k_octets=64)
+    return None  # _kband_programs defaults to pack_superblock
+
+
+def _stack_packs(built, src_arrs):
+    from ..kernels.spmv_octet import Octet
+
+    if isinstance(built[0], Octet):
+        return _stack_octets(built, src_arrs)
+    return _stack_superblocks(built, src_arrs)
+
+
 def _kband_programs(sa, sb, n_shards, group, k_tiles, key_c, rank_r,
-                    c_rows_pad, b_nnz_global):
+                    c_rows_pad, b_nnz_global, packer=None):
     """Per-k-band superblock pair programs against a padded C row space.
 
     ``key_c``/``rank_r`` define the caller's C slot ordering (CSC rank);
@@ -305,6 +334,9 @@ def _kband_programs(sa, sb, n_shards, group, k_tiles, key_c, rank_r,
     from ..kernels.spmv_superblock import pack_superblock
     from ..ops.spgemm import _color_b_ranks
 
+    if packer is None:
+        packer = lambda csr: pack_superblock(csr, group=group,
+                                             k_tiles=k_tiles)
     m, k = sa.shape
     n = sb.shape[1]
     band = -(-k // n_shards)
@@ -372,10 +404,56 @@ def _kband_programs(sa, sb, n_shards, group, k_tiles, key_c, rank_r,
         src[alloc] = np.arange(bnnz) + goff  # global B entry ids
         P = sps.coo_matrix((av, (row_of, alloc[pb_v])),
                            shape=(c_rows_pad, p_cols)).tocsr()
-        built.append(pack_superblock(CSR.from_scipy(P.astype(np.float32)),
-                                     group=group, k_tiles=k_tiles))
+        built.append(packer(CSR.from_scipy(P.astype(np.float32))))
         src_arrs.append(src)
     return built, src_arrs
+
+
+def _stack_octets(built, src_arrs):
+    """Stack Octet packs on a leading device axis (pad groups with
+    zero-val slabs continuing the last superblock; commit recomputed so
+    the final padded group still commits its super)."""
+    import numpy as np
+
+    n_groups = max(p.pos.shape[0] for p in built)
+    stacked = {}
+    for field in ("pos", "chk", "route", "vals", "group_super",
+                  "slab_win", "slab_oloc"):
+        arrs = []
+        for p in built:
+            a = np.asarray(getattr(p, field))
+            if field == "group_super":
+                out = np.full((n_groups,) + a.shape[1:],
+                              a[-1] if len(a) else 0, a.dtype)
+                out[: a.shape[0]] = a
+            else:
+                out = np.zeros((n_groups,) + a.shape[1:], a.dtype)
+                out[: a.shape[0]] = a
+            arrs.append(out)
+        stacked[field] = jnp.asarray(np.stack(arrs))
+    gs = np.asarray(stacked["group_super"])
+    commit = np.zeros(gs.shape, np.int32)
+    last = np.concatenate([gs[:, 1:] != gs[:, :-1],
+                           np.ones((gs.shape[0], 1), bool)], axis=1)
+    commit[last] = 1
+    p0 = built[0]
+    p_stack = dataclasses.replace(
+        p0, nnz=0, splits=(),
+        pos=stacked["pos"], chk=stacked["chk"], route=stacked["route"],
+        vals=stacked["vals"], group_super=stacked["group_super"],
+        slab_win=stacked["slab_win"], slab_oloc=stacked["slab_oloc"],
+        commit=jnp.asarray(commit))
+    return p_stack, np.stack(src_arrs)
+
+
+def _local_pair_spmv(local, x):
+    """Per-shard pair-program SpMV dispatch (superblock or octet)."""
+    from ..kernels.spmv_octet import Octet, spmv_octet
+    from ..kernels.spmv_superblock import spmv_superblock
+
+    if isinstance(local, Octet):
+        return spmv_octet(local, x)
+    return spmv_superblock(local, x)
 
 
 def _stack_superblocks(built, src_arrs):
@@ -437,8 +515,6 @@ def dist_spgemm_packed_apply(plan: DistSpGEMMPacked, mesh: Mesh,
                              axis_name: str = "shard") -> CSR:
     """Numeric phase: per-shard superblock pair-program SpMV + psum
     (jittable; accepts new B values like spgemm_apply_packed)."""
-    from ..kernels.spmv_superblock import spmv_superblock
-
     bv = plan.b_data if b_data is None else b_data
 
     @functools.partial(
@@ -451,7 +527,7 @@ def dist_spgemm_packed_apply(plan: DistSpGEMMPacked, mesh: Mesh,
         local = jax.tree_util.tree_map(lambda a: a[0], p_local)
         x = jnp.concatenate([bvals, jnp.zeros((1,), bvals.dtype)]
                             )[src_local[0]]
-        y = spmv_superblock(local, x)
+        y = _local_pair_spmv(local, x)
         return jax.lax.psum(y, axis_name)
 
     y = run(plan.p_stack, plan.src, bv)
@@ -471,8 +547,6 @@ def dist_spgemm_packed_apply_csc(plan: DistSpGEMMPacked, mesh: Mesh,
     NATIVE slot order, skipping the c_nnz output permutation that
     dominates the CSR-output apply (10.2× measured single-chip,
     benchmarks/probe_spgemm_xl.py; same ~6.7 ns/element gather here)."""
-    from ..kernels.spmv_superblock import spmv_superblock
-
     bv = plan.b_data if b_data is None else b_data
 
     @functools.partial(
@@ -485,7 +559,7 @@ def dist_spgemm_packed_apply_csc(plan: DistSpGEMMPacked, mesh: Mesh,
         local = jax.tree_util.tree_map(lambda a: a[0], p_local)
         x = jnp.concatenate([bvals, jnp.zeros((1,), bvals.dtype)]
                             )[src_local[0]]
-        y = spmv_superblock(local, x)
+        y = _local_pair_spmv(local, x)
         return jax.lax.psum(y, axis_name)
 
     y = run(plan.p_stack, plan.src, bv)
@@ -539,7 +613,8 @@ class DistSpGEMM2D:
 
 def dist_spgemm_packed_plan_2d(A: CSR, B: CSR, n_row: int, n_k: int,
                                group: int = 16,
-                               k_tiles: int = 16) -> DistSpGEMM2D:
+                               k_tiles: int = 16,
+                               layout: str = "auto") -> DistSpGEMM2D:
     """Host symbolic phase for the (row × k) 2-D mesh (see module note)."""
     sa = A.to_scipy().tocsr()
     sb = B.to_scipy().tocsr()
@@ -562,6 +637,10 @@ def dist_spgemm_packed_plan_2d(A: CSR, B: CSR, n_row: int, n_k: int,
                     - c_indptr[min(i * band_m, m)]) for i in range(n_row)]
     c_band_pad = max(max(band_nnz), 1)
 
+    from ..ops.spgemm import _estimate_pairs
+
+    packer2d = _band_packer(layout, _estimate_pairs(A, B), c_nnz, group,
+                            k_tiles)
     built_all, src_all = [], []
     gather = np.full(c_nnz, n_row * c_band_pad, np.int64)  # sentinel → 0
     ct_indptr = np.zeros((n_row, n + 1), np.int64)
@@ -582,7 +661,7 @@ def dist_spgemm_packed_plan_2d(A: CSR, B: CSR, n_row: int, n_k: int,
         rank_r_i[order_r_i] = np.arange(len(order_r_i))
         built, srcs = _kband_programs(sa_i, sb, n_k, group, k_tiles,
                                       key_c_i, rank_r_i, c_band_pad,
-                                      B.nnz)
+                                      B.nnz, packer=packer2d)
         built_all += built
         src_all += srcs
         e0 = int(c_indptr[r0])
@@ -593,14 +672,17 @@ def dist_spgemm_packed_plan_2d(A: CSR, B: CSR, n_row: int, n_k: int,
         ct_indices[i, : pat_i.nnz] = rows_i[order_r_i]  # band-local rows
         ct_row_ids[i, : pat_i.nnz] = cols_i[order_r_i]
 
-    p_flat, src_flat = _stack_superblocks(built_all, src_all)
-    reshape = lambda a: jnp.asarray(a).reshape((n_row, n_k) + a.shape[1:])
-    p_stack = dataclasses.replace(
-        p_flat,
-        s_idx=reshape(p_flat.s_idx), vals=reshape(p_flat.vals),
-        group_super=reshape(p_flat.group_super),
-        slab_win=reshape(p_flat.slab_win),
-        slab_tloc=reshape(p_flat.slab_tloc))
+    p_flat, src_flat = _stack_packs(built_all, src_all)
+    # reshape every stacked array leaf to (n_row, n_k, ...) — generic
+    # over the pack family (superblock s_idx/... or octet pos/chk/...)
+    upd = {}
+    for fld in dataclasses.fields(p_flat):
+        val = getattr(p_flat, fld.name)
+        if (hasattr(val, "shape") and getattr(val, "ndim", 0) >= 1
+                and val.shape[0] == n_row * n_k):
+            upd[fld.name] = jnp.asarray(val).reshape(
+                (n_row, n_k) + val.shape[1:])
+    p_stack = dataclasses.replace(p_flat, **upd)
 
     idt = default_index_dtype
     return DistSpGEMM2D(
@@ -657,8 +739,6 @@ def dist_spgemm_packed_apply_2d(plan: DistSpGEMM2D, mesh: Mesh,
                                 b_data=None) -> CSR:
     """Numeric phase on the ('row','k') mesh: per-device superblock pair
     program + psum over 'k' only; C data lands row-sharded (jittable)."""
-    from ..kernels.spmv_superblock import spmv_superblock
-
     bv = plan.b_data if b_data is None else b_data
 
     @functools.partial(
@@ -671,7 +751,7 @@ def dist_spgemm_packed_apply_2d(plan: DistSpGEMM2D, mesh: Mesh,
         local = jax.tree_util.tree_map(lambda a: a[0, 0], p_local)
         x = jnp.concatenate([bvals, jnp.zeros((1,), bvals.dtype)]
                             )[src_local[0, 0]]
-        y = spmv_superblock(local, x)
+        y = _local_pair_spmv(local, x)
         return jax.lax.psum(y, "k")[None]
 
     y = run(plan.p_stack, plan.src, bv)  # (n_row, c_band_pad)
@@ -700,8 +780,6 @@ def dist_spgemm_packed_apply_2d_csc(plan: DistSpGEMM2D, mesh: Mesh,
     """
     from .partition import PartitionedCSR
 
-    from ..kernels.spmv_superblock import spmv_superblock
-
     m, n = plan.shape
     bv = plan.b_data if b_data is None else b_data
 
@@ -715,7 +793,7 @@ def dist_spgemm_packed_apply_2d_csc(plan: DistSpGEMM2D, mesh: Mesh,
         local = jax.tree_util.tree_map(lambda a: a[0, 0], p_local)
         x = jnp.concatenate([bvals, jnp.zeros((1,), bvals.dtype)]
                             )[src_local[0, 0]]
-        y = spmv_superblock(local, x)
+        y = _local_pair_spmv(local, x)
         return jax.lax.psum(y, "k")[None]
 
     y = run(plan.p_stack, plan.src, bv)  # (n_row, c_band_pad), row-sharded

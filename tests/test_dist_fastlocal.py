@@ -323,3 +323,39 @@ def test_dist_spgemm_packed_2d_csc_output(rng):
     C = dist_spgemm_packed_apply_2d(plan, mesh)
     np.testing.assert_allclose(np.asarray(ct.T.todense()),
                                np.asarray(C.todense()), rtol=1e-6)
+
+
+def test_dist_spgemm_packed_layouts(rng):
+    """Auto picks the octet stack at ~1 pair/slot; forcing superblock
+    still matches; both equal the oracle."""
+    import scipy.sparse as sps
+
+    from sparsematrix_tpu.kernels.spmv_octet import Octet
+    from sparsematrix_tpu.kernels.spmv_superblock import SellSuperblock
+    from sparsematrix_tpu.parallel import (dist_spgemm_packed_apply,
+                                           dist_spgemm_packed_plan,
+                                           shard_dist_spgemm_packed)
+
+    n = 512
+    sa = sps.random(n, n, density=0.02, random_state=13, format="csr",
+                    dtype=np.float32)
+    sb = sps.random(n, n, density=0.02, random_state=14, format="csr",
+                    dtype=np.float32)
+    sa.data = rng.uniform(-5, 5, sa.nnz).astype(np.float32)
+    sb.data = rng.uniform(-5, 5, sb.nnz).astype(np.float32)
+    A, B = CSR.from_scipy(sa), CSR.from_scipy(sb)
+    mesh = _mesh(4)
+    want = (sa.astype(np.float64) @ sb.astype(np.float64)).tocsr()
+    want.sort_indices()
+    outs = {}
+    for layout, cls in (("auto", Octet), ("superblock", SellSuperblock)):
+        plan = shard_dist_spgemm_packed(
+            dist_spgemm_packed_plan(A, B, n_shards=4, group=4, k_tiles=8,
+                                    layout=layout), mesh)
+        assert isinstance(plan.p_stack, cls)
+        C = dist_spgemm_packed_apply(plan, mesh)
+        got = np.asarray(C.data)[: plan.c_nnz]
+        np.testing.assert_allclose(got, want.data, rtol=2e-3, atol=1e-3)
+        outs[layout] = got
+    np.testing.assert_allclose(outs["auto"], outs["superblock"],
+                               rtol=1e-5, atol=1e-5)
