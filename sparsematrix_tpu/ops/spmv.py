@@ -218,12 +218,24 @@ def prepare_spmv(A: "CSR", layout: str = "auto", **pack_kwargs):
         from ..formats import StripDense
 
         return StripDense.from_csr(A, **pack_kwargs)
+    if layout == "octet":
+        from ..kernels.spmv_octet import pack_octet
+
+        return pack_octet(A, **pack_kwargs)
     if layout not in ("auto", "rowlane"):
         raise ValueError(f"unknown layout {layout!r}")
     if layout == "auto" and not pack_kwargs:
         strip = _maybe_strip(A)
         if strip is not None:
             return strip
+        if A.nnz <= 2 * A.shape[0] and A.shape[0] >= 2048:
+            # ≲2 entries/row: every tile-keyed slab wastes ≥6/8 sublane
+            # cells; the octet layout spans 8 tiles per slab (see
+            # kernels/spmv_octet.py — the SpGEMM pair-program kernel,
+            # 8.5× the superblock at ~1 entry/row)
+            from ..kernels.spmv_octet import pack_octet
+
+            return pack_octet(A)
     if layout == "auto":
         # dual-gather is the measured-best unstructured layout (XL point:
         # fp32 55.1 vs rowlane 34.5 Gnnz/s, bf16 74.7 vs 44.6 — see
@@ -332,11 +344,14 @@ def spmv(A, x):
         spmv_sell_rowpure,
     )
     from ..kernels.spmv_dualgather import DualGather, spmv_dualgather
+    from ..kernels.spmv_octet import Octet, spmv_octet
     from ..kernels.spmv_rowlane import SellRowLane, spmv_sell_rowlane
     from ..kernels.spmv_superblock import SellSuperblock, spmv_superblock
 
     if isinstance(A, DualGather):
         return spmv_dualgather(A, x)
+    if isinstance(A, Octet):
+        return spmv_octet(A, x)
     if isinstance(A, SellRowLane):
         return spmv_sell_rowlane(A, x)
     if isinstance(A, SellSuperblock):
@@ -368,6 +383,10 @@ def spmv(A, x):
                 return spmv_superblock(packed, x)
             if isinstance(packed, StripDense):
                 return _spmv_strip_jnp(packed, x)
+            from ..kernels.spmv_octet import Octet, spmv_octet
+
+            if isinstance(packed, Octet):
+                return spmv_octet(packed, x)
             if packed is not None:
                 return spmv_sell_rowlane(packed, x)
         from ..kernels import spmv_pallas

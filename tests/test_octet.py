@@ -127,3 +127,20 @@ def test_spgemm_auto_picks_octet_for_low_pair_density(rng):
                     dtype=np.float32)
     pp = spgemm_plan_packed(CSR.from_scipy(sa), CSR.from_scipy(sb))
     assert isinstance(pp.p_packed, Octet)  # pairs/slot ~1 → octet
+
+
+def test_prepare_spmv_auto_octet(rng):
+    """prepare_spmv auto routes ≲2-entry/row matrices to the octet pack;
+    spmv dispatches it."""
+    from sparsematrix_tpu.ops.spmv import prepare_spmv, spmv
+
+    sp = sps.random(4096, 4096, density=0.0004, random_state=1,
+                    format="csr", dtype=np.float32)
+    sp.data = rng.uniform(-5, 5, sp.nnz).astype(np.float32)
+    A = CSR.from_scipy(sp)
+    pk = prepare_spmv(A)
+    assert isinstance(pk, Octet)
+    x = rng.uniform(-1, 1, 4096).astype(np.float32)
+    got = np.asarray(spmv(pk, jnp.asarray(x)))
+    want = sp.astype(np.float64) @ x
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=0.5)
