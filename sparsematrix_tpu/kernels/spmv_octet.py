@@ -81,6 +81,38 @@ class Octet:
         return self.nnz / max(self.vals.size, 1)
 
 
+def _assign_native(ow, u, chunk, pos, lane):
+    """Native one-pass depth+slot assignment (codec.cc:
+    smtpu_assign_octet); returns (d, m) or None when unavailable."""
+    from .. import native as native_mod
+
+    lib = native_mod.get_lib()
+    if lib is None or not hasattr(lib, "smtpu_assign_octet") or not len(ow):
+        return None
+    import ctypes
+
+    ow_c = np.ascontiguousarray(ow, np.int64)
+    u_c = np.ascontiguousarray(u, np.int32)
+    l_c = np.ascontiguousarray(lane, np.int32)
+    c_c = np.ascontiguousarray(chunk, np.int32)
+    p_c = np.ascontiguousarray(pos, np.int32)
+    out_d = np.empty(len(ow), np.int32)
+    out_m = np.empty(len(ow), np.int8)
+    rc = lib.smtpu_assign_octet(
+        ow_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        u_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        l_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        c_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        p_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(ow), int(ow_c.max()) + 1,
+        out_d.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_m.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+    )
+    if rc < 0:
+        return None
+    return out_d.astype(np.int64), out_m.astype(np.int64)
+
+
 def _assign_slots(ow, d, u, chunk, pos, lane, n_rounds=200):
     """Per-entry middle slot ``m``: distinct within (slab, u), and the
     (slab, chunk, m) pos-plane cell must agree on ``pos``.
@@ -198,28 +230,32 @@ def pack_octet(csr: CSR, group: int = 8, k_octets: int = 32,
     # depth: occurrence rank within the (ow, u, l) cell (row degree
     # inside the window — the only structural depth); then slot
     # assignment, bumping unplaceable entries one depth deeper
-    key_cell = (ow * 8 + u) * _LANES + lane
-    order = np.argsort(key_cell, kind="stable")
-    base = np.zeros(nnz, np.int64)
-    ks = key_cell[order]
-    newgrp = np.concatenate([[True], ks[1:] != ks[:-1]])
-    gid = np.cumsum(newgrp) - 1
-    first_idx = np.zeros(gid[-1] + 1, np.int64)
-    first_idx[gid[newgrp]] = np.flatnonzero(newgrp)
-    base[order] = np.arange(nnz) - first_idx[gid]
-    # bump unit > any cell rank, so stuck entries move to strictly
-    # deeper slabs without ever colliding with a cell-mate's depth (a
-    # per-cell re-rank would reset singleton bumps — measured livelock)
-    big = int(base.max()) + 1
-    extra = np.zeros(nnz, np.int64)
-    for _attempt in range(64):
-        d = base + extra
-        m, overflow = _assign_slots(ow, d, u, chunk, pos, lane)
-        if not overflow.any():
-            break
-        extra = extra + big * overflow
+    native = _assign_native(ow, u, chunk, pos, lane)
+    if native is not None:
+        d, m = native
     else:
-        raise RuntimeError("octet slot assignment did not converge")
+        key_cell = (ow * 8 + u) * _LANES + lane
+        order = np.argsort(key_cell, kind="stable")
+        base = np.zeros(nnz, np.int64)
+        ks = key_cell[order]
+        newgrp = np.concatenate([[True], ks[1:] != ks[:-1]])
+        gid = np.cumsum(newgrp) - 1
+        first_idx = np.zeros(gid[-1] + 1, np.int64)
+        first_idx[gid[newgrp]] = np.flatnonzero(newgrp)
+        base[order] = np.arange(nnz) - first_idx[gid]
+        # bump unit > any cell rank, so stuck entries move to strictly
+        # deeper slabs without colliding with a cell-mate's depth (a
+        # per-cell re-rank resets singleton bumps — measured livelock)
+        big = int(base.max()) + 1
+        extra = np.zeros(nnz, np.int64)
+        for _attempt in range(64):
+            d = base + extra
+            m, overflow = _assign_slots(ow, d, u, chunk, pos, lane)
+            if not overflow.any():
+                break
+            extra = extra + big * overflow
+        else:
+            raise RuntimeError("octet slot assignment did not converge")
 
     # slab ids ordered by (octet, w, d)
     dmax = int(d.max()) + 1

@@ -105,5 +105,10 @@ def get_lib():
             c_i64p, c_i32p, c_i32p, c_i32p, c_long, c_long,
             c_i32p, c_i8p,
         ]
+        lib.smtpu_assign_octet.restype = c_long
+        lib.smtpu_assign_octet.argtypes = [
+            c_i64p, c_i32p, c_i32p, c_i32p, c_i32p, c_long, c_long,
+            c_i32p, c_i8p,
+        ]
         _lib = lib
         return _lib
