@@ -49,7 +49,7 @@ from ..config import config
 from ..formats import CSR
 from ..formats.base import register_sparse_pytree
 
-__all__ = ["Octet", "pack_octet", "spmv_octet"]
+__all__ = ["Octet", "pack_octet", "spmv_octet", "spmm_octet"]
 
 _LANES = 128
 _ROWS_PER_OCTET = 1024
@@ -489,3 +489,119 @@ def _oct_bwd(res, g):
 
 
 spmv_octet.defvjp(_oct_fwd, _oct_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Multi-RHS walk over octet packs: the spmm_dualgather superblock pattern
+# (fori_loop per RHS column, slabs unrolled, per-column accumulator) with
+# the octet kernel's 3-stage routing and (8,128) block commits.
+# ---------------------------------------------------------------------------
+
+
+_KP_MM = 8  # columns per panel
+
+
+def _octet_mm_kernel(super_ref, win_ref, oloc_ref, commit_ref, pos_ref,
+                     chk_ref, rte_ref, vals_ref, xt_ref, o_ref, acc_ref,
+                     *, group: int, k_octets: int, kp: int):
+    g = pl.program_id(1)
+
+    @pl.when(jnp.logical_or(g == 0, super_ref[g] != super_ref[g - 1]))
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def col(j, carry):
+        for b in range(group):
+            w = win_ref[g * group + b]
+            pp = pos_ref[0, b * 8:(b + 1) * 8, :]
+            ck = chk_ref[0, b * 8:(b + 1) * 8, :]
+            rt = rte_ref[0, b * 8:(b + 1) * 8, :]
+            vv = vals_ref[0, b * 8:(b + 1) * 8, :]
+            xw = xt_ref[j, pl.ds(pl.multiple_of(w * 8, 8), 8), :]
+            t1 = jnp.take_along_axis(xw, pp, axis=1)
+            t2 = jnp.take_along_axis(t1, ck, axis=0)
+            gth = jnp.take_along_axis(t2, rt, axis=1)
+            prod = (vv * gth).astype(jnp.float32)
+            ol = oloc_ref[g * group + b]
+            base = j * (k_octets * 8) + ol * 8
+            acc_ref[pl.ds(base, 8), :] = acc_ref[pl.ds(base, 8), :] + prod
+        return carry
+
+    jax.lax.fori_loop(0, kp, col, 0)
+
+    @pl.when(commit_ref[g] == 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("group", "k_octets",
+                                             "n_super", "kp", "interpret"))
+def _octet_mm_call(group_super, slab_win, slab_oloc, commit, posP, chkP,
+                   rteP, vals, xt, *, group, k_octets, n_super, kp,
+                   interpret=False):
+    n_groups = posP.shape[0]
+    k_pad, S = xt.shape[0], xt.shape[1]
+    n_panels = k_pad // kp
+    plane = lambda: pl.BlockSpec((1, group * 8, _LANES),
+                                 lambda p, g, s, w, t, cm: (g, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_panels, n_groups),
+        in_specs=[plane(), plane(), plane(), plane(),
+                  pl.BlockSpec((kp, S, _LANES),
+                               lambda p, g, s, w, t, cm: (p, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((kp * k_octets * 8, _LANES),
+                               lambda p, g, s, w, t, cm: (
+                                   p * n_super + s[g], 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((kp * k_octets * 8, _LANES),
+                                   jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_octet_mm_kernel, group=group,
+                          k_octets=k_octets, kp=kp),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_panels * n_super * kp * k_octets * 8, _LANES), jnp.float32),
+        interpret=interpret,
+    )(group_super, slab_win.reshape(-1), slab_oloc.reshape(-1), commit,
+      posP, chkP, rteP, vals, xt)
+
+
+def spmm_octet(packed: Octet, X):
+    """``Y = A @ X`` over an octet pack (jittable; the spmv VJP pattern
+    is not wired here — use spmm_dualgather packs for training paths)."""
+    rows, cols = packed.shape
+    k = X.shape[1]
+    kp = min(_KP_MM, k)
+    k_pad = -(-k // kp) * kp
+    S = packed.n_win * 8
+    Xp = jnp.zeros((S * _LANES, k_pad), X.dtype).at[:cols, :k].set(X)
+    xt = Xp.T.reshape(k_pad, S, _LANES)
+    n_super = -(-packed.n_octets // packed.k_octets)
+    n_groups = packed.pos.shape[0]
+    bounds = [0, *packed.splits, n_groups]
+    rows_blk = packed.k_octets * _ROWS_PER_OCTET
+    y = jnp.zeros((n_super, k_pad, rows_blk), jnp.float32)
+    for g0, g1 in zip(bounds[:-1], bounds[1:]):
+        out = _octet_mm_call(
+            packed.group_super[g0:g1], packed.slab_win[g0:g1],
+            packed.slab_oloc[g0:g1], packed.commit[g0:g1],
+            packed.pos[g0:g1], packed.chk[g0:g1], packed.route[g0:g1],
+            packed.vals[g0:g1], xt, group=packed.group,
+            k_octets=packed.k_octets, n_super=n_super, kp=kp,
+            interpret=config.interpret(),
+        )
+        touched = (
+            jnp.zeros(n_super, bool)
+            .at[packed.group_super[g0:g1]]
+            .set(True)
+        )
+        out = out.reshape(k_pad // kp, n_super, kp, rows_blk)
+        out = jnp.where(touched[None, :, None, None], out, 0)
+        out = out.transpose(1, 0, 2, 3).reshape(n_super, k_pad, rows_blk)
+        y = y + out
+    y = y.transpose(0, 2, 1).reshape(n_super * rows_blk, k_pad)
+    return y[:rows, :k]

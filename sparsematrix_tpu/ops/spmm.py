@@ -319,6 +319,14 @@ def spmm(A, X, method: str = "auto"):
         raise ValueError(
             f"spmm: X shape {X.shape} incompatible with matrix {A.shape}"
         )
+    from ..kernels.spmm_dualgather import spmm_dualgather as _dg_mm
+    from ..kernels.spmv_dualgather import DualGather as _DG
+    from ..kernels.spmv_octet import Octet as _Oct, spmm_octet as _oct_mm
+
+    if isinstance(A, _DG):
+        return _dg_mm(A, X)  # packed layouts serve spmv AND spmm
+    if isinstance(A, _Oct):
+        return _oct_mm(A, X)
     if method == "densify":
         return spmm_densify(A, X)
     if type(A) in (Dense, QuantDense):

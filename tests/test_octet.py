@@ -144,3 +144,23 @@ def test_prepare_spmv_auto_octet(rng):
     got = np.asarray(spmv(pk, jnp.asarray(x)))
     want = sp.astype(np.float64) @ x
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=0.5)
+
+
+@pytest.mark.parametrize("k", [5, 8, 13])
+def test_spmm_octet(rng, k):
+    """Multi-RHS walk over an octet pack, via kernels API and via the
+    ops.spmm pack dispatch."""
+    from sparsematrix_tpu.kernels.spmv_octet import spmm_octet
+    from sparsematrix_tpu.ops.spmm import spmm
+
+    n, m = 2048, 2048
+    sp = sps.random(n, m, density=0.002, random_state=1, format="csr",
+                    dtype=np.float32)
+    sp.data = rng.uniform(-10, 10, sp.nnz).astype(np.float32)
+    pk = pack_octet(CSR.from_scipy(sp), k_octets=2)
+    X = rng.uniform(-1, 1, (m, k)).astype(np.float32)
+    want = sp.astype(np.float64) @ X
+    got = np.asarray(spmm_octet(pk, jnp.asarray(X)))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=0.5)
+    got2 = np.asarray(spmm(pk, jnp.asarray(X)))
+    np.testing.assert_allclose(got2, want, rtol=2e-3, atol=0.5)
