@@ -320,9 +320,17 @@ def pack_octet(csr: CSR, group: int = 8, k_octets: int = 32,
         start = 0
         while n_groups - start > max_groups:
             cut = start + max_groups
-            while (cut > start + 1
-                   and group_super[cut] == group_super[cut - 1]):
+            while cut > start and group_super[cut] == group_super[cut - 1]:
                 cut -= 1
+            if cut == start:
+                # one superblock's groups exceed the prefetch budget: a
+                # mid-superblock cut would strand the accumulator partial
+                # in a call whose commit flag lives in the next call
+                # (mirrors dualgather._sb_splits)
+                raise ValueError(
+                    "octet superblock exceeds the SMEM prefetch budget; "
+                    "use a smaller k_octets (fewer octets per "
+                    "accumulator) so commit boundaries come sooner")
             splits.append(cut)
             start = cut
     return Octet(

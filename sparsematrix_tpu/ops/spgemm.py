@@ -183,7 +183,13 @@ def spgemm(A: CSR, B: CSR, method: str = "auto",
     if output not in ("csr", "csc"):
         raise ValueError(f"unknown output {output!r}")
     if output == "csc":
-        # the packed clustered program is the only CSC-native path
+        # the packed clustered program is the only CSC-native path;
+        # honoring method="densify" here would silently re-order back
+        # through the very permutation "csc" exists to skip
+        if method == "densify":
+            raise ValueError(
+                'output="csc" implies the packed sparse path; '
+                'method="densify" cannot be honored (use output="csr")')
         pp = spgemm_plan_packed(A, B)
         return spgemm_apply_packed_csc(pp, B.data)
     m, k = A.shape

@@ -77,6 +77,37 @@ def test_octet_vjp(rng):
     assert (gv[np.asarray(pk.vals) == 0] == 0).all()
 
 
+def test_octet_superblock_over_budget_raises(rng, monkeypatch):
+    """A single superblock whose groups exceed the SMEM prefetch budget
+    must raise (a mid-superblock split would strand the accumulator
+    partial in a call whose commit flag lives in the next call)."""
+    import sparsematrix_tpu.kernels.spmv_dualgather as DG
+
+    monkeypatch.setattr(DG, "_SMEM_PREFETCH_BUDGET", 800)
+    # all rows in octet 0, entries spread over ~128 windows → ~128 slabs
+    # in ONE superblock (k_octets=1) → groups ≫ the patched budget
+    rows = rng.integers(0, 1024, size=100_000)
+    cols = rng.integers(0, 131072, size=rows.size)
+    vals = rng.uniform(1, 2, rows.size).astype(np.float32)
+    sp = sps.coo_matrix((vals, (rows, cols)),
+                        shape=(1024, 131072)).tocsr()
+    sp.sum_duplicates()
+    with pytest.raises(ValueError, match="SMEM prefetch budget"):
+        pack_octet(CSR.from_scipy(sp), k_octets=1)
+
+
+def test_spgemm_csc_densify_raises(rng):
+    """output="csc" implies the packed path; method="densify" must not be
+    silently ignored (ADVICE r4)."""
+    from sparsematrix_tpu.ops.spgemm import spgemm
+
+    sa = sps.random(256, 256, density=0.01, random_state=5, format="csr",
+                    dtype=np.float32)
+    A = CSR.from_scipy(sa)
+    with pytest.raises(ValueError, match="csc"):
+        spgemm(A, A, method="densify", output="csc")
+
+
 def test_octet_empty():
     A = CSR.fromdense(jnp.zeros((64, 64), jnp.float32))
     pk = pack_octet(A)
