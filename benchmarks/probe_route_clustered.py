@@ -8,7 +8,11 @@ routing with an on-chip measurement of both layouts on the test's exact
 generator, plus a SCATTERED control at the same degree (cols uniform over
 the full width) where octet was measured-best in round 4.
 
-Run: timeout 570 python benchmarks/probe_route_clustered.py
+Run (one case per invocation — each fresh kernel compile is 2-5 min
+through the remote-compile tunnel):
+  timeout 570 python benchmarks/probe_route_clustered.py <structure> <layout>
+structures: clustered-1win scattered clustered-4win
+layouts: dualgather dualgather-g128 octet
 """
 import sys
 import time
@@ -38,39 +42,36 @@ def build(tag, n, nnz, col_hi):
 
 
 n = 512 * 128
-structures = [
-    build("clustered-1win", n, 80_000, 1024),     # the test's generator
-    build("scattered", n, 80_000, n),             # octet's home regime
-    build("clustered-4win", n, 80_000, 4096),     # intermediate locality
-]
+col_hi = {"clustered-1win": 1024, "scattered": n, "clustered-4win": 4096}
 
 from sparsematrix_tpu.kernels.spmv_dualgather import pack_dualgather
 from sparsematrix_tpu.kernels.spmv_octet import pack_octet
 from sparsematrix_tpu.ops.spmv import spmv
 
-for tag, A, d in structures:
-    x = np.random.default_rng(1).uniform(-1, 1, n).astype(np.float32)
-    xj = jnp.asarray(x)
-    want = d.astype(np.float64) @ x
-    for lay, packer in [
-        ("dualgather-kt8", lambda A: pack_dualgather(A, k_tiles=8,
-                                                     two_win=True)),
-        ("dualgather-kt8-g128", lambda A: pack_dualgather(
-            A, k_tiles=8, two_win=True, group=128)),
-        ("octet", pack_octet),
-    ]:
-        try:
-            t0 = time.time()
-            p = packer(A)
-            pack_s = time.time() - t0
-            f = jax.jit(spmv)
-            y = np.asarray(f(p, xj))
-            err = np.max(np.abs(y - want)) / max(np.max(np.abs(want)), 1)
-            res = bench_fn_slope(f, p, xj, iters=6)
-            g = A.nnz / res.min_ms / 1e6
-            print(f"{tag:15s} {lay:20s} {res.min_ms*1e3:8.1f} us  "
-                  f"{g:6.2f} Gnnz/s  fill={p.fill_rate:.3f} "
-                  f"pack={pack_s:.1f}s  relerr={err:.2e}", flush=True)
-        except Exception as e:
-            print(f"{tag:15s} {lay:20s} FAILED {type(e).__name__}: "
-                  f"{str(e)[:200]}", flush=True)
+packers = {
+    "dualgather": lambda A: pack_dualgather(A, k_tiles=8, two_win=True),
+    "dualgather-g128": lambda A: pack_dualgather(A, k_tiles=8,
+                                                 two_win=True, group=128),
+    "octet": pack_octet,
+}
+
+tag, lay = sys.argv[1], sys.argv[2]
+tag, A, d = build(tag, n, 80_000, col_hi[tag])
+x = np.random.default_rng(1).uniform(-1, 1, n).astype(np.float32)
+xj = jnp.asarray(x)
+want = d.astype(np.float64) @ x
+try:
+    t0 = time.time()
+    p = packers[lay](A)
+    pack_s = time.time() - t0
+    f = jax.jit(spmv)
+    y = np.asarray(f(p, xj))
+    err = np.max(np.abs(y - want)) / max(np.max(np.abs(want)), 1)
+    res = bench_fn_slope(f, p, xj, iters=6)
+    g = A.nnz / res.min_ms / 1e6
+    print(f"{tag:15s} {lay:20s} {res.min_ms*1e3:8.1f} us  "
+          f"{g:6.2f} Gnnz/s  fill={p.fill_rate:.3f} "
+          f"pack={pack_s:.1f}s  relerr={err:.2e}", flush=True)
+except Exception as e:
+    print(f"{tag:15s} {lay:20s} FAILED {type(e).__name__}: "
+          f"{str(e)[:200]}", flush=True)

@@ -722,3 +722,124 @@ long smtpu_assign_octet(const int64_t* ow, const int32_t* u,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Euler-split edge coloring for the Clos-routed planned permutation
+// (ops/permute_clos.py).
+//
+// A REGULAR bipartite multigraph with all degrees == n_colors (a power
+// of two) is n_colors-edge-colorable (König); the Euler-split
+// construction halves the graph log2(n_colors) times: all degrees are
+// even at every level, so each connected edge subset decomposes into
+// closed walks, and taking alternate edges of each walk splits every
+// vertex's degree exactly in half.  Each level is O(E); total
+// O(E log n_colors).
+//
+// Used twice by the permutation planner: (1) the grid-level routing —
+// left = source row, right = destination row, n_colors = 1024 — whose
+// color is the intermediate column of the row-local/column-local/
+// row-local (Clos) decomposition; (2) the window-level middle-slot
+// assignment — left = dest sublane u, right = source sublane c,
+// n_colors = 128 — giving the POS/CH/RT planes of the 3-gather kernel
+// (kernels/permute_pallas.py), same addressing as the octet SpMV
+// (kernels/spmv_octet.py).  No reference analogue: the reference
+// permutes on the host (sparse-matrix.cc CopyTo scatter); on TPU the
+// planned device permutation is the engineered capability.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// left[e] in [0, n_left), right[e] in [0, n_right); every left vertex
+// must have degree exactly n_colors and every right vertex likewise
+// (n_edges == n_left*n_colors == n_right*n_colors); n_colors a power of
+// two.  Writes color[e] in [0, n_colors).  Returns 0, or -1 on invalid
+// input (non-regular / not a power of two).
+long smtpu_edge_color(const int32_t* left, const int32_t* right,
+                      long n_edges, long n_left, long n_right,
+                      long n_colors, int32_t* color) {
+  if (n_colors <= 0 || (n_colors & (n_colors - 1)) != 0) return -1;
+  if (n_edges != n_left * n_colors || n_edges != n_right * n_colors)
+    return -1;
+  const long n_vert = n_left + n_right;
+  if (n_colors == 1) {
+    for (long e = 0; e < n_edges; ++e) color[e] = 0;
+    return 0;
+  }
+  // adjacency: per vertex, the incident edge ids (each edge listed at
+  // its left vertex and at its right vertex).  Rebuilt per level over
+  // the level's edge order (bucketed by current color prefix).
+  std::vector<int32_t> cur_color(n_edges, 0);
+  std::vector<int64_t> adj_start(n_vert + 1);
+  std::vector<int32_t> adj_edge(2 * n_edges);
+  std::vector<int64_t> cursor(n_vert);
+  std::vector<uint8_t> used(n_edges);
+  // edge ids bucketed by color class, rebuilt per level
+  std::vector<int32_t> bucket(n_edges), bucket_next(n_edges);
+  std::vector<int64_t> class_start, class_cnt;
+  for (long e = 0; e < n_edges; ++e) bucket[e] = (int32_t)e;
+  long n_classes = 1;
+  long deg = n_colors;  // degree of every vertex within each class
+  std::vector<int64_t> cls_off(2);
+  cls_off[0] = 0; cls_off[1] = n_edges;
+  while (deg > 1) {
+    // split every class: walk closed trails, alternate edges
+    std::fill(used.begin(), used.end(), 0);
+    for (long cls = 0; cls < n_classes; ++cls) {
+      const int64_t lo = cls_off[cls], hi = cls_off[cls + 1];
+      // build adjacency for this class
+      std::fill(adj_start.begin(), adj_start.end(), 0);
+      for (int64_t i = lo; i < hi; ++i) {
+        const int32_t e = bucket[i];
+        adj_start[left[e] + 1]++;
+        adj_start[n_left + right[e] + 1]++;
+      }
+      for (long v = 0; v < n_vert; ++v) adj_start[v + 1] += adj_start[v];
+      for (long v = 0; v < n_vert; ++v) cursor[v] = adj_start[v];
+      for (int64_t i = lo; i < hi; ++i) {
+        const int32_t e = bucket[i];
+        adj_edge[cursor[left[e]]++] = e;
+        adj_edge[cursor[n_left + right[e]]++] = e;
+      }
+      for (long v = 0; v < n_vert; ++v) cursor[v] = adj_start[v];
+      // closed-trail decomposition: from any vertex with an unused
+      // edge, greedily walk until stuck (even degrees => stuck only at
+      // the start), alternating the split bit along the trail.  Each
+      // visit to a vertex consumes one in-edge and one out-edge with
+      // opposite bits, so every vertex's class degree splits evenly.
+      for (int64_t i = lo; i < hi; ++i) {
+        const int32_t e0 = bucket[i];
+        if (used[e0]) continue;
+        long v = left[e0];  // start of a new closed trail
+        int bit = 0;
+        while (true) {
+          // next unused incident edge of v in this class
+          int32_t e = -1;
+          while (cursor[v] < adj_start[v + 1]) {
+            const int32_t cand = adj_edge[cursor[v]];
+            if (!used[cand]) { e = cand; break; }
+            cursor[v]++;
+          }
+          if (e < 0) break;  // trail closed
+          used[e] = 1;
+          cur_color[e] = (int32_t)((cur_color[e] << 1) | bit);
+          bit ^= 1;
+          v = (v == left[e]) ? (long)(n_left + right[e]) : (long)left[e];
+        }
+      }
+    }
+    // re-bucket by the new (doubled) class count via counting sort
+    deg >>= 1;
+    n_classes <<= 1;
+    cls_off.assign(n_classes + 1, 0);
+    for (long e = 0; e < n_edges; ++e) cls_off[cur_color[e] + 1]++;
+    for (long c = 0; c < n_classes; ++c) cls_off[c + 1] += cls_off[c];
+    std::vector<int64_t> pos(cls_off.begin(), cls_off.end() - 1);
+    for (long e = 0; e < n_edges; ++e)
+      bucket_next[pos[cur_color[e]]++] = (int32_t)e;
+    bucket.swap(bucket_next);
+  }
+  for (long e = 0; e < n_edges; ++e) color[e] = cur_color[e];
+  return 0;
+}
+
+}  // extern "C"
