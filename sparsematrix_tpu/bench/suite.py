@@ -1647,12 +1647,27 @@ def bench_codebook_gemm(check=True, density=0.25, **kw):
         return jax.jit(lambda aa, cc: add_mat_mat_int8(aa, b_q, cc, 1.0, 1.0))
 
     all_variants["int8-gemm"] = _int8_variant
+
+    def _int16_variant():
+        # int16 activations (the exact cblas_wgemm_plus signature,
+        # cblas.h:252-257): hi/lo byte-split double-pump of the int8 MXU
+        # (ops/quantized.py add_mat_mat_int16) — 2 integer passes for a
+        # 256x finer activation grid; residual error is the int8 TABLE
+        # quantization, so it is judged at the bf16-grade tolerance
+        from ..ops.quantized import add_mat_mat_int16
+
+        b_q = quantize_codebook(b_dns)
+        return jax.jit(
+            lambda aa, cc: add_mat_mat_int16(aa, b_q, cc, 1.0, 1.0))
+
+    all_variants["int16-gemm"] = _int16_variant
     names = kw.get("variants") or ("csr-auto", "dense-dequant",
                                    "dense-dequant-bf16", "fused-pallas",
-                                   "fused-pallas-bf16", "int8-gemm")
+                                   "fused-pallas-bf16", "int8-gemm",
+                                   "int16-gemm")
     for vname in names:
         f = all_variants[vname]
-        if vname == "int8-gemm":
+        if vname in ("int8-gemm", "int16-gemm"):
             f = f()  # lazy factory
         name = f"codebook_gemm/{vname}"
         # fast variants need more in-graph reps to rise above the ~28 ms
@@ -1666,6 +1681,8 @@ def bench_codebook_gemm(check=True, density=0.25, **kw):
                 checked = _bf16_check(np.asarray(f(a, c)))
             elif vname == "int8-gemm":
                 checked = _int8_check(np.asarray(f(a, c)))
+            elif vname == "int16-gemm":
+                checked = _bf16_check(np.asarray(f(a, c)))
             else:
                 checked = relative_check(np.asarray(f(a, c)), oracle)
         except Exception as e:  # a variant failing to compile must not

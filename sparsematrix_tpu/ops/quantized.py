@@ -25,7 +25,8 @@ import numpy as np
 
 from ..formats.codebook_dense import CodebookDense
 
-__all__ = ["QuantizedCodebookDense", "quantize_codebook", "add_mat_mat_int8"]
+__all__ = ["QuantizedCodebookDense", "quantize_codebook",
+           "add_mat_mat_int8", "add_mat_mat_int16"]
 
 import dataclasses
 
@@ -86,6 +87,45 @@ def add_mat_mat_int8(a, b_t_q: QuantizedCodebookDense, c=None,
         preferred_element_type=jnp.int32,
     )  # (m, n)
     out = (alpha * a_scale * b_t_q.scale) * prod_i32.astype(jnp.float32)
+    if c is not None:
+        out = out + beta * jnp.asarray(c)
+    return out
+
+
+def add_mat_mat_int16(a, b_t_q: QuantizedCodebookDense, c=None,
+                      alpha=1.0, beta=0.0):
+    """``beta*C + alpha * A @ B`` with int16 activations × int8 codebook
+    — the direct ``cblas_wgemm_plus`` analogue
+    (/root/reference/openblas_darwin_plus/include/cblas.h:252-257).
+
+    The v5e MXU's integer path is int8×int8→int32, so the int16
+    activation is double-pumped as two int8 planes:
+
+        a16 = 256·hi + (lo' + 128),  hi, lo' ∈ [-128, 127]
+        A@B = 256·(hi@B) + lo'@B + 128·colsum(B)
+
+    Two MXU passes (2× the int8 cost) buy a 256× finer activation grid;
+    each int8 partial stays well inside int32 (≤ k·127² ≈ 33 M at the
+    reference k=2047) and the fp32 recombination is exact to ≤2 ulp.
+    """
+    if beta != 0 and c is None:
+        raise ValueError("add_mat_mat_int16: beta != 0 requires c")
+    a = jnp.asarray(a)
+    a_amax = jnp.maximum(jnp.max(jnp.abs(a)), 1e-30)
+    a_scale = a_amax / 32767.0
+    aq = jnp.clip(jnp.round(a / a_scale), -32767, 32767).astype(jnp.int32)
+    hi = (aq >> 8).astype(jnp.int8)                   # floor-div: -128..127
+    lo = (aq - (aq >> 8 << 8) - 128).astype(jnp.int8)  # residual-128
+    bq = b_t_q.q_dense  # (n, k) int8
+    dims = (((1,), (1,)), ((), ()))
+    p_hi = jax.lax.dot_general(hi, bq, dims,
+                               preferred_element_type=jnp.int32)
+    p_lo = jax.lax.dot_general(lo, bq, dims,
+                               preferred_element_type=jnp.int32)
+    colsum = jnp.sum(bq.astype(jnp.int32), axis=1)  # (n,)
+    prod = (256.0 * p_hi.astype(jnp.float32) + p_lo.astype(jnp.float32)
+            + 128.0 * colsum.astype(jnp.float32)[None, :])
+    out = (alpha * a_scale * b_t_q.scale) * prod
     if c is not None:
         out = out + beta * jnp.asarray(c)
     return out

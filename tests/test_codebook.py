@@ -187,3 +187,61 @@ def test_codebook_csr_auto_converts_to_fused(rng, monkeypatch):
     got2 = np.asarray(spmm_op(A, X))
     assert len(spmm_mod._CBD_CACHE) == 1
     np.testing.assert_allclose(got2, got, atol=0)
+
+
+def test_int16_activation_gemm(rng):
+    """The direct cblas_wgemm_plus analogue (int16 activations,
+    cblas.h:252-257): double-pumped int8 MXU planes.  Must be sharply
+    more accurate than the int8 path on the same operands."""
+    from sparsematrix_tpu.formats import CodebookDense
+    from sparsematrix_tpu.ops import add_mat_mat_int8, quantize_codebook
+    from sparsematrix_tpu.ops.quantized import add_mat_mat_int16
+    from sparsematrix_tpu.utils.testutils import (
+        gen_matrix_random,
+        gen_sparse_index_matrix,
+    )
+
+    m, n, k = 24, 120, 200
+    idx, table = gen_sparse_index_matrix(rng, n, k, density=0.3,
+                                         table_size=63)
+    B_t = CodebookDense.from_index_matrix(idx, table)
+    Bq = quantize_codebook(B_t)
+    a = gen_matrix_random(rng, m, k)
+    c = gen_matrix_random(rng, m, n)
+    got16 = np.asarray(jax.jit(
+        lambda aa, cc: add_mat_mat_int16(aa, Bq, cc, alpha=1.0, beta=1.0)
+    )(jnp.asarray(a), jnp.asarray(c)))
+    got8 = np.asarray(jax.jit(
+        lambda aa, cc: add_mat_mat_int8(aa, Bq, cc, alpha=1.0, beta=1.0)
+    )(jnp.asarray(a), jnp.asarray(c)))
+    b_dense = np.asarray(B_t.todense()).T
+    want = c + a.astype(np.float64) @ b_dense.astype(np.float64)
+    scale = np.abs(want).max()
+    rel16 = np.abs(got16 - want) / (np.abs(want) + 0.05 * scale)
+    rel8 = np.abs(got8 - want) / (np.abs(want) + 0.05 * scale)
+    # residual error is the int8 TABLE quantization only; activations
+    # contribute ~1/256 of the int8 path's share
+    assert np.median(rel16) < 0.02
+    assert np.quantile(rel16, 0.99) < 0.08
+    assert np.mean(rel16) < np.mean(rel8)
+
+
+def test_int16_activation_gemm_alpha_beta_zero(rng):
+    from sparsematrix_tpu.formats import CodebookDense
+    from sparsematrix_tpu.ops import quantize_codebook
+    from sparsematrix_tpu.ops.quantized import add_mat_mat_int16
+    from sparsematrix_tpu.utils.testutils import (
+        gen_matrix_random,
+        gen_sparse_index_matrix,
+    )
+
+    idx, table = gen_sparse_index_matrix(rng, 50, 70, density=0.25,
+                                         table_size=31)
+    Bq = quantize_codebook(CodebookDense.from_index_matrix(idx, table))
+    a = gen_matrix_random(rng, 8, 70)
+    got = np.asarray(add_mat_mat_int16(jnp.asarray(a), Bq, alpha=2.5))
+    b_dense = np.asarray(
+        CodebookDense.from_index_matrix(idx, table).todense()).T
+    want = 2.5 * (a.astype(np.float64) @ b_dense.astype(np.float64))
+    scale = max(np.abs(want).max(), 1e-9)
+    assert np.abs(got - want).max() / scale < 0.02
