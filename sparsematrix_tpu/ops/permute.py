@@ -101,11 +101,21 @@ def plan_gather_permutation(g, n_src: int, n_out: int | None = None,
     )
 
 
-def apply_permutation(plan: PermutePlan, x):
+def apply_permutation(plan, x):
     """Run the planned permutation on device (jittable).
 
     ``x`` is (n_src,) or longer (extra tail ignored); returns (n_out,).
+    Accepts a ``PermutePlan`` (sort/gather) or a ``ClosPermutePlan``
+    (ops/permute_clos.py — O(1) bandwidth passes; the measured-fastest
+    path at every size it supports).
     """
+    from .permute_clos import ClosPermutePlan, apply_clos_permutation
+
+    if isinstance(plan, ClosPermutePlan):
+        from ..config import config
+
+        return apply_clos_permutation(plan, x,
+                                      interpret=config.interpret())
     if not plan.use_sort:
         xp = jnp.concatenate([x[: plan.n_src],
                               jnp.zeros((1,), x.dtype)])

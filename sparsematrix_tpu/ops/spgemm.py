@@ -425,9 +425,20 @@ def spgemm_plan_packed(A: CSR, B: CSR, cluster: bool = True,
     """
     import scipy.sparse as sps
 
-    if permute not in ("auto", "sort", "gather"):
+    if permute not in ("auto", "sort", "gather", "clos"):
         raise ValueError(f"unknown permute {permute!r}")
-    force_sort = {"auto": None, "sort": True, "gather": False}[permute]
+    force_sort = {"auto": None, "sort": True, "gather": False,
+                  "clos": None}[permute]
+
+    def _plan_perm(gmap, n_src):
+        if permute == "clos":
+            from .permute_clos import plan_clos_permutation
+
+            p = plan_clos_permutation(gmap, n_src=n_src)
+            if p is not None:
+                return p
+        return plan_gather_permutation(gmap, n_src=n_src,
+                                       force_sort=force_sort)
     plan = spgemm_plan(A, B)
     pa = np.asarray(plan.pa)[: plan.n_pairs]
     pb = np.asarray(plan.pb)[: plan.n_pairs]
@@ -463,8 +474,7 @@ def spgemm_plan_packed(A: CSR, B: CSR, cluster: bool = True,
         cg = np.full(cap, max(plan.c_nnz, 1), np.int64)
         cg[: plan.c_nnz] = rank_r
         c_gather = jnp.asarray(cg, jnp.int32)
-        c_perm = plan_gather_permutation(cg, n_src=max(plan.c_nnz, 1),
-                                        force_sort=force_sort)
+        c_perm = _plan_perm(cg, max(plan.c_nnz, 1))
         row_of = rank_r[tgt]
         # sublane position of each rank within its 1024-rank window:
         # conflict-graph coloring (one slab per (tile, window)), or the
@@ -482,8 +492,7 @@ def spgemm_plan_packed(A: CSR, B: CSR, cluster: bool = True,
         src = np.full(p_cols, b_cap, np.int64)
         src[alloc] = np.arange(len(b_key))
         b_gather = jnp.asarray(src, jnp.int32)
-        b_perm = plan_gather_permutation(src, n_src=b_cap,
-                                        force_sort=force_sort)
+        b_perm = _plan_perm(src, b_cap)
         col_of = alloc[pb]
         # C^T CSR structure over the CSC-ordered slots
         idt = default_index_dtype
