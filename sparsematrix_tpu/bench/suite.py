@@ -713,6 +713,113 @@ def bench_csr_spmv_xl(check=True, n=32768, nnz_row=512, **kw):
     return rows
 
 
+def gen_zipf_csr(seed, n, m, total_nnz, alpha=0.8, col_zipf=False):
+    """Power-law structure generator (the SURVEY §7 'honest roofline'
+    gap: every uniform-Poisson fill claim assumes i.i.d. rows).
+
+    Row degrees follow a rank-α power law ``deg_i ∝ (i+1)^-α`` shuffled
+    over rows (α=0.8 ≈ web/social-graph out-degree); ``col_zipf`` draws
+    column targets from the same law (hub columns), else uniform.
+    Duplicates merge, so the realized nnz is slightly under
+    ``total_nnz``."""
+    import scipy.sparse as sps
+
+    g = np.random.default_rng(seed)
+    w = (np.arange(n) + 1.0) ** (-alpha)
+    deg = np.maximum(1, np.round(w * (total_nnz / w.sum()))).astype(
+        np.int64)
+    g.shuffle(deg)
+    rows_ = np.repeat(np.arange(n), deg)
+    if col_zipf:
+        wc = (np.arange(m) + 1.0) ** (-alpha)
+        cols_ = g.choice(m, size=rows_.size, p=wc / wc.sum())
+    else:
+        cols_ = g.integers(0, m, rows_.size)
+    data_ = g.uniform(-1000, 1000, rows_.size).astype(np.float32)
+    sp = sps.coo_matrix((data_, (rows_, cols_)), shape=(n, m)).tocsr()
+    sp.sum_duplicates()
+    return sp
+
+
+@registry.register("spmv_skew")
+def bench_spmv_skew(check=True, n=32768, nnz_row=512, **kw):
+    """SpMV on POWER-LAW structure (VERDICT r4 §6): same size/nnz budget
+    as csr_spmv_xl but Zipf row degrees (max deg ~10⁵) and, in the
+    second variant, Zipf column popularity (hub columns).  Measures
+    whether the first-fit packers' fill and the auto-routing constants
+    survive non-uniform degree distributions; compare directly with the
+    csr_spmv_xl rows."""
+    import time
+
+    from ..kernels.spmv_dualgather import pack_dualgather, spmv_dualgather
+
+    fdg = jax.jit(lambda p, v: spmv_dualgather(p, v))
+    chain_scale = jnp.float32(2.0 ** -20)
+    rows = []
+    for tag, col_zipf in (("rowzipf", False), ("hubcols", True)):
+        sp = gen_zipf_csr(9, n, n, n * nnz_row, col_zipf=col_zipf)
+        A = CSR.from_scipy(sp)
+        x = np.random.default_rng(9).standard_normal(n).astype(np.float32)
+        xj = jnp.asarray(x)
+        want = sp.astype(np.float64) @ x if check else None
+        t0 = time.time()
+        packed = pack_dualgather(A, group=128, k_tiles=8, two_win=True)
+        pack_s = time.time() - t0
+        res = bench_chain_slope(
+            lambda y, p_: fdg(p_, y) * chain_scale, xj, packed, iters=6)
+        checked = (relative_check(np.asarray(fdg(packed, xj)), want)
+                   if check else None)
+        sol = speed_of_light_nnz_s(A.nnz, spmv_csr_bytes(A.nnz, n, n))
+        dmax = int(np.diff(sp.indptr).max())
+        r = Row(f"spmv_skew/dualgather-{tag}",
+                f"n={n},nnz={A.nnz/1e6:.1f}M,degmax={dmax},"
+                f"fill={packed.fill_rate:.2f}",
+                res, nnz=A.nnz, checked=checked)
+        r.sol_frac = r.nnz_per_s / sol
+        r.extras = {"pack_seconds": pack_s, **res.extras}
+        rows.append(r)
+    return rows
+
+
+@registry.register("spgemm_skew")
+def bench_spgemm_skew(check=True, n=16384, density=0.001, **kw):
+    """SpGEMM on power-law operands (VERDICT r4 §6): same nnz budget as
+    spgemm_xl but Zipf row degrees on both A and B (cols uniform so the
+    pair count stays comparable).  Exercises the octet packer's
+    depth/slot first-fit under hub rows."""
+    from ..ops.spgemm import spgemm_apply_packed_csc, spgemm_plan_packed
+
+    import time
+
+    total = int(n * n * density)
+    sa = gen_zipf_csr(7, n, n, total)
+    sb = gen_zipf_csr(8, n, n, total)
+    A, B = CSR.from_scipy(sa), CSR.from_scipy(sb)
+    want = None
+    if check:
+        want = (sa.astype(np.float64) @ sb.astype(np.float64)).T.tocsr()
+        want.sort_indices()
+    t0 = time.time()
+    pp = spgemm_plan_packed(A, B, layout="octet")
+    pack_s = time.time() - t0
+    f = jax.jit(lambda q, bd: spgemm_apply_packed_csc(q, bd).data)
+    got = np.asarray(f(pp, B.data))
+    checked = (relative_check(got[: pp.c_nnz], want.data)
+               if check else None)
+    res = bench_fn_slope(f, pp, B.data, iters=6,
+                         perturb_max_bytes=1 << 20)
+    pairs = pp.p_packed.nnz
+    sol_pairs = speed_of_light_nnz_s(
+        pairs, pairs * (2 * 4 + 3 * 4) + pp.c_nnz * 4)
+    r = Row("spgemm_skew/octet-csc",
+            f"n={n},pairs={pairs},degmax={int(np.diff(sa.indptr).max())},"
+            f"fill={pp.p_packed.fill_rate:.2f}",
+            res, nnz=pairs, checked=checked)
+    r.sol_frac = r.nnz_per_s / sol_pairs
+    r.extras = {"pack_seconds": pack_s}
+    return [r]
+
+
 @registry.register("weak_scaling")
 def bench_weak_scaling(check=True, **kw):
     """MODELED weak scaling (no multi-chip hardware in this environment):

@@ -27,3 +27,19 @@ def test_filter_excludes():
     f = BenchFilter("codebook,-fused")
     assert f.accept("codebook_gemm/csr-auto")
     assert not f.accept("codebook_gemm/fused-pallas")
+
+
+def test_skew_groups_small_run():
+    """Power-law bench groups run and check at tiny shapes (CPU)."""
+    from sparsematrix_tpu.bench.suite import (bench_spgemm_skew,
+                                              bench_spmv_skew,
+                                              gen_zipf_csr)
+    import numpy as np
+
+    sp = gen_zipf_csr(1, 512, 512, 8192)
+    deg = np.diff(sp.indptr)
+    assert deg.max() > 20 * max(deg.min(), 1)  # genuinely skewed
+    rows = bench_spmv_skew(check=True, n=1024, nnz_row=8)
+    assert len(rows) == 2 and all(r.checked for r in rows)
+    rows = bench_spgemm_skew(check=True, n=1024, density=0.002)
+    assert rows and rows[0].checked
