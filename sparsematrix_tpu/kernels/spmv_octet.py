@@ -578,9 +578,16 @@ def _octet_mm_call(group_super, slab_win, slab_oloc, commit, posP, chkP,
       posP, chkP, rteP, vals, xt)
 
 
+@jax.custom_vjp
 def spmm_octet(packed: Octet, X):
-    """``Y = A @ X`` over an octet pack (jittable; the spmv VJP pattern
-    is not wired here — use spmm_dualgather packs for training paths)."""
+    """``Y = A @ X`` over an octet pack (jittable; differentiable in X
+    and in the slab values — the spmv_octet VJP generalized over the RHS
+    panel, same backward-pass stance as spmm_dualgather: the X cotangent
+    is the XLA scatter ``A^T @ G``, correct rather than fast)."""
+    return _octet_mm_forward(packed, X)
+
+
+def _octet_mm_forward(packed: Octet, X):
     rows, cols = packed.shape
     k = X.shape[1]
     kp = min(_KP_MM, k)
@@ -613,3 +620,39 @@ def spmm_octet(packed: Octet, X):
         y = y + out
     y = y.transpose(0, 2, 1).reshape(n_super * rows_blk, k_pad)
     return y[:rows, :k]
+
+
+def _oct_mm_fwd(packed, X):
+    return _octet_mm_forward(packed, X), (packed, X)
+
+
+def _oct_mm_bwd(res, G):
+    packed, X = res
+    rows, cols = packed.shape
+    k = X.shape[1]
+    row, col = _slot_row_col(packed)  # (n_groups, group, 8, 128)
+    row_cl = jnp.minimum(row, rows)  # padding cells (vals 0) → sink row
+    Gpad = jnp.zeros((rows + 1, k), G.dtype).at[:rows].set(G)
+    Xpad = jnp.zeros((packed.n_win * _W, k), X.dtype).at[:cols].set(X)
+    n_groups = packed.route.shape[0]
+    vals4 = packed.vals.reshape(n_groups, packed.group, 8, _LANES)
+    gv = Gpad[row_cl] * vals4[..., None]
+    gX = (jnp.zeros((packed.n_win * _W, k), X.dtype)
+          .at[col.reshape(-1)]
+          .add(gv.reshape(-1, k).astype(X.dtype)))[:cols]
+    dvals = jnp.where(
+        vals4 != 0, jnp.sum(Xpad[col] * Gpad[row_cl], axis=-1), 0
+    ).astype(packed.vals.dtype)
+
+    def ct_zero(p):
+        if jnp.issubdtype(jnp.asarray(p).dtype, jnp.inexact):
+            return jnp.zeros_like(p)
+        return np.zeros(jnp.shape(p), jax.dtypes.float0)
+
+    dpacked = jax.tree_util.tree_map(ct_zero, packed)
+    dpacked = dataclasses.replace(
+        dpacked, vals=dvals.reshape(packed.vals.shape))
+    return dpacked, gX
+
+
+spmm_octet.defvjp(_oct_mm_fwd, _oct_mm_bwd)

@@ -195,3 +195,29 @@ def test_spmm_octet(rng, k):
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=0.5)
     got2 = np.asarray(spmm(pk, jnp.asarray(X)))
     np.testing.assert_allclose(got2, want, rtol=2e-3, atol=0.5)
+
+
+def test_spmm_octet_vjp(rng):
+    """spmm_octet is differentiable in X and vals (VERDICT r4 §5)."""
+    from sparsematrix_tpu.kernels.spmv_octet import spmm_octet
+
+    n, m, k = 1500, 1200, 6
+    sp = sps.random(n, m, density=0.002, random_state=9, format="csr",
+                    dtype=np.float32)
+    sp.data = rng.uniform(-2, 2, sp.nnz).astype(np.float32)
+    pk = pack_octet(CSR.from_scipy(sp), k_octets=2)
+    X = jnp.asarray(rng.uniform(-1, 1, (m, k)).astype(np.float32))
+    W = jnp.asarray(rng.uniform(-1, 1, (n, k)).astype(np.float32))
+    gX = jax.grad(lambda xx: (spmm_octet(pk, xx) * W).sum())(X)
+    want_gX = sp.T.astype(np.float64) @ np.asarray(W)
+    np.testing.assert_allclose(np.asarray(gX), want_gX, rtol=2e-3,
+                               atol=0.5)
+    import dataclasses
+
+    gv = jax.grad(lambda v: (spmm_octet(
+        dataclasses.replace(pk, vals=v), X) * W).sum())(pk.vals)
+    gv = np.asarray(gv)
+    assert np.isfinite(gv).all()
+    assert (gv[np.asarray(pk.vals) == 0] == 0).all()
+    # nonzero cells carry X^T-weighted cotangents
+    assert np.abs(gv).max() > 0
