@@ -213,6 +213,9 @@ class DistSpGEMMPacked:
     # planned sort permutation for the CSR-output reorder (ops/permute.py;
     # 4.5x the arbitrary gather at XL sizes); None on legacy plans
     c_perm: object = None
+    # stacked per-shard sort keys (n_shards, cap) for the local b-permute
+    # (the 6-9x sort-vs-gather lever applied shard-locally); None legacy
+    b_keys: object = None
 
 
 def dist_spgemm_packed_plan(A: CSR, B: CSR, n_shards: int,
@@ -262,6 +265,7 @@ def dist_spgemm_packed_plan(A: CSR, B: CSR, n_shards: int,
                                       key_c, rank_r, c_nnz, B.nnz,
                                       packer=packer)
     p_stack, src = _stack_packs(built, src_arrs)
+    b_keys = _stack_b_keys(np.asarray(src), B.nnz)
 
     # C^T structure (slots in the kernel's native CSC order)
     ct_counts = np.bincount(c_indices, minlength=n)
@@ -294,6 +298,7 @@ def dist_spgemm_packed_plan(A: CSR, B: CSR, n_shards: int,
                                     n, np.int64)]), idt),
         shape=(m, n), n_shards=n_shards, c_nnz=int(pattern.nnz),
         c_perm=plan_gather_permutation(cg, n_src=c_nnz),
+        b_keys=b_keys,
     )
 
 
@@ -489,6 +494,32 @@ def _stack_superblocks(built, src_arrs):
     return p_stack, np.stack(src_arrs)
 
 
+def _stack_b_keys(src_arrs, n_src):
+    """Per-shard sort keys for the shard-local b-permute.  Each shard's
+    ``x = bvals[src]`` gather (~6.7 ns/element) becomes a planned
+    ``lax.sort_key_val`` (ops/permute.py: 6-9× at every size ≥65k).
+    Caps are max(p_cols, n_src) — identical across shards, so the keys
+    stack on the device axis and shard with the pack."""
+    keys = [plan_gather_permutation(np.asarray(s), n_src=n_src,
+                                    force_sort=True).keys
+            for s in src_arrs]
+    return jnp.stack(keys)
+
+
+def _local_b_x(src_row, keys_row, bvals):
+    """Shard-local permuted x: planned sort when keys are present."""
+    n_src = bvals.shape[0]
+    if keys_row is None:
+        return jnp.concatenate([bvals,
+                                jnp.zeros((1,), bvals.dtype)])[src_row]
+    cap = keys_row.shape[0]
+    vals = jnp.zeros((cap,), bvals.dtype).at[:n_src].set(bvals)
+    x = jax.lax.sort_key_val(keys_row, vals)[1][: src_row.shape[0]]
+    # sentinel slots (src == n_src) must read zero even when their key
+    # landed on a live unused source id
+    return jnp.where(src_row < n_src, x, 0)
+
+
 def shard_dist_spgemm_packed(plan: DistSpGEMMPacked, mesh: Mesh,
                              axis_name: str = "shard"):
     """Place the stacked pack sharded over the mesh, C structure + B
@@ -507,6 +538,7 @@ def shard_dist_spgemm_packed(plan: DistSpGEMMPacked, mesh: Mesh,
         c_indices=put_r(plan.c_indices),
         c_row_ids=put_r(plan.c_row_ids),
         c_perm=jax.tree_util.tree_map(put_r, plan.c_perm),
+        b_keys=(None if plan.b_keys is None else put_s(plan.b_keys)),
     )
 
 
@@ -519,18 +551,20 @@ def dist_spgemm_packed_apply(plan: DistSpGEMMPacked, mesh: Mesh,
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(axis_name), P(axis_name), P()),
+        in_specs=(P(axis_name), P(axis_name),
+                  None if plan.b_keys is None else P(axis_name), P()),
         out_specs=P(),
         check_vma=False,  # per-shard-pure pallas local compute
     )
-    def run(p_local, src_local, bvals):
+    def run(p_local, src_local, keys_local, bvals):
         local = jax.tree_util.tree_map(lambda a: a[0], p_local)
-        x = jnp.concatenate([bvals, jnp.zeros((1,), bvals.dtype)]
-                            )[src_local[0]]
+        x = _local_b_x(src_local[0],
+                       None if keys_local is None else keys_local[0],
+                       bvals)
         y = _local_pair_spmv(local, x)
         return jax.lax.psum(y, axis_name)
 
-    y = run(plan.p_stack, plan.src, bv)
+    y = run(plan.p_stack, plan.src, plan.b_keys, bv)
     if plan.c_perm is not None:
         c_data = apply_permutation(plan.c_perm, y)
     else:
@@ -551,18 +585,20 @@ def dist_spgemm_packed_apply_csc(plan: DistSpGEMMPacked, mesh: Mesh,
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(axis_name), P(axis_name), P()),
+        in_specs=(P(axis_name), P(axis_name),
+                  None if plan.b_keys is None else P(axis_name), P()),
         out_specs=P(),
         check_vma=False,
     )
-    def run(p_local, src_local, bvals):
+    def run(p_local, src_local, keys_local, bvals):
         local = jax.tree_util.tree_map(lambda a: a[0], p_local)
-        x = jnp.concatenate([bvals, jnp.zeros((1,), bvals.dtype)]
-                            )[src_local[0]]
+        x = _local_b_x(src_local[0],
+                       None if keys_local is None else keys_local[0],
+                       bvals)
         y = _local_pair_spmv(local, x)
         return jax.lax.psum(y, axis_name)
 
-    y = run(plan.p_stack, plan.src, bv)
+    y = run(plan.p_stack, plan.src, plan.b_keys, bv)
     cap = plan.ct_indices.shape[0]
     c_data = jnp.zeros((cap,), y.dtype).at[: plan.c_nnz].set(
         y[: plan.c_nnz])
@@ -609,6 +645,8 @@ class DistSpGEMM2D:
     c_band_pad: int = dataclasses.field(metadata={"static": True})
     # planned sort for the CSR-output reorder (flattened band gather)
     c_perm: object = None
+    # stacked per-device sort keys (n_row, n_k, cap) for the b-permute
+    b_keys: object = None
 
 
 def dist_spgemm_packed_plan_2d(A: CSR, B: CSR, n_row: int, n_k: int,
@@ -706,6 +744,8 @@ def dist_spgemm_packed_plan_2d(A: CSR, B: CSR, n_row: int, n_k: int,
         c_band_pad=c_band_pad,
         c_perm=plan_gather_permutation(gather,
                                        n_src=n_row * c_band_pad),
+        b_keys=_stack_b_keys(
+            src_flat, B.nnz).reshape(n_row, n_k, -1),
     )
 
 
@@ -732,6 +772,7 @@ def shard_dist_spgemm_packed_2d(plan: DistSpGEMM2D, mesh: Mesh):
         ct_indices=put_b(plan.ct_indices),
         ct_row_ids=put_b(plan.ct_row_ids),
         c_perm=jax.tree_util.tree_map(put_r, plan.c_perm),
+        b_keys=(None if plan.b_keys is None else put_s(plan.b_keys)),
     )
 
 
@@ -743,18 +784,20 @@ def dist_spgemm_packed_apply_2d(plan: DistSpGEMM2D, mesh: Mesh,
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P("row", "k"), P("row", "k"), P()),
+        in_specs=(P("row", "k"), P("row", "k"),
+                  None if plan.b_keys is None else P("row", "k"), P()),
         out_specs=P("row"),
         check_vma=False,  # per-shard-pure pallas local compute
     )
-    def run(p_local, src_local, bvals):
+    def run(p_local, src_local, keys_local, bvals):
         local = jax.tree_util.tree_map(lambda a: a[0, 0], p_local)
-        x = jnp.concatenate([bvals, jnp.zeros((1,), bvals.dtype)]
-                            )[src_local[0, 0]]
+        x = _local_b_x(src_local[0, 0],
+                       None if keys_local is None else keys_local[0, 0],
+                       bvals)
         y = _local_pair_spmv(local, x)
         return jax.lax.psum(y, "k")[None]
 
-    y = run(plan.p_stack, plan.src, bv)  # (n_row, c_band_pad)
+    y = run(plan.p_stack, plan.src, plan.b_keys, bv)  # (n_row, c_band_pad)
     if plan.c_perm is not None:
         c_data = apply_permutation(plan.c_perm, y.reshape(-1))
     else:
@@ -785,18 +828,20 @@ def dist_spgemm_packed_apply_2d_csc(plan: DistSpGEMM2D, mesh: Mesh,
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P("row", "k"), P("row", "k"), P()),
+        in_specs=(P("row", "k"), P("row", "k"),
+                  None if plan.b_keys is None else P("row", "k"), P()),
         out_specs=P("row"),
         check_vma=False,  # per-shard-pure pallas local compute
     )
-    def run(p_local, src_local, bvals):
+    def run(p_local, src_local, keys_local, bvals):
         local = jax.tree_util.tree_map(lambda a: a[0, 0], p_local)
-        x = jnp.concatenate([bvals, jnp.zeros((1,), bvals.dtype)]
-                            )[src_local[0, 0]]
+        x = _local_b_x(src_local[0, 0],
+                       None if keys_local is None else keys_local[0, 0],
+                       bvals)
         y = _local_pair_spmv(local, x)
         return jax.lax.psum(y, "k")[None]
 
-    y = run(plan.p_stack, plan.src, bv)  # (n_row, c_band_pad), row-sharded
+    y = run(plan.p_stack, plan.src, plan.b_keys, bv)  # (n_row, c_band_pad), row-sharded
     return PartitionedCSR(
         indptr=plan.ct_indptr,
         indices=plan.ct_indices,

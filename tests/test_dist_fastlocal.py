@@ -359,3 +359,32 @@ def test_dist_spgemm_packed_layouts(rng):
         outs[layout] = got
     np.testing.assert_allclose(outs["auto"], outs["superblock"],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_dist_spgemm_b_keys_sort_path(rng):
+    """The shard-local b-permute ships as stacked sort keys (TODO r5 #3);
+    legacy plans with b_keys=None keep the gather path."""
+    import dataclasses
+
+    import scipy.sparse as sps
+    from jax.sharding import Mesh
+
+    from sparsematrix_tpu.parallel.dist_spgemm import (
+        dist_spgemm_packed_apply, dist_spgemm_packed_plan,
+        shard_dist_spgemm_packed)
+
+    sa = sps.random(300, 300, density=0.01, random_state=1, format="csr",
+                    dtype=np.float32)
+    sb = sps.random(300, 300, density=0.01, random_state=2, format="csr",
+                    dtype=np.float32)
+    A, B = CSR.from_scipy(sa), CSR.from_scipy(sb)
+    plan = dist_spgemm_packed_plan(A, B, n_shards=4)
+    assert plan.b_keys is not None and plan.b_keys.shape[0] == 4
+    mesh = Mesh(np.array(jax.devices()[:4]), ("shard",))
+    want = (sa.astype(np.float64) @ sb.astype(np.float64)).tocsr()
+    want.sort_indices()
+    for p in (plan, dataclasses.replace(plan, b_keys=None)):
+        C = dist_spgemm_packed_apply(shard_dist_spgemm_packed(p, mesh),
+                                     mesh)
+        np.testing.assert_allclose(np.asarray(C.data)[: plan.c_nnz],
+                                   want.data, rtol=2e-3, atol=1e-2)
