@@ -78,15 +78,19 @@ def generate(path: str) -> str:
                     if r.get("extras", {}).get("ms_to_tol") is not None]
         if tol_rows:
             out.append("| path | per-iter | iters→tol | **ms to tol** | "
-                       "true ‖r‖/‖b‖ | setup s |")
-            out.append("|---|---|---|---|---|---|")
+                       "true ‖r‖/‖b‖ | setup s | solves to amortize |")
+            out.append("|---|---|---|---|---|---|---|")
             for r in tol_rows:
                 e = r["extras"]
+                amort = e.get("solves_to_amortize")
+                amort_s = ("—" if amort is None
+                           else "∞ (no per-solve win)"
+                           if amort == float("inf") else f"{amort:g}")
                 out.append(
                     f"| {r['name']} | {e['per_iter_ms']*1e3:.1f} µs | "
                     f"{e['iters_to_tol']} | **{e['ms_to_tol']:.2f}** | "
                     f"{e.get('true_rel_residual', float('nan')):.1e} | "
-                    f"{e.get('pack_seconds', 0):.2f} |")
+                    f"{e.get('pack_seconds', 0):.2f} | {amort_s} |")
             out.append("")
     out.append(END)
     return "\n".join(out)

@@ -1441,6 +1441,7 @@ def _bench_cg_to_tol(check, n, iters, tol, maxiter, group_name,
 
     rows = []
     plain_iters = None
+    plain_ms_to_tol = None
     for label, precond, pack_s in variants:
         # per-iteration time: fixed-work solve (tol=0 → exactly `iters`)
         f = jax.jit(lambda bb: cg(Ap, bb, maxiter=iters, M=precond,
@@ -1468,6 +1469,7 @@ def _bench_cg_to_tol(check, n, iters, tol, maxiter, group_name,
                 checked = checked and iters_tol <= 0.6 * plain_iters
         if label == "plain":
             plain_iters = iters_tol
+            plain_ms_to_tol = ms_to_tol
         nnz = A.nnz * iters
         r = Row(f"{group_name}/{label}",
                 f"n={n},iters={iters},tol={tol:g}", res, nnz=nnz,
@@ -1477,6 +1479,12 @@ def _bench_cg_to_tol(check, n, iters, tol, maxiter, group_name,
         r.extras = {"per_iter_ms": per_iter_ms, "iters_to_tol": iters_tol,
                     "ms_to_tol": ms_to_tol, "reached_tol": reached,
                     "pack_seconds": pack_s}
+        if label != "plain" and plain_ms_to_tol is not None:
+            # the break-even the narrative owes (VERDICT r4 §7): how many
+            # solves of THIS system pay back the preconditioner setup
+            saved_s = (plain_ms_to_tol - ms_to_tol) / 1e3
+            r.extras["solves_to_amortize"] = (
+                round(pack_s / saved_s, 1) if saved_s > 0 else float("inf"))
         if true_res is not None:
             r.extras["true_rel_residual"] = true_res / b_norm
         rows.append(r)
