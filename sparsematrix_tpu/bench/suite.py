@@ -741,6 +741,56 @@ def gen_zipf_csr(seed, n, m, total_nnz, alpha=0.8, col_zipf=False):
     return sp
 
 
+@registry.register("spmv_clustered")
+def bench_spmv_clustered(check=True, n=512 * 128, nnz=80_000, **kw):
+    """The routing-contract point (VERDICT r4 §1): clustered low-degree
+    structure — 512 row tiles whose ~1.2 entries/row all land in ONE
+    1024-column window (tests/test_spmv_superblock's generator).  Races
+    the octet pack against the two-window dual-gather so the
+    ``prepare_spmv`` auto rule (ops/spmv.py: nnz ≤ 2·rows → octet) stays
+    pinned to a measured winner.  Probe result (r5,
+    benchmarks/probe_route_clustered.py): octet 13.5 µs vs dual-gather
+    18.4 µs."""
+    import time
+
+    import scipy.sparse as sps
+
+    from ..kernels.spmv_dualgather import pack_dualgather, spmv_dualgather
+    from ..kernels.spmv_octet import pack_octet, spmv_octet
+
+    g = np.random.default_rng(0)
+    rows_ = g.integers(0, n, size=nnz)
+    cols_ = g.integers(0, 1024, size=nnz)
+    vals_ = g.uniform(-1000, 1000, nnz).astype(np.float32)
+    sp = sps.coo_matrix((vals_, (rows_, cols_)), shape=(n, n)).tocsr()
+    sp.sum_duplicates()
+    A = CSR.from_scipy(sp)
+    x = g.standard_normal(n).astype(np.float32)
+    xj = jnp.asarray(x)
+    want = sp.astype(np.float64) @ x if check else None
+    sol = speed_of_light_nnz_s(A.nnz, spmv_csr_bytes(A.nnz, n, n))
+    rows = []
+    for tag, packer, run in (
+            ("octet", lambda: pack_octet(A),
+             jax.jit(lambda p, v: spmv_octet(p, v))),
+            ("dualgather", lambda: pack_dualgather(A, k_tiles=8,
+                                                   two_win=True),
+             jax.jit(lambda p, v: spmv_dualgather(p, v)))):
+        t0 = time.time()
+        packed = packer()
+        pack_s = time.time() - t0
+        res = bench_fn_slope(run, packed, xj, iters=6)
+        checked = (relative_check(np.asarray(run(packed, xj)), want)
+                   if check else None)
+        r = Row(f"spmv_clustered/{tag}",
+                f"n={n},nnz={A.nnz},1win,fill={packed.fill_rate:.2f}",
+                res, nnz=A.nnz, checked=checked)
+        r.sol_frac = r.nnz_per_s / sol
+        r.extras = {"pack_seconds": pack_s}
+        rows.append(r)
+    return rows
+
+
 @registry.register("spmv_skew")
 def bench_spmv_skew(check=True, n=32768, nnz_row=512, **kw):
     """SpMV on POWER-LAW structure (VERDICT r4 §6): same size/nnz budget

@@ -57,11 +57,13 @@ def test_superblock_bf16_storage(rng):
     np.testing.assert_allclose(y, ref, rtol=2e-2, atol=2.0)
 
 
-def test_prepare_spmv_auto_clustered_dualgather(rng):
-    # clustered pair-program structure: many 128-row tiles whose few
-    # entries all land in one 1024-column window.  The dual-gather
-    # superblock pack keeps ~1 slab/tile batched 16 tiles per grid step
-    # (group > 2), so auto stays on the measured-best dual-gather layout.
+def test_prepare_spmv_auto_clustered_octet(rng):
+    # clustered low-degree structure: many 128-row tiles whose ~1.2
+    # entries/row all land in one 1024-column window.  Round-4 codified
+    # dual-gather here on an UNMEASURED claim; the round-5 on-chip race
+    # (benchmarks/probe_route_clustered.py, bench group spmv_clustered)
+    # measured octet 13.5 µs vs dual-gather 18.4 µs on this exact
+    # generator — the nnz ≤ 2·rows auto rule needs no locality carve-out.
     import scipy.sparse as sps
 
     n_tiles, n = 512, 512 * 128
@@ -71,11 +73,11 @@ def test_prepare_spmv_auto_clustered_dualgather(rng):
     d = sps.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
     d.sum_duplicates()
     A = CSR.from_scipy(d)
-    from sparsematrix_tpu.kernels.spmv_dualgather import DualGather
+    from sparsematrix_tpu.kernels.spmv_octet import Octet
     from sparsematrix_tpu.ops.spmv import prepare_spmv, spmv
 
     packed = prepare_spmv(A)
-    assert isinstance(packed, DualGather) and packed.group > 2
+    assert isinstance(packed, Octet)
     x = rng.uniform(-1, 1, n).astype(np.float32)
     y = np.asarray(jax.jit(spmv)(packed, jnp.asarray(x)))
     np.testing.assert_allclose(y, d.astype(np.float64) @ x, rtol=2e-3,
