@@ -1620,6 +1620,52 @@ def bench_spmm_xl(check=True, n=32768, k=32, **kw):
         r.sol_frac = None
         rows.append(r)
         del ad
+    # low-degree XL point (VERDICT r4 §5): ~2 entries/row — the octet
+    # multi-RHS walk (the ops.spmm auto route for nnz ≤ 2·rows) vs the
+    # kt1 dual-gather walk on the same structure
+    import scipy.sparse as _sps
+
+    from ..kernels.spmv_octet import pack_octet, spmm_octet
+
+    nnz_row = 2
+    g2 = np.random.default_rng(12)
+    rows_ = np.repeat(np.arange(n), nnz_row)
+    cols_ = g2.integers(0, n, rows_.size)
+    data_ = g2.uniform(-1, 1, rows_.size).astype(np.float32)
+    sp = _sps.coo_matrix((data_, (rows_, cols_)), shape=(n, n)).tocsr()
+    sp.sum_duplicates()
+    A = CSR.from_scipy(sp)
+    X = jnp.asarray(g2.uniform(-1, 1, (n, k)), np.float32)
+    want = sp.astype(np.float64) @ np.asarray(X, np.float64) if check \
+        else None
+    pk_o = pack_octet(A)
+    fo = jax.jit(lambda x, q: spmm_octet(q, x))
+    res = bench_fn_slope(fo, X, pk_o, iters=4, inner_lo=2, inner_hi=10,
+                         perturb_max_bytes=1 << 20)
+    checked = (relative_check(np.asarray(fo(X, pk_o)), want)
+               if check else None)
+    r = Row("spmm_xl/octet-mm",
+            f"n={n},k={k},nnz/row={nnz_row},fill={pk_o.fill_rate:.2f}",
+            res, nnz=sp.nnz, checked=checked)
+    bytes_moved = (sp.nnz * (3 + 4) / max(pk_o.fill_rate, 1e-6)
+                   + n * k * 8)
+    r.sol_frac = r.nnz_per_s / speed_of_light_nnz_s(sp.nnz, bytes_moved)
+    rows.append(r)
+    from ..kernels.spmv_dualgather import pack_dualgather as _pdg
+
+    pk_w = _pdg(A, k_tiles=1)
+    fw = jax.jit(lambda x, q: spmm_dualgather(q, x))
+    res = bench_fn_slope(fw, X, pk_w, iters=4, inner_lo=2, inner_hi=10,
+                         perturb_max_bytes=1 << 20)
+    checked = (relative_check(np.asarray(fw(X, pk_w)), want)
+               if check else None)
+    r = Row("spmm_xl/walk-kt1",
+            f"n={n},k={k},nnz/row={nnz_row},fill={pk_w.fill_rate:.2f}",
+            res, nnz=sp.nnz, checked=checked)
+    bytes_moved = (sp.nnz * (1 + 1 + 4) / max(pk_w.fill_rate, 1e-6)
+                   + n * k * 8)
+    r.sol_frac = r.nnz_per_s / speed_of_light_nnz_s(sp.nnz, bytes_moved)
+    rows.append(r)
     return rows
 
 

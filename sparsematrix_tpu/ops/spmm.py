@@ -217,7 +217,16 @@ def _dg_pack_of(A: CSR):
     from ..kernels.spmv_dualgather import pack_dualgather
 
     with jax.ensure_compile_time_eval():
-        packed = pack_dualgather(A, k_tiles=1)
+        if A.nnz <= 2 * A.shape[0] and A.shape[0] >= 2048:
+            # ≲2 entries/row: per-tile slab layouts waste ≥6/8 sublane
+            # cells; the 8-tile octet slab is the measured-best layout
+            # for spmv AND the multi-RHS walk (same rule as
+            # ops/spmv.py prepare_spmv auto; spmm_octet walks the pack)
+            from ..kernels.spmv_octet import pack_octet
+
+            packed = pack_octet(A)
+        else:
+            packed = pack_dualgather(A, k_tiles=1)
     if packed.fill_rate < 0.05:
         # a pathological pack (scattered low-degree rows) still beats the
         # segsum reference ~anywhere, but below this floor the slab bytes
@@ -369,6 +378,8 @@ def spmm(A, X, method: str = "auto"):
             from ..kernels.spmm_dualgather import spmm_dualgather
 
             packed = _dg_pack_of(A)
+            if isinstance(packed, _Oct):
+                return _oct_mm(packed, X)
             if packed is not None:
                 return spmm_dualgather(packed, X)
     if method == "auto" and _should_densify(A):
