@@ -1,0 +1,59 @@
+"""Calibrate-gated spmv_xl capture (VERDICT r4 §4 protocol).
+
+The ≥80 % fp32 SoL north star is chip-real but session-fragile: the axon
+relay's host latency varies the SAME artifact up to ~2.4× between
+sessions.  Protocol: in a FRESH session, (1) measure the calibration
+rows; reject the session unless the pallas HBM stream reaches
+``--gate`` (default 0.90) of spec bandwidth; (2) run csr_spmv_xl first
+(before anything else heats the tunnel); (3) report raw AND
+session-normalized SoL (sol × spec_bw / session_bw).
+
+Run: timeout 570 python benchmarks/run_spmv_xl_gated.py [out.json]
+Exit code 3 = session rejected by the gate (re-run in a fresh session).
+"""
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from sparsematrix_tpu.bench.suite import (bench_calibrate,
+                                          bench_csr_spmv_xl)
+from sparsematrix_tpu.utils.roofline import active_chip
+
+GATE = 0.90
+
+out_path = sys.argv[1] if len(sys.argv) > 1 else None
+cal = bench_calibrate(check=False)
+hbm = next(r for r in cal if r.name == "calibrate/hbm-stream")
+spec = active_chip().hbm_gbps
+session_bw = hbm.extras["gb_per_s"]
+frac = session_bw / spec
+print(f"calibrate: hbm-stream {session_bw:.0f} GB/s = {frac:.1%} of spec"
+      f" (gate {GATE:.0%})", flush=True)
+if hbm.extras.get("unreliable") or frac < GATE:
+    print("SESSION REJECTED: re-run in a fresh session", flush=True)
+    sys.exit(3)
+
+rows = bench_csr_spmv_xl(check=True)
+out = []
+for r in rows:
+    sol_norm = (None if r.sol_frac is None
+                else min(r.sol_frac / frac, 1.0))
+    print(f"{r.name:28s} {r.result.min_ms:7.3f} ms  "
+          f"{r.nnz_per_s/1e9:6.1f} G  sol={r.sol_frac:.1%}"
+          f"  sol_sessionnorm={sol_norm:.1%}  check={r.checked}",
+          flush=True)
+    out.append({
+        "name": r.name, "shape": r.shape, "min_ms": r.result.min_ms,
+        "gnnz_per_s": r.nnz_per_s / 1e9, "sol_frac": r.sol_frac,
+        "sol_sessionnorm": sol_norm, "checked": r.checked,
+        "extras": {**r.extras, "session_hbm_frac": frac},
+    })
+if out_path:
+    json.dump(out, open(out_path, "w"), indent=1)
+    print(f"wrote {out_path}", flush=True)
