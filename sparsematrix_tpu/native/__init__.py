@@ -22,7 +22,8 @@ _tried = False
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+           "-pthread", _SRC, "-o", _SO]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
