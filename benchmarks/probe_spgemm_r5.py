@@ -43,7 +43,24 @@ A, B = CSR.from_scipy(sa), CSR.from_scipy(sb)
 cfg = {"g32k64": (32, 64), "g64k64": (64, 64), "g128k64": (128, 64),
        "g128k128": (128, 128), "g256k64": (256, 64)}
 
-if case == "bperm":
+if case == "csr32":
+    # CSR-output e2e: the c-permute (c_nnz ~4.36M) now ships as Clos
+    # planes (q=5) instead of the ~6-11 ms sort
+    from sparsematrix_tpu.ops.spgemm import spgemm_apply_packed
+
+    want = (sa.astype(np.float64) @ sb.astype(np.float64)).tocsr()
+    want.sort_indices()
+    t0 = time.time()
+    pp = spgemm_plan_packed(A, B, layout="octet", group=32, k_octets=64)
+    pack_s = time.time() - t0
+    f = jax.jit(lambda q, bd: spgemm_apply_packed(q, bd).data)
+    got = np.asarray(f(pp, B.data))
+    ok = relative_check(got[: pp.c_nnz], want.data)
+    res = bench_fn_slope(f, pp, B.data, iters=6,
+                         perturb_max_bytes=1 << 20)
+    print(f"csr32 e2e={res.min_ms:7.3f} ms  pack={pack_s:.1f}s  "
+          f"check={ok}", flush=True)
+elif case == "bperm":
     pp = spgemm_plan_packed(A, B, layout="octet", group=32, k_octets=64)
     f = jax.jit(lambda q, bd: apply_permutation(q.b_perm, bd))
     _ = np.asarray(f(pp, B.data))

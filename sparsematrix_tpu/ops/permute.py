@@ -25,7 +25,8 @@ import numpy as np
 
 from ..formats.base import register_sparse_pytree
 
-__all__ = ["PermutePlan", "plan_gather_permutation", "apply_permutation"]
+__all__ = ["PermutePlan", "plan_gather_permutation", "apply_permutation",
+           "plan_permutation_auto"]
 
 # fixed-timer re-measure (probe_permute, late r4): the sort wins at
 # EVERY size from 65k up (0.047 vs 0.439 ms at 65k, 9.3×; 1.57 vs 9.02
@@ -99,6 +100,22 @@ def plan_gather_permutation(g, n_src: int, n_out: int | None = None,
         gather=(None if use_sort and not mask_needed
                 else jnp.asarray(np.where(real, g, n_src), jnp.int32)),
     )
+
+
+def plan_permutation_auto(g, n_src: int, n_out: int | None = None):
+    """Best planned permutation for the size: Clos-routed planes when the
+    geometry supports them (measured 13-29× the sort at every size from
+    300k to 8.4M, benchmarks/probe_permute_clos.py), else the sort/gather
+    plan.  ``apply_permutation`` dispatches on the returned plan type."""
+    g = np.asarray(g)
+    n = len(g) if n_out is None else n_out
+    if n >= SORT_MIN_ELEMS:
+        from .permute_clos import plan_clos_permutation
+
+        p = plan_clos_permutation(g, n_src=n_src, n_out=n_out)
+        if p is not None:
+            return p
+    return plan_gather_permutation(g, n_src=n_src, n_out=n_out)
 
 
 def apply_permutation(plan, x):

@@ -431,22 +431,20 @@ def spgemm_plan_packed(A: CSR, B: CSR, cluster: bool = True,
                   "clos": None}[permute]
 
     def _plan_perm(gmap, n_src):
-        if permute in ("auto", "clos"):
+        if permute == "auto":
             # Clos-routed planes are the measured-fastest applies at
             # every supported size (13-29x the sort, probe_permute_clos:
             # 21.8 us at 300k, 880 us at 8.4M vs 0.39/11.6 ms sort);
             # plan cost ~1 s/M elements, the encode-once stance
-            from .permute import SORT_MIN_ELEMS
+            from .permute import plan_permutation_auto
+
+            return plan_permutation_auto(gmap, n_src=n_src)
+        if permute == "clos":
             from .permute_clos import plan_clos_permutation
 
-            if len(gmap) >= SORT_MIN_ELEMS:
-                p = plan_clos_permutation(gmap, n_src=n_src)
-                if p is not None:
-                    return p
-            elif permute == "clos":
-                p = plan_clos_permutation(gmap, n_src=n_src)
-                if p is not None:
-                    return p
+            p = plan_clos_permutation(gmap, n_src=n_src)
+            if p is not None:
+                return p
         return plan_gather_permutation(gmap, n_src=n_src,
                                        force_sort=force_sort)
     plan = spgemm_plan(A, B)

@@ -24,7 +24,9 @@ from jax import shard_map
 
 from ..formats import CSR
 from ..formats.base import default_index_dtype, register_sparse_pytree
-from ..ops.permute import apply_permutation, plan_gather_permutation
+from ..ops.permute import (apply_permutation,
+                           plan_gather_permutation,
+                           plan_permutation_auto)
 
 __all__ = ["DistSpGEMMPlan", "dist_spgemm_plan", "dist_spgemm_apply",
            "DistSpGEMMPacked", "dist_spgemm_packed_plan",
@@ -297,7 +299,7 @@ def dist_spgemm_packed_plan(A: CSR, B: CSR, n_shards: int,
                             np.full(max(c_nnz - len(ct_row_ids_arr), 0),
                                     n, np.int64)]), idt),
         shape=(m, n), n_shards=n_shards, c_nnz=int(pattern.nnz),
-        c_perm=plan_gather_permutation(cg, n_src=c_nnz),
+        c_perm=plan_permutation_auto(cg, n_src=c_nnz),
         b_keys=b_keys,
     )
 
@@ -742,8 +744,8 @@ def dist_spgemm_packed_plan_2d(A: CSR, B: CSR, n_row: int, n_k: int,
         ct_row_ids=jnp.asarray(ct_row_ids, idt),
         shape=(m, n), n_row=n_row, n_k=n_k, c_nnz=int(pattern.nnz),
         c_band_pad=c_band_pad,
-        c_perm=plan_gather_permutation(gather,
-                                       n_src=n_row * c_band_pad),
+        c_perm=plan_permutation_auto(gather,
+                                      n_src=n_row * c_band_pad),
         b_keys=_stack_b_keys(
             src_flat, B.nnz).reshape(n_row, n_k, -1),
     )
