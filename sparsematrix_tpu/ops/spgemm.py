@@ -190,7 +190,7 @@ def spgemm(A: CSR, B: CSR, method: str = "auto",
             raise ValueError(
                 'output="csc" implies the packed sparse path; '
                 'method="densify" cannot be honored (use output="csr")')
-        pp = spgemm_plan_packed(A, B)
+        pp = spgemm_plan_packed(A, B, outputs=("csc",))
         return spgemm_apply_packed_csc(pp, B.data)
     m, k = A.shape
     _, n = B.shape
@@ -403,6 +403,7 @@ def _color_b_ranks(row_of: np.ndarray, q: np.ndarray, n_ranks: int):
 def spgemm_plan_packed(A: CSR, B: CSR, cluster: bool = True,
                        layout: str = "auto", stripe: str = "color",
                        permute: str = "auto",
+                       outputs: tuple = ("csr", "csc"),
                        **pack_kwargs) -> SpGEMMPacked:
     """Symbolic phase + pack: fixes A's pattern AND values (and B's
     pattern); ``spgemm_apply_packed`` then multiplies any B values.
@@ -482,7 +483,11 @@ def spgemm_plan_packed(A: CSR, B: CSR, cluster: bool = True,
         cg = np.full(cap, max(plan.c_nnz, 1), np.int64)
         cg[: plan.c_nnz] = rank_r
         c_gather = jnp.asarray(cg, jnp.int32)
-        c_perm = _plan_perm(cg, max(plan.c_nnz, 1))
+        # the CSC apply emits the kernel's native order — a csc-only
+        # plan skips the c_nnz output-permutation planning entirely
+        # (~16 s of Clos coloring at the XL point)
+        c_perm = (_plan_perm(cg, max(plan.c_nnz, 1))
+                  if "csr" in outputs else None)
         row_of = rank_r[tgt]
         # sublane position of each rank within its 1024-rank window:
         # conflict-graph coloring (one slab per (tile, window)), or the
