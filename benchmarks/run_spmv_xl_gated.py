@@ -26,15 +26,21 @@ from sparsematrix_tpu.bench.suite import (bench_calibrate,
 from sparsematrix_tpu.utils.roofline import active_chip
 
 GATE = 0.90
+# the gate is relative to the ARTIFACT's known-best, not the chip spec:
+# the 128 MB pallas copy chain tops out at ~320 GB/s on this chip in
+# every session ever measured (r4 results: 319.9; r5 sessions: 317-329)
+# — read+write through 1 MB VMEM blocks is not the same roofline as the
+# spmv kernels' read-dominated streams.  Sessions are judged against it.
+REF_STREAM_GBPS = 320.0
 
 out_path = sys.argv[1] if len(sys.argv) > 1 else None
 cal = bench_calibrate(check=False)
 hbm = next(r for r in cal if r.name == "calibrate/hbm-stream")
-spec = active_chip().hbm_gbps
 session_bw = hbm.extras["gb_per_s"]
-frac = session_bw / spec
-print(f"calibrate: hbm-stream {session_bw:.0f} GB/s = {frac:.1%} of spec"
-      f" (gate {GATE:.0%})", flush=True)
+frac = session_bw / REF_STREAM_GBPS
+print(f"calibrate: hbm-stream {session_bw:.0f} GB/s = {frac:.1%} of the "
+      f"artifact ceiling {REF_STREAM_GBPS:.0f} (gate {GATE:.0%})",
+      flush=True)
 if hbm.extras.get("unreliable") or frac < GATE:
     print("SESSION REJECTED: re-run in a fresh session", flush=True)
     sys.exit(3)
