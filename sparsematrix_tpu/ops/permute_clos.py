@@ -179,6 +179,7 @@ class ClosPermutePlan:
     planes: tuple  # of (pos, chk, rte) triples, int8 (W_stage, 8, 128)
     sel: object  # int8 (1024, q, 1024) source-t per (row, t_d, m2); None q=1
     mask_src: object  # (n_out,) int32 source ids for sentinel zeroing, or None
+    inv: object  # (n_src,) int32 output slot per source (n_out = dropped)
     cap: int = dataclasses.field(metadata={"static": True})
     R: int = dataclasses.field(metadata={"static": True})
     q: int = dataclasses.field(metadata={"static": True})
@@ -258,15 +259,57 @@ def plan_clos_permutation(g, n_src: int, n_out: int | None = None):
         sel = jnp.asarray(h)
         planes.append(_window_planes(m1 * q + d_t, m2, d_j, _W * q))
     planes.append(_window_planes(d_row, m1, d_col, R))
+    # inverse map for the VJP: output slot of each source element
+    inv = np.full(n_src, n_out, np.int64)
+    g_out = g[:n_out]
+    live = g_out < n_src
+    inv[g_out[live]] = np.flatnonzero(live)
     return ClosPermutePlan(
         planes=tuple(planes), sel=sel,
         mask_src=(None if mask_src is None else jnp.asarray(mask_src)),
+        inv=jnp.asarray(inv, jnp.int32),
         cap=cap, R=R, q=q, n_out=int(n_out), n_src=int(n_src))
 
 
 def apply_clos_permutation(plan: ClosPermutePlan, x, *,
                            interpret: bool = False):
-    """Run the planned permutation on device (jittable)."""
+    """Run the planned permutation on device (jittable; differentiable
+    in ``x`` — the cotangent applies the INVERSE map as a gather:
+    correct, not fast, the framework's backward-pass stance)."""
+    return _apply_clos(plan, x, bool(interpret))
+
+
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _apply_clos(plan, x, interpret):
+    return _apply_clos_impl(plan, x, interpret)
+
+
+def _clos_fwd(plan, x, interpret):
+    return _apply_clos(plan, x, interpret), (plan, x.dtype, x.shape)
+
+
+def _clos_bwd(interpret, res, ct):
+    plan, xdt, xshape = res
+    ctp = jnp.concatenate([ct, jnp.zeros((1,), ct.dtype)])
+    ct_x = ctp[plan.inv].astype(xdt)
+    if xshape[0] > plan.n_src:  # extra tail of x is ignored by the apply
+        ct_x = jnp.zeros(xshape, xdt).at[: plan.n_src].set(ct_x)
+
+    def ct_zero(p):
+        if jnp.issubdtype(jnp.asarray(p).dtype, jnp.inexact):
+            return jnp.zeros_like(p)
+        return np.zeros(jnp.shape(p), jax.dtypes.float0)
+
+    return (jax.tree_util.tree_map(ct_zero, plan), ct_x)
+
+
+_apply_clos.defvjp(_clos_fwd, _clos_bwd)
+
+
+def _apply_clos_impl(plan: ClosPermutePlan, x, interpret: bool):
     R, q, cap = plan.R, plan.q, plan.cap
     kw = dict(interpret=interpret)
     if interpret:

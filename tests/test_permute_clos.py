@@ -74,3 +74,23 @@ def test_clos_python_colorer_matches(rng):
     for v in range(R):
         assert sorted(col[left == v]) == list(range(C))
         assert sorted(col[right == v]) == list(range(C))
+
+
+def test_clos_vjp(rng):
+    """apply_clos_permutation is differentiable in x (inverse-gather
+    cotangent); sentinel slots drop gradient."""
+    import jax
+
+    n_src, n_out = 30_000, 33_000
+    g = np.full(n_out, n_src + 1, np.int64)
+    live = rng.choice(n_out, size=25_000, replace=False)
+    src = rng.choice(n_src, size=25_000, replace=False)
+    g[live] = src
+    plan = plan_clos_permutation(g, n_src=n_src)
+    x = jnp.asarray(rng.uniform(-1, 1, n_src).astype(np.float32))
+    w = jnp.asarray(rng.uniform(-1, 1, n_out).astype(np.float32))
+    gx = jax.grad(lambda xx: (apply_clos_permutation(
+        plan, xx, interpret=True) * w).sum())(x)
+    want = np.zeros(n_src, np.float32)
+    want[src] = np.asarray(w)[live]
+    np.testing.assert_allclose(np.asarray(gx), want, rtol=1e-6)
