@@ -288,15 +288,17 @@ def _apply_clos(plan, x, interpret):
 
 
 def _clos_fwd(plan, x, interpret):
-    return _apply_clos(plan, x, interpret), (plan, x.dtype, x.shape)
+    # residual: the plan plus x's ignored tail (zero-grad, keeps the
+    # cotangent shape/dtype static without storing x itself)
+    return _apply_clos(plan, x, interpret), (plan, x[plan.n_src:])
 
 
 def _clos_bwd(interpret, res, ct):
-    plan, xdt, xshape = res
+    plan, xtail = res
     ctp = jnp.concatenate([ct, jnp.zeros((1,), ct.dtype)])
-    ct_x = ctp[plan.inv].astype(xdt)
-    if xshape[0] > plan.n_src:  # extra tail of x is ignored by the apply
-        ct_x = jnp.zeros(xshape, xdt).at[: plan.n_src].set(ct_x)
+    ct_x = ctp[plan.inv].astype(xtail.dtype)
+    if xtail.shape[0]:  # extra tail of x is ignored by the apply
+        ct_x = jnp.concatenate([ct_x, jnp.zeros_like(xtail)])
 
     def ct_zero(p):
         if jnp.issubdtype(jnp.asarray(p).dtype, jnp.inexact):
