@@ -803,7 +803,10 @@ def bench_spmv_skew(check=True, n=32768, nnz_row=512, **kw):
 
     from ..kernels.spmv_dualgather import pack_dualgather, spmv_dualgather
 
+    from ..ops.spmv import prepare_spmv, spmv as spmv_op
+
     fdg = jax.jit(lambda p, v: spmv_dualgather(p, v))
+    fsk = jax.jit(lambda p, v: spmv_op(p, v))
     chain_scale = jnp.float32(2.0 ** -20)
     rows = []
     for tag, col_zipf in (("rowzipf", False), ("hubcols", True)):
@@ -812,6 +815,8 @@ def bench_spmv_skew(check=True, n=32768, nnz_row=512, **kw):
         x = np.random.default_rng(9).standard_normal(n).astype(np.float32)
         xj = jnp.asarray(x)
         want = sp.astype(np.float64) @ x if check else None
+        sol = speed_of_light_nnz_s(A.nnz, spmv_csr_bytes(A.nnz, n, n))
+        dmax = int(np.diff(sp.indptr).max())
         t0 = time.time()
         packed = pack_dualgather(A, group=128, k_tiles=8, two_win=True)
         pack_s = time.time() - t0
@@ -819,14 +824,34 @@ def bench_spmv_skew(check=True, n=32768, nnz_row=512, **kw):
             lambda y, p_: fdg(p_, y) * chain_scale, xj, packed, iters=6)
         checked = (relative_check(np.asarray(fdg(packed, xj)), want)
                    if check else None)
-        sol = speed_of_light_nnz_s(A.nnz, spmv_csr_bytes(A.nnz, n, n))
-        dmax = int(np.diff(sp.indptr).max())
         r = Row(f"spmv_skew/dualgather-{tag}",
                 f"n={n},nnz={A.nnz/1e6:.1f}M,degmax={dmax},"
                 f"fill={packed.fill_rate:.2f}",
                 res, nnz=A.nnz, checked=checked)
         r.sol_frac = r.nnz_per_s / sol
         r.extras = {"pack_seconds": pack_s, **res.extras}
+        rows.append(r)
+        # the round-5 fix: auto routes to the hybrid skew layout
+        # (ops/skew.py — hub rows/cols dense-blocked, rest degree-sorted)
+        t0 = time.time()
+        sk = prepare_spmv(A)
+        sk_pack_s = time.time() - t0
+        from ..ops.skew import SkewSpmv
+
+        res = bench_chain_slope(
+            lambda y, p_: fsk(p_, y) * chain_scale, xj, sk, iters=6)
+        checked = (relative_check(np.asarray(fsk(sk, xj)), want)
+                   if check else None)
+        hr = (int(sk.hub_rows.shape[0])
+              if isinstance(sk, SkewSpmv) else 0)
+        hc = (int(sk.hub_cols.shape[0])
+              if isinstance(sk, SkewSpmv) else 0)
+        r = Row(f"spmv_skew/auto-skew-{tag}",
+                f"n={n},nnz={A.nnz/1e6:.1f}M,degmax={dmax},hub_r={hr},"
+                f"hub_c={hc},fill={sk.fill_rate:.2f}",
+                res, nnz=A.nnz, checked=checked)
+        r.sol_frac = r.nnz_per_s / sol
+        r.extras = {"pack_seconds": sk_pack_s, **res.extras}
         rows.append(r)
     return rows
 

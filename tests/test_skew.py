@@ -1,0 +1,65 @@
+"""Hybrid skew SpMV layout (ops/skew.py): auto routing, correctness on
+power-law structures, and the differentiable composition."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sparsematrix_tpu.bench.suite import gen_zipf_csr
+from sparsematrix_tpu.formats import CSR
+from sparsematrix_tpu.ops.skew import SkewSpmv, pack_skew, spmv_skew
+from sparsematrix_tpu.ops.spmv import prepare_spmv, spmv
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(5)
+
+
+@pytest.mark.parametrize("col_zipf", [False, True])
+def test_skew_auto_route_and_oracle(rng, col_zipf):
+    n = 8192
+    sp = gen_zipf_csr(3, n, n, n * 64, col_zipf=col_zipf)
+    A = CSR.from_scipy(sp)
+    pk = prepare_spmv(A)
+    assert isinstance(pk, SkewSpmv)
+    # the fill collapse is repaired: degree-sorted base packs well
+    assert pk.fill_rate > 0.2
+    x = rng.uniform(-1, 1, n).astype(np.float32)
+    y = np.asarray(jax.jit(spmv)(pk, jnp.asarray(x)))
+    want = sp.astype(np.float64) @ x
+    np.testing.assert_allclose(y, want, rtol=2e-3, atol=0.5)
+
+
+def test_skew_not_engaged_on_uniform(rng):
+    import scipy.sparse as sps
+
+    sp = sps.random(8192, 8192, density=0.004, random_state=1,
+                    format="csr", dtype=np.float32)
+    pk = prepare_spmv(CSR.from_scipy(sp))
+    assert not isinstance(pk, SkewSpmv)
+
+
+def test_skew_vjp(rng):
+    n = 4096
+    sp = gen_zipf_csr(4, n, n, n * 32)
+    sp.data = rng.uniform(-2, 2, sp.nnz).astype(np.float32)
+    pk = pack_skew(CSR.from_scipy(sp))
+    x = jnp.asarray(rng.uniform(-1, 1, n).astype(np.float32))
+    w = jnp.asarray(rng.uniform(-1, 1, n).astype(np.float32))
+    gx = jax.grad(lambda xx: (spmv_skew(pk, xx) * w).sum())(x)
+    want = sp.T.astype(np.float64) @ np.asarray(w)
+    np.testing.assert_allclose(np.asarray(gx), want, rtol=2e-3, atol=0.5)
+
+
+def test_skew_rect_and_empty_hub(rng):
+    # rectangular, no hubs above threshold → pure base + perm path
+    import scipy.sparse as sps
+
+    sp = gen_zipf_csr(6, 5000, 3000, 60_000)
+    pk = pack_skew(CSR.from_scipy(sp))
+    x = rng.uniform(-1, 1, 3000).astype(np.float32)
+    y = np.asarray(spmv_skew(pk, jnp.asarray(x)))
+    want = sp.astype(np.float64) @ x
+    np.testing.assert_allclose(y, want, rtol=2e-3, atol=0.5)
