@@ -40,6 +40,6 @@ def test_skew_groups_small_run():
     deg = np.diff(sp.indptr)
     assert deg.max() > 20 * max(deg.min(), 1)  # genuinely skewed
     rows = bench_spmv_skew(check=True, n=1024, nnz_row=8)
-    assert len(rows) == 2 and all(r.checked for r in rows)
+    assert len(rows) == 4 and all(r.checked for r in rows)
     rows = bench_spgemm_skew(check=True, n=1024, density=0.002)
     assert rows and rows[0].checked
