@@ -40,8 +40,9 @@ sa.data = rng.uniform(-1000, 1000, sa.nnz).astype(np.float32)
 sb.data = rng.uniform(-1000, 1000, sb.nnz).astype(np.float32)
 A, B = CSR.from_scipy(sa), CSR.from_scipy(sb)
 
-cfg = {"g32k64": (32, 64), "g64k64": (64, 64), "g128k64": (128, 64),
-       "g128k128": (128, 128), "g256k64": (256, 64)}
+cfg = {"g16k64": (16, 64), "g32k64": (32, 64), "g64k64": (64, 64),
+       "g128k64": (128, 64), "g128k128": (128, 128),
+       "g256k64": (256, 64)}
 
 if case == "csr32":
     # CSR-output e2e: the c-permute (c_nnz ~4.36M) now ships as Clos

@@ -1646,8 +1646,10 @@ def bench_spmm_xl(check=True, n=32768, k=32, **kw):
         rows.append(r)
         del ad
     # low-degree XL point (VERDICT r4 §5): ~2 entries/row — the octet
-    # multi-RHS walk (the ops.spmm auto route for nnz ≤ 2·rows) vs the
-    # kt1 dual-gather walk on the same structure
+    # multi-RHS walk vs the kt1 dual-gather walk.  MEASURED NEGATIVE for
+    # octet-mm (1.61 ms fill 0.04 vs walk 0.68 ms): scattered entries
+    # leave ~8 live cells per octet-window; the rows stay as the record
+    # and ops.spmm auto keeps the walk
     import scipy.sparse as _sps
 
     from ..kernels.spmv_octet import pack_octet, spmm_octet

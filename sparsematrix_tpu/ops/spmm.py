@@ -217,16 +217,15 @@ def _dg_pack_of(A: CSR):
     from ..kernels.spmv_dualgather import pack_dualgather
 
     with jax.ensure_compile_time_eval():
-        if A.nnz <= 2 * A.shape[0] and A.shape[0] >= 2048:
-            # ≲2 entries/row: per-tile slab layouts waste ≥6/8 sublane
-            # cells; the 8-tile octet slab is the measured-best layout
-            # for spmv AND the multi-RHS walk (same rule as
-            # ops/spmv.py prepare_spmv auto; spmm_octet walks the pack)
-            from ..kernels.spmv_octet import pack_octet
-
-            packed = pack_octet(A)
-        else:
-            packed = pack_dualgather(A, k_tiles=1)
+        # NOTE: the octet pack is NOT auto-routed for the multi-RHS walk
+        # — measured loser at the scattered low-degree XL point
+        # (spmm_xl nnz/row=2: octet-mm 1.61 ms fill 0.04 vs walk-kt1
+        # 0.68 ms — scattered entries leave ~8 live cells per
+        # octet-window, and the walk re-streams the bloated planes per
+        # RHS panel).  spmv keeps its octet route (different traffic
+        # balance, measured winner); explicit Octet packs still dispatch
+        # through spmm_octet.
+        packed = pack_dualgather(A, k_tiles=1)
     if packed.fill_rate < 0.05:
         # a pathological pack (scattered low-degree rows) still beats the
         # segsum reference ~anywhere, but below this floor the slab bytes
