@@ -142,9 +142,11 @@ def _spmm_dg_sb_forward(packed: DualGather, X):
 
     rows, cols = packed.shape
     k = X.shape[1]
-    kp = min(_KP_SB, k)
-    k_pad = -(-k // kp) * kp
     S = packed.n_win * 8
+    # adaptive panel width: whole RHS resident when it fits VMEM so the
+    # slab planes stream once (see spmv_octet spmm note)
+    kp = min(k, max(_KP_SB, (6 << 20) // max(S * _LANES * 4, 1)))
+    k_pad = -(-k // kp) * kp
     # (k_pad, S, 128): column-major panels of the padded RHS
     Xp = jnp.zeros((S * _LANES, k_pad), X.dtype).at[:cols, :k].set(X)
     xt = Xp.T.reshape(k_pad, S, _LANES)

@@ -590,9 +590,17 @@ def spmm_octet(packed: Octet, X):
 def _octet_mm_forward(packed: Octet, X):
     rows, cols = packed.shape
     k = X.shape[1]
-    kp = min(_KP_MM, k)
-    k_pad = -(-k // kp) * kp
     S = packed.n_win * 8
+    # panel width: keep the whole RHS resident when it fits VMEM — the
+    # planes then stream ONCE instead of once per panel (measured the
+    # difference between losing and winning vs the kt1 walk at the
+    # low-degree XL point: n_panels=4 restreamed ~4x the plane bytes)
+    budget = 6 << 20
+    kp_fit = max(1, budget // max(S * _LANES * 4, 1))
+    kp_acc = max(1, budget // max(packed.k_octets * 8 * _LANES * 4, 1))
+    kp = max(_KP_MM, min(kp_fit, kp_acc))
+    kp = min(kp, k)
+    k_pad = -(-k // kp) * kp
     Xp = jnp.zeros((S * _LANES, k_pad), X.dtype).at[:cols, :k].set(X)
     xt = Xp.T.reshape(k_pad, S, _LANES)
     n_super = -(-packed.n_octets // packed.k_octets)
