@@ -1678,6 +1678,23 @@ def bench_spmm_xl(check=True, n=32768, k=32, **kw):
                    + n * k * 8)
     r.sol_frac = r.nnz_per_s / speed_of_light_nnz_s(sp.nnz, bytes_moved)
     rows.append(r)
+    from ..ops.spmm_lowdeg import pack_sliced_ell, spmm_sliced_ell
+
+    pk_s = pack_sliced_ell(A)
+    fse = jax.jit(spmm_sliced_ell)
+    res = bench_fn_slope(fse, pk_s, X, iters=4, inner_lo=2, inner_hi=10,
+                         perturb_max_bytes=1 << 20)
+    checked = (relative_check(np.asarray(fse(pk_s, X)), want)
+               if check else None)
+    r = Row("spmm_xl/sliced-ell",
+            f"n={n},k={k},nnz/row={nnz_row},segs={len(pk_s.vals)},"
+            f"fill={pk_s.fill_rate:.2f}",
+            res, nnz=sp.nnz, checked=checked)
+    # honest bytes for the row-gather algorithm: each entry drags a
+    # k-float X row (÷ fill for segment padding) + X read + Y write
+    bytes_moved = sp.nnz * k * 4 / max(pk_s.fill_rate, 1e-6) + n * k * 8
+    r.sol_frac = r.nnz_per_s / speed_of_light_nnz_s(sp.nnz, bytes_moved)
+    rows.append(r)
     from ..kernels.spmv_dualgather import pack_dualgather as _pdg
 
     pk_w = _pdg(A, k_tiles=1)

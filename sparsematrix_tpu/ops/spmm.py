@@ -217,14 +217,21 @@ def _dg_pack_of(A: CSR):
     from ..kernels.spmv_dualgather import pack_dualgather
 
     with jax.ensure_compile_time_eval():
-        # NOTE: the octet pack is NOT auto-routed for the multi-RHS walk
-        # — measured loser at the scattered low-degree XL point
-        # (spmm_xl nnz/row=2: octet-mm 1.61 ms fill 0.04 vs walk-kt1
-        # 0.68 ms — scattered entries leave ~8 live cells per
-        # octet-window, and the walk re-streams the bloated planes per
-        # RHS panel).  spmv keeps its octet route (different traffic
-        # balance, measured winner); explicit Octet packs still dispatch
-        # through spmm_octet.
+        # Low mean degree (≲16/row): the sliced-ELL row-gather layout is
+        # the measured winner (0.24-0.38 ms vs the walk's 0.68-0.90 at
+        # the 2-8/row XL points, probe_spmm_lowdeg) — each gathered X
+        # row is a contiguous k-float run, and degree-sorted segments
+        # keep the width padding bounded.  The octet pack is NOT routed
+        # here — measured loser at the scattered low-degree point
+        # (1.61 ms fill 0.04: ~8 live cells per octet-window); spmv
+        # keeps its octet route (different traffic balance).
+        if A.nnz <= 16 * A.shape[0]:
+            from .spmm_lowdeg import pack_sliced_ell
+
+            packed = pack_sliced_ell(A)
+            ref = weakref.ref(A, lambda _u, k=key: _DG_CACHE.pop(k, None))
+            _DG_CACHE[key] = (ref, packed)
+            return packed
         packed = pack_dualgather(A, k_tiles=1)
     if packed.fill_rate < 0.05:
         # a pathological pack (scattered low-degree rows) still beats the
@@ -330,11 +337,14 @@ def spmm(A, X, method: str = "auto"):
     from ..kernels.spmm_dualgather import spmm_dualgather as _dg_mm
     from ..kernels.spmv_dualgather import DualGather as _DG
     from ..kernels.spmv_octet import Octet as _Oct, spmm_octet as _oct_mm
+    from .spmm_lowdeg import SlicedEllMM as _SEll, spmm_sliced_ell
 
     if isinstance(A, _DG):
         return _dg_mm(A, X)  # packed layouts serve spmv AND spmm
     if isinstance(A, _Oct):
         return _oct_mm(A, X)
+    if isinstance(A, _SEll):
+        return spmm_sliced_ell(A, X)
     if method == "densify":
         return spmm_densify(A, X)
     if type(A) in (Dense, QuantDense):
@@ -377,8 +387,8 @@ def spmm(A, X, method: str = "auto"):
             from ..kernels.spmm_dualgather import spmm_dualgather
 
             packed = _dg_pack_of(A)
-            if isinstance(packed, _Oct):
-                return _oct_mm(packed, X)
+            if isinstance(packed, _SEll):
+                return spmm_sliced_ell(packed, X)
             if packed is not None:
                 return spmm_dualgather(packed, X)
     if method == "auto" and _should_densify(A):
