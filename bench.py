@@ -25,7 +25,7 @@ def main():
     rows = bench_codebook_gemm(
         check=True,
         variants=("fused-pallas", "dense-dequant", "dense-dequant-bf16",
-                  "fused-pallas-bf16", "int8-gemm"),
+                  "fused-pallas-bf16", "int8-gemm", "int16-gemm"),
     )
     # headline = fastest SPARSE path that passes the reference's oracle
     # check (the dense-race rows — including the r4 prepacked lane — are
