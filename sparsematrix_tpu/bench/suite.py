@@ -1682,7 +1682,9 @@ def bench_spmm_xl(check=True, n=32768, k=32, **kw):
 
     pk_s = pack_sliced_ell(A)
     fse = jax.jit(spmm_sliced_ell)
-    res = bench_fn_slope(fse, pk_s, X, iters=4, inner_lo=2, inner_hi=10,
+    # default inner counts: at ~0.24 ms this row needs the long chains
+    # (the short (2, 10) pair measured 2.85 ms of pure jitter)
+    res = bench_fn_slope(fse, pk_s, X, iters=6,
                          perturb_max_bytes=1 << 20)
     checked = (relative_check(np.asarray(fse(pk_s, X)), want)
                if check else None)
