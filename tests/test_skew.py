@@ -63,3 +63,26 @@ def test_skew_rect_and_empty_hub(rng):
     y = np.asarray(spmv_skew(pk, jnp.asarray(x)))
     want = sp.astype(np.float64) @ x
     np.testing.assert_allclose(y, want, rtol=2e-3, atol=0.5)
+
+
+def test_skew_through_cg_solver(rng):
+    """A Zipf SPD system solved through cg with the auto skew pack
+    (prepare_spmv inside the solver path)."""
+    import scipy.sparse as sps
+
+    from sparsematrix_tpu.solvers import cg
+
+    n = 4096
+    base = gen_zipf_csr(8, n, n, n * 24)
+    # SPD: A = B B^T + n I (keeps the zipf hub structure in B)
+    spd = (base @ base.T).tocsr()
+    spd = (spd + spd.T) * 0.5 + sps.identity(n) * (
+        abs(spd).sum(axis=1).max() + 1.0)
+    spd = sps.csr_matrix(spd, dtype=np.float32)
+    A = CSR.from_scipy(spd)
+    pk = prepare_spmv(A)
+    b = jnp.asarray(rng.uniform(-1, 1, n).astype(np.float32))
+    sol = cg(pk, b, tol=1e-6, maxiter=2000)
+    x = np.asarray(sol.x)
+    res = np.linalg.norm(spd.astype(np.float64) @ x - np.asarray(b))
+    assert res <= 1e-4 * np.linalg.norm(np.asarray(b))
