@@ -223,7 +223,8 @@ class DistSpGEMMPacked:
 def dist_spgemm_packed_plan(A: CSR, B: CSR, n_shards: int,
                             group: int = 16,
                             k_tiles: int = 16,
-                            layout: str = "auto") -> DistSpGEMMPacked:
+                            layout: str = "auto",
+                            b_permute: str = "sort") -> DistSpGEMMPacked:
     """k-split symbolic phase + per-band superblock pair packs (host).
 
     Rows of every band's pair matrix live in the GLOBAL CSC-ordered C
@@ -267,7 +268,12 @@ def dist_spgemm_packed_plan(A: CSR, B: CSR, n_shards: int,
                                       key_c, rank_r, c_nnz, B.nnz,
                                       packer=packer)
     p_stack, src = _stack_packs(built, src_arrs)
-    b_keys = _stack_b_keys(np.asarray(src), B.nnz)
+    if b_permute not in ("sort", "clos"):
+        raise ValueError(f"unknown b_permute {b_permute!r}")
+    b_keys = (_stack_b_clos(np.asarray(src), B.nnz)
+              if b_permute == "clos" else None)
+    if b_keys is None:
+        b_keys = _stack_b_keys(np.asarray(src), B.nnz)
 
     # C^T structure (slots in the kernel's native CSC order)
     ct_counts = np.bincount(c_indices, minlength=n)
@@ -508,18 +514,68 @@ def _stack_b_keys(src_arrs, n_src):
     return jnp.stack(keys)
 
 
+def _stack_b_clos(src_arrs, n_src):
+    """Per-shard CLOS permutation plans stacked on the device axis
+    (13-29× the sort single-chip, probe_permute_clos).  Geometry is
+    uniform across shards (same p_cols/n_src → same cap/R/q → same
+    plane shapes), so the plans stack leaf-wise; sentinel masking is
+    applied externally from ``src`` (mask_src dropped for uniformity).
+    Returns None when the size is outside the Clos range — callers fall
+    back to the stacked sort keys."""
+    from ..ops.permute_clos import plan_clos_permutation
+
+    plans = []
+    for s in src_arrs:
+        p = plan_clos_permutation(np.asarray(s), n_src=n_src)
+        if p is None:
+            return None
+        plans.append(dataclasses.replace(p, mask_src=None))
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *plans)
+
+
+def _take0(stacked):
+    """Leading-axis slice of a stacked plan/keys pytree (leaf-wise)."""
+    if stacked is None:
+        return None
+    return jax.tree_util.tree_map(lambda a: a[0], stacked)
+
+
+def _take00(stacked):
+    if stacked is None:
+        return None
+    return jax.tree_util.tree_map(lambda a: a[0, 0], stacked)
+
+
 def _local_b_x(src_row, keys_row, bvals):
-    """Shard-local permuted x: planned sort when keys are present."""
+    """Shard-local permuted x: planned Clos/sort when a plan is present
+    (sentinel slots — src == n_src — read zero either way)."""
+    from ..ops.permute_clos import ClosPermutePlan, apply_clos_permutation
+
     n_src = bvals.shape[0]
     if keys_row is None:
         return jnp.concatenate([bvals,
                                 jnp.zeros((1,), bvals.dtype)])[src_row]
+    if isinstance(keys_row, ClosPermutePlan):
+        from ..config import config
+
+        x = apply_clos_permutation(keys_row, bvals,
+                                   interpret=config.interpret())
+        return jnp.where(src_row < n_src, x[: src_row.shape[0]], 0)
     cap = keys_row.shape[0]
     vals = jnp.zeros((cap,), bvals.dtype).at[:n_src].set(bvals)
     x = jax.lax.sort_key_val(keys_row, vals)[1][: src_row.shape[0]]
-    # sentinel slots (src == n_src) must read zero even when their key
-    # landed on a live unused source id
     return jnp.where(src_row < n_src, x, 0)
+
+
+def _stack_b_keys2d(src_flat, n_src, n_row, n_k, b_permute):
+    if b_permute not in ("sort", "clos"):
+        raise ValueError(f"unknown b_permute {b_permute!r}")
+    if b_permute == "clos":
+        stacked = _stack_b_clos(src_flat, n_src)
+        if stacked is not None:
+            return jax.tree_util.tree_map(
+                lambda a: a.reshape((n_row, n_k) + a.shape[1:]), stacked)
+    return _stack_b_keys(src_flat, n_src).reshape(n_row, n_k, -1)
 
 
 def shard_dist_spgemm_packed(plan: DistSpGEMMPacked, mesh: Mesh,
@@ -540,7 +596,8 @@ def shard_dist_spgemm_packed(plan: DistSpGEMMPacked, mesh: Mesh,
         c_indices=put_r(plan.c_indices),
         c_row_ids=put_r(plan.c_row_ids),
         c_perm=jax.tree_util.tree_map(put_r, plan.c_perm),
-        b_keys=(None if plan.b_keys is None else put_s(plan.b_keys)),
+        b_keys=(None if plan.b_keys is None
+                else jax.tree_util.tree_map(put_s, plan.b_keys)),
     )
 
 
@@ -560,9 +617,7 @@ def dist_spgemm_packed_apply(plan: DistSpGEMMPacked, mesh: Mesh,
     )
     def run(p_local, src_local, keys_local, bvals):
         local = jax.tree_util.tree_map(lambda a: a[0], p_local)
-        x = _local_b_x(src_local[0],
-                       None if keys_local is None else keys_local[0],
-                       bvals)
+        x = _local_b_x(src_local[0], _take0(keys_local), bvals)
         y = _local_pair_spmv(local, x)
         return jax.lax.psum(y, axis_name)
 
@@ -594,9 +649,7 @@ def dist_spgemm_packed_apply_csc(plan: DistSpGEMMPacked, mesh: Mesh,
     )
     def run(p_local, src_local, keys_local, bvals):
         local = jax.tree_util.tree_map(lambda a: a[0], p_local)
-        x = _local_b_x(src_local[0],
-                       None if keys_local is None else keys_local[0],
-                       bvals)
+        x = _local_b_x(src_local[0], _take0(keys_local), bvals)
         y = _local_pair_spmv(local, x)
         return jax.lax.psum(y, axis_name)
 
@@ -654,7 +707,8 @@ class DistSpGEMM2D:
 def dist_spgemm_packed_plan_2d(A: CSR, B: CSR, n_row: int, n_k: int,
                                group: int = 16,
                                k_tiles: int = 16,
-                               layout: str = "auto") -> DistSpGEMM2D:
+                               layout: str = "auto",
+                               b_permute: str = "sort") -> DistSpGEMM2D:
     """Host symbolic phase for the (row × k) 2-D mesh (see module note)."""
     sa = A.to_scipy().tocsr()
     sb = B.to_scipy().tocsr()
@@ -746,8 +800,7 @@ def dist_spgemm_packed_plan_2d(A: CSR, B: CSR, n_row: int, n_k: int,
         c_band_pad=c_band_pad,
         c_perm=plan_permutation_auto(gather,
                                       n_src=n_row * c_band_pad),
-        b_keys=_stack_b_keys(
-            src_flat, B.nnz).reshape(n_row, n_k, -1),
+        b_keys=_stack_b_keys2d(src_flat, B.nnz, n_row, n_k, b_permute),
     )
 
 
@@ -774,7 +827,8 @@ def shard_dist_spgemm_packed_2d(plan: DistSpGEMM2D, mesh: Mesh):
         ct_indices=put_b(plan.ct_indices),
         ct_row_ids=put_b(plan.ct_row_ids),
         c_perm=jax.tree_util.tree_map(put_r, plan.c_perm),
-        b_keys=(None if plan.b_keys is None else put_s(plan.b_keys)),
+        b_keys=(None if plan.b_keys is None
+                else jax.tree_util.tree_map(put_s, plan.b_keys)),
     )
 
 
@@ -793,9 +847,7 @@ def dist_spgemm_packed_apply_2d(plan: DistSpGEMM2D, mesh: Mesh,
     )
     def run(p_local, src_local, keys_local, bvals):
         local = jax.tree_util.tree_map(lambda a: a[0, 0], p_local)
-        x = _local_b_x(src_local[0, 0],
-                       None if keys_local is None else keys_local[0, 0],
-                       bvals)
+        x = _local_b_x(src_local[0, 0], _take00(keys_local), bvals)
         y = _local_pair_spmv(local, x)
         return jax.lax.psum(y, "k")[None]
 
@@ -837,9 +889,7 @@ def dist_spgemm_packed_apply_2d_csc(plan: DistSpGEMM2D, mesh: Mesh,
     )
     def run(p_local, src_local, keys_local, bvals):
         local = jax.tree_util.tree_map(lambda a: a[0, 0], p_local)
-        x = _local_b_x(src_local[0, 0],
-                       None if keys_local is None else keys_local[0, 0],
-                       bvals)
+        x = _local_b_x(src_local[0, 0], _take00(keys_local), bvals)
         y = _local_pair_spmv(local, x)
         return jax.lax.psum(y, "k")[None]
 

@@ -388,3 +388,37 @@ def test_dist_spgemm_b_keys_sort_path(rng):
                                      mesh)
         np.testing.assert_allclose(np.asarray(C.data)[: plan.c_nnz],
                                    want.data, rtol=2e-3, atol=1e-2)
+
+
+def test_dist_spgemm_b_clos_path(rng):
+    """b_permute='clos': stacked per-shard Clos plans applied inside
+    shard_map (1-D and 2-D meshes), oracle-exact."""
+    import scipy.sparse as sps
+
+    from sparsematrix_tpu.ops.permute_clos import ClosPermutePlan
+    from sparsematrix_tpu.parallel.dist_spgemm import (
+        dist_spgemm_packed_apply, dist_spgemm_packed_apply_2d,
+        dist_spgemm_packed_plan, dist_spgemm_packed_plan_2d,
+        shard_dist_spgemm_packed, shard_dist_spgemm_packed_2d)
+
+    sa = sps.random(600, 600, density=0.02, random_state=1, format="csr",
+                    dtype=np.float32)
+    sb = sps.random(600, 600, density=0.02, random_state=2, format="csr",
+                    dtype=np.float32)
+    A, B = CSR.from_scipy(sa), CSR.from_scipy(sb)
+    want = (sa.astype(np.float64) @ sb.astype(np.float64)).tocsr()
+    want.sort_indices()
+    plan = dist_spgemm_packed_plan(A, B, n_shards=4, b_permute="clos")
+    assert isinstance(plan.b_keys, ClosPermutePlan)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("shard",))
+    C = dist_spgemm_packed_apply(shard_dist_spgemm_packed(plan, mesh),
+                                 mesh)
+    np.testing.assert_allclose(np.asarray(C.data)[: plan.c_nnz],
+                               want.data, rtol=2e-3, atol=1e-2)
+    mesh2 = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("row", "k"))
+    plan2 = dist_spgemm_packed_plan_2d(A, B, n_row=2, n_k=2,
+                                       b_permute="clos")
+    C2 = dist_spgemm_packed_apply_2d(
+        shard_dist_spgemm_packed_2d(plan2, mesh2), mesh2)
+    np.testing.assert_allclose(np.asarray(C2.data)[: plan2.c_nnz],
+                               want.data, rtol=2e-3, atol=1e-2)
