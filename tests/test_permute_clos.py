@@ -25,12 +25,13 @@ def test_clos_full_permutation(rng, n):
     np.testing.assert_array_equal(got, x[g])
 
 
-def test_clos_two_level(rng):
-    # cap > 1M forces the q>1 (5-stage) decomposition
-    n = 1_200_000
+@pytest.mark.parametrize("n,q", [(1_200_000, 2), (2_200_000, 3)])
+def test_clos_two_level(rng, n, q):
+    # cap > 1M forces the q>1 (5-stage) decomposition; q=3 exercises the
+    # arbitrary-q geometry (q need not be a power of two)
     g = rng.permutation(n)
     plan = plan_clos_permutation(g, n_src=n)
-    assert plan is not None and plan.q == 2
+    assert plan is not None and plan.q == q
     x = rng.uniform(-10, 10, n).astype(np.float32)
     got = np.asarray(apply_clos_permutation(plan, jnp.asarray(x),
                                             interpret=True))
