@@ -96,6 +96,10 @@ def pack_skew(A: CSR, row_hub_frac: float = 0.125,
         hub_cols_dense = np.zeros((rows, 0), np.float32)
     deg = np.diff(sp.indptr)
     hub_rows = np.flatnonzero(deg >= max(int(cols * row_hub_frac), 64))
+    if len(hub_rows) == rows:
+        # degenerate: every row is a hub — keep one row in the sparse
+        # base so the output-permutation plan stays well-formed
+        hub_rows = hub_rows[:-1]
     if len(hub_rows):
         hub_rows_dense = np.asarray(sp[hub_rows].todense(),
                                     dtype=np.float32)

@@ -86,3 +86,14 @@ def test_skew_through_cg_solver(rng):
     x = np.asarray(sol.x)
     res = np.linalg.norm(spd.astype(np.float64) @ x - np.asarray(b))
     assert res <= 1e-4 * np.linalg.norm(np.asarray(b))
+
+
+def test_skew_all_rows_hub(rng):
+    """Degenerate all-hub matrix keeps a well-formed base + permutation."""
+    d = rng.uniform(-1, 1, (128, 256)).astype(np.float32)
+    A = CSR.fromdense(jnp.asarray(d))
+    pk = pack_skew(A)
+    x = rng.uniform(-1, 1, 256).astype(np.float32)
+    y = np.asarray(spmv_skew(pk, jnp.asarray(x)))
+    np.testing.assert_allclose(y, d.astype(np.float64) @ x, rtol=2e-3,
+                               atol=0.5)
