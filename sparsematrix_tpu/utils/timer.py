@@ -245,18 +245,22 @@ def bench_fn_slope(fn: Callable, *args, inner_lo: int = 8, inner_hi: int = 72,
         lo = _looped(fn, len(args), n_lo, perturb_max_bytes)
         hi = _looped(fn, len(args), n_hi, perturb_max_bytes)
         t0 = time.perf_counter()
-        lo(*args).block_until_ready()
-        hi(*args).block_until_ready()
+        # _fetch_one, NOT block_until_ready: the relay can acknowledge a
+        # fori_loop carry before the device work ran (CLAUDE.md; a whole
+        # session of 0.000 ms readings observed r5 with block_until_ready
+        # here — the bench_chain_slope fix applies to this timer too)
+        _fetch_one(lo(*args))
+        _fetch_one(hi(*args))
         total_compile += (time.perf_counter() - t0) * 1e3
         for _ in range(warmup):
-            lo(*args).block_until_ready()
-            hi(*args).block_until_ready()
+            _fetch_one(lo(*args))
+            _fetch_one(hi(*args))
 
         def sample(g):
             best = float("inf")
             for _ in range(iters):
                 t0 = time.perf_counter()
-                g(*args).block_until_ready()
+                _fetch_one(g(*args))
                 best = min(best, time.perf_counter() - t0)
             return best * 1e3
 
