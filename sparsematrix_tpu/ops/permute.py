@@ -122,12 +122,18 @@ def apply_permutation(plan, x):
     """Run the planned permutation on device (jittable).
 
     ``x`` is (n_src,) or longer (extra tail ignored); returns (n_out,).
+    2-D ``x`` of shape (n_src, k) is permuted ROW-wise — each moved row
+    is one contiguous k-element run, so the plain XLA row scatter/gather
+    is already bandwidth-shaped (the Clos planes and the sort network
+    are vector layouts; they don't apply per-row).
     Accepts a ``PermutePlan`` (sort/gather) or a ``ClosPermutePlan``
     (ops/permute_clos.py — O(1) bandwidth passes; the measured-fastest
     path at every size it supports).
     """
     from .permute_clos import ClosPermutePlan, apply_clos_permutation
 
+    if x.ndim == 2:
+        return _apply_permutation_rows(plan, x)
     if isinstance(plan, ClosPermutePlan):
         from ..config import config
 
@@ -143,4 +149,31 @@ def apply_permutation(plan, x):
     if plan.gather is not None:
         # some sentinel slots were keyed onto live source ids — zero them
         out = jnp.where(plan.gather[: plan.n_out] < plan.n_src, out, 0)
+    return out
+
+
+def _apply_permutation_rows(plan, x):
+    """Row-wise apply for (n_src, k) inputs (see apply_permutation)."""
+    from .permute_clos import ClosPermutePlan
+
+    k = x.shape[1]
+    if isinstance(plan, ClosPermutePlan):
+        # inv maps each LIVE source to its output slot (n_out = dropped
+        # sink); sentinel output slots are never written and stay zero
+        out = (jnp.zeros((plan.n_out + 1, k), x.dtype)
+               .at[plan.inv].set(x[: plan.n_src]))
+        return out[: plan.n_out]
+    if not plan.use_sort:
+        xp = jnp.concatenate(
+            [x[: plan.n_src], jnp.zeros((1, k), x.dtype)])
+        return xp[plan.gather]
+    # keys[s] is the destination slot of source s (the sort-plan keys ARE
+    # the inverse permutation); live-but-unused sources land on slots
+    # ≥ n_out (sliced away) unless the plan recorded a sentinel-slot
+    # collision, which the gather mask zeroes exactly as in the 1-D path
+    out = (jnp.zeros((plan.cap, k), x.dtype)
+           .at[plan.keys[: plan.n_src]].set(x[: plan.n_src]))[: plan.n_out]
+    if plan.gather is not None:
+        out = jnp.where(
+            plan.gather[: plan.n_out, None] < plan.n_src, out, 0)
     return out

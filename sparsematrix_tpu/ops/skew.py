@@ -35,7 +35,8 @@ import numpy as np
 from ..formats import CSR
 from ..formats.base import register_sparse_pytree
 
-__all__ = ["SkewSpmv", "pack_skew", "spmv_skew", "skew_stats"]
+__all__ = ["SkewSpmv", "pack_skew", "spmv_skew", "spmm_skew",
+           "skew_stats"]
 
 
 @register_sparse_pytree
@@ -141,5 +142,49 @@ def spmv_skew(packed: SkewSpmv, x):
                         precision=prec)
     if packed.hub_rows_dense.shape[0]:
         yh = jnp.dot(packed.hub_rows_dense, x, precision=prec)
+        y = y.at[packed.hub_rows].add(yh)
+    return y
+
+
+def _base_spmm(base, X):
+    """Multi-RHS over the degree-sorted base pack: ops.spmm where the
+    pack type has a real SpMM path; otherwise a sequential per-column
+    walk of the SpMV kernel (lax.map — correct for any base layout,
+    e.g. the rowlane superblock pack, which has no matrix kernel)."""
+    from ..formats import StripDense
+    from ..kernels.spmv_dualgather import DualGather
+    from ..kernels.spmv_octet import Octet
+    from .spmm import spmm
+    from .spmm_lowdeg import SlicedEllMM
+
+    ok = isinstance(base, (Octet, SlicedEllMM, StripDense))
+    if isinstance(base, DualGather):
+        ok = base.k_tiles > 1 or (base.tail is None and not base.splits)
+    if ok:
+        return spmm(base, X)
+    from .spmv import spmv
+
+    return jax.lax.map(lambda c: spmv(base, c), X.T).T
+
+
+def spmm_skew(packed: SkewSpmv, X):
+    """``Y = A @ X`` over the hybrid layout: base multi-RHS + row-wise
+    planned unpermutation + dense MXU hub blocks (jittable,
+    differentiable — a composition of differentiable pieces)."""
+    from .permute import apply_permutation
+
+    rows, cols = packed.shape
+    if X.ndim != 2 or X.shape[0] != cols:
+        raise ValueError(
+            f"spmm_skew: X shape {X.shape} incompatible with {packed.shape}")
+    prec = (jax.lax.Precision.HIGHEST if X.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    y_rest = _base_spmm(packed.base, X)
+    y = apply_permutation(packed.out_perm, y_rest)
+    if packed.hub_cols_dense.shape[1]:
+        y = y + jnp.dot(packed.hub_cols_dense, X[packed.hub_cols],
+                        precision=prec)
+    if packed.hub_rows_dense.shape[0]:
+        yh = jnp.dot(packed.hub_rows_dense, X, precision=prec)
         y = y.at[packed.hub_rows].add(yh)
     return y

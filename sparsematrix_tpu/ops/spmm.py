@@ -217,6 +217,23 @@ def _dg_pack_of(A: CSR):
     from ..kernels.spmv_dualgather import pack_dualgather
 
     with jax.ensure_compile_time_eval():
+        # Power-law guard, mirroring prepare_spmv's (ops/spmv.py): one
+        # hub row/column forces every (tile, window) it touches to its
+        # own slab depth — the hybrid skew layout dense-blocks the hubs
+        # and degree-sorts the rest (ops/skew.py; measured 28× on spmv,
+        # same fill collapse applies to every multi-RHS slab walk)
+        if A.shape[0] >= 4096 and A.nnz >= 65536:
+            from .skew import pack_skew, skew_stats
+
+            dmax, dmean, cmax = skew_stats(A)
+            cmean = max(A.nnz / max(A.shape[1], 1), 1e-9)
+            if (dmax >= max(32 * dmean, 512)
+                    or cmax >= max(32 * cmean, 512)):
+                packed = pack_skew(A)
+                ref = weakref.ref(
+                    A, lambda _u, k=key: _DG_CACHE.pop(k, None))
+                _DG_CACHE[key] = (ref, packed)
+                return packed
         # Low mean degree (≲16/row): the sliced-ELL row-gather layout is
         # the measured winner (0.24-0.38 ms vs the walk's 0.68-0.90 at
         # the 2-8/row XL points, probe_spmm_lowdeg) — each gathered X
@@ -337,8 +354,11 @@ def spmm(A, X, method: str = "auto"):
     from ..kernels.spmm_dualgather import spmm_dualgather as _dg_mm
     from ..kernels.spmv_dualgather import DualGather as _DG
     from ..kernels.spmv_octet import Octet as _Oct, spmm_octet as _oct_mm
+    from .skew import SkewSpmv as _Skew, spmm_skew
     from .spmm_lowdeg import SlicedEllMM as _SEll, spmm_sliced_ell
 
+    if isinstance(A, _Skew):
+        return spmm_skew(A, X)
     if isinstance(A, _DG):
         return _dg_mm(A, X)  # packed layouts serve spmv AND spmm
     if isinstance(A, _Oct):
@@ -387,6 +407,8 @@ def spmm(A, X, method: str = "auto"):
             from ..kernels.spmm_dualgather import spmm_dualgather
 
             packed = _dg_pack_of(A)
+            if isinstance(packed, _Skew):
+                return spmm_skew(packed, X)
             if isinstance(packed, _SEll):
                 return spmm_sliced_ell(packed, X)
             if packed is not None:

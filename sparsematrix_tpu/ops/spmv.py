@@ -223,12 +223,12 @@ def prepare_spmv(A: "CSR", layout: str = "auto", skew: str = "auto",
         from ..kernels.spmv_octet import pack_octet
 
         return pack_octet(A, **pack_kwargs)
-    if layout not in ("auto", "rowlane"):
-        raise ValueError(f"unknown layout {layout!r}")
     if layout == "skew":
         from .skew import pack_skew
 
         return pack_skew(A, **pack_kwargs)
+    if layout not in ("auto", "rowlane"):
+        raise ValueError(f"unknown layout {layout!r}")
     if (layout == "auto" and skew == "auto" and not pack_kwargs
             and A.shape[0] >= 4096 and A.nnz >= 65536):
         # power-law guard (VERDICT r4 §6): one hub row/column forces

@@ -101,3 +101,73 @@ def test_spgemm_sort_vs_gather_paths(rng, output):
     want.sort_indices()
     np.testing.assert_allclose(got_s[: pp_s.c_nnz], want.data, rtol=2e-3,
                                atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# round-5 late: row-wise (2-D) apply — each moved row is one contiguous
+# k-element run (the skew SpMM out-permutation path)
+
+
+@pytest.mark.parametrize("force_sort", [True, False])
+def test_rows_pure_permutation(rng, force_sort):
+    n, k = 1000, 7
+    g = rng.permutation(n)
+    x = rng.standard_normal((n, k)).astype(np.float32)
+    plan = plan_gather_permutation(g, n, force_sort=force_sort)
+    out = np.asarray(apply_permutation(plan, jnp.asarray(x)))
+    np.testing.assert_array_equal(out, x[g])
+    # 1-D column-by-column agreement (same plan object serves both)
+    for j in range(k):
+        col = np.asarray(apply_permutation(plan, jnp.asarray(x[:, j])))
+        np.testing.assert_array_equal(out[:, j], col)
+
+
+@pytest.mark.parametrize("force_sort", [True, False])
+def test_rows_sentinels_and_expansion(rng, force_sort):
+    # n_out > n_src with sentinel slots reading zero rows
+    n_src, n_out, k = 600, 900, 5
+    g = np.full(n_out, n_src + 17, np.int64)
+    live = rng.choice(n_out, size=n_src, replace=False)
+    g[live] = rng.permutation(n_src)
+    x = rng.standard_normal((n_src, k)).astype(np.float32)
+    plan = plan_gather_permutation(g, n_src, force_sort=force_sort)
+    out = np.asarray(apply_permutation(plan, jnp.asarray(x)))
+    want = np.zeros((n_out, k), np.float32)
+    want[live] = x[g[live]]
+    np.testing.assert_array_equal(out, want)
+
+
+def test_rows_dropped_sources(rng):
+    # injective but non-surjective: some sources are dropped (n_out < n_src)
+    n_src, n_out, k = 800, 500, 3
+    g = rng.choice(n_src, size=n_out, replace=False)
+    x = rng.standard_normal((n_src, k)).astype(np.float32)
+    for force_sort in (True, False):
+        plan = plan_gather_permutation(g, n_src, force_sort=force_sort)
+        out = np.asarray(apply_permutation(plan, jnp.asarray(x)))
+        np.testing.assert_array_equal(out, x[g])
+
+
+def test_rows_clos_plan(rng):
+    from sparsematrix_tpu.ops.permute import plan_permutation_auto
+    from sparsematrix_tpu.ops.permute_clos import ClosPermutePlan
+
+    n, k = 1 << 14, 6
+    g = rng.permutation(n)
+    plan = plan_permutation_auto(g, n)
+    assert isinstance(plan, ClosPermutePlan)
+    x = rng.standard_normal((n, k)).astype(np.float32)
+    out = np.asarray(apply_permutation(plan, jnp.asarray(x)))
+    np.testing.assert_array_equal(out, x[g])
+    # with sentinels + dropped sources through the same clos plan
+    # (n_out stays >= SORT_MIN_ELEMS so the auto tier still picks clos)
+    n_out = n
+    g2 = np.full(n_out, n + 5, np.int64)
+    live = rng.choice(n_out, size=n // 2, replace=False)
+    g2[live] = rng.choice(n, size=n // 2, replace=False)
+    plan2 = plan_permutation_auto(g2, n)
+    assert isinstance(plan2, ClosPermutePlan)
+    out2 = np.asarray(apply_permutation(plan2, jnp.asarray(x)))
+    want = np.zeros((n_out, k), np.float32)
+    want[live] = x[g2[live]]
+    np.testing.assert_array_equal(out2, want)

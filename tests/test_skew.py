@@ -97,3 +97,79 @@ def test_skew_all_rows_hub(rng):
     y = np.asarray(spmv_skew(pk, jnp.asarray(x)))
     np.testing.assert_allclose(y, d.astype(np.float64) @ x, rtol=2e-3,
                                atol=0.5)
+
+
+# ---------------------------------------------------------------------------
+# round-5 late: multi-RHS over the hybrid layout (TODO_ROUND6 §6)
+
+
+@pytest.mark.parametrize("col_zipf", [False, True])
+def test_skew_spmm_oracle(rng, col_zipf):
+    from sparsematrix_tpu.ops.skew import spmm_skew
+    from sparsematrix_tpu.ops.spmm import spmm
+
+    n, k = 8192, 8
+    sp = gen_zipf_csr(3, n, n, n * 64, col_zipf=col_zipf)
+    pk = prepare_spmv(CSR.from_scipy(sp))
+    assert isinstance(pk, SkewSpmv)
+    X = rng.uniform(-1, 1, (n, k)).astype(np.float32)
+    got = np.asarray(jax.jit(spmm)(pk, jnp.asarray(X)))
+    want = sp.astype(np.float64) @ X
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=0.5)
+    # the direct entry point agrees
+    got2 = np.asarray(spmm_skew(pk, jnp.asarray(X)))
+    np.testing.assert_allclose(got2, got, rtol=1e-6, atol=1e-6)
+
+
+def test_skew_spmm_auto_route_from_csr(rng):
+    """ops.spmm on a raw power-law CSR routes through the skew pack."""
+    import importlib
+
+    spmm_mod = importlib.import_module("sparsematrix_tpu.ops.spmm")
+
+    n, k = 8192, 16
+    sp = gen_zipf_csr(9, n, n, n * 24, col_zipf=True)
+    A = CSR.from_scipy(sp)
+    X = rng.uniform(-1, 1, (n, k)).astype(np.float32)
+    got = np.asarray(spmm_mod.spmm(A, jnp.asarray(X)))
+    want = sp.astype(np.float64) @ X
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=0.5)
+    cached = spmm_mod._dg_pack_of(A)
+    assert isinstance(cached, SkewSpmv)
+
+
+def test_skew_spmm_walk_fallback_base(rng):
+    """Base layouts without a matrix kernel (rowlane superblock) ride
+    the per-column lax.map walk in _base_spmm."""
+    from sparsematrix_tpu.kernels.spmv_superblock import SellSuperblock
+    from sparsematrix_tpu.ops.skew import spmm_skew
+
+    n, k = 4096, 4
+    sp = gen_zipf_csr(4, n, n, n * 16)
+    pk = pack_skew(CSR.from_scipy(sp), layout="superblock")
+    assert isinstance(pk.base, SellSuperblock)
+    X = rng.uniform(-1, 1, (n, k)).astype(np.float32)
+    got = np.asarray(spmm_skew(pk, jnp.asarray(X)))
+    want = sp.astype(np.float64) @ X
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=0.5)
+
+
+def test_skew_spmm_vjp(rng):
+    from sparsematrix_tpu.ops.skew import spmm_skew
+
+    n, k = 4096, 4
+    sp = gen_zipf_csr(7, n, n, n * 32)
+    pk = pack_skew(CSR.from_scipy(sp))
+    X = jnp.asarray(rng.uniform(-1, 1, (n, k)).astype(np.float32))
+    W = jnp.asarray(rng.uniform(-1, 1, (n, k)).astype(np.float32))
+    gX = jax.grad(lambda xx: (spmm_skew(pk, xx) * W).sum())(X)
+    want = sp.T.astype(np.float64) @ np.asarray(W, np.float64)
+    np.testing.assert_allclose(np.asarray(gX), want, rtol=2e-3, atol=0.5)
+
+
+def test_prepare_spmv_layout_skew_explicit(rng):
+    """layout="skew" reaches pack_skew (was dead code behind the
+    unknown-layout guard)."""
+    sp = gen_zipf_csr(5, 2048, 2048, 2048 * 8)
+    pk = prepare_spmv(CSR.from_scipy(sp), layout="skew")
+    assert isinstance(pk, SkewSpmv)
