@@ -42,7 +42,9 @@ A, B = CSR.from_scipy(sa), CSR.from_scipy(sb)
 
 cfg = {"g16k64": (16, 64), "g32k64": (32, 64), "g64k64": (64, 64),
        "g128k64": (128, 64), "g128k128": (128, 128),
-       "g256k64": (256, 64)}
+       "g256k64": (256, 64),
+       # trim variants: remainder slabs regrouped at the finer size
+       "g32k64t8": (32, 64, 8), "g32k64t16": (32, 64, 16)}
 
 if case == "csr32":
     # CSR-output e2e: the c-permute (c_nnz ~4.36M) now ships as Clos
@@ -70,14 +72,18 @@ elif case == "bperm":
     print(f"bperm cap={ncap} {res.min_ms*1e3:9.1f} us "
           f"{res.min_ms*1e6/ncap:.3f} ns/elem", flush=True)
 else:
-    g, k = cfg[case]
+    g, k, *trim = cfg[case]
+    trim = trim[0] if trim else None
     want = (sa.astype(np.float64) @ sb.astype(np.float64)).T.tocsr()
     want.sort_indices()
     t0 = time.time()
-    pp = spgemm_plan_packed(A, B, layout="octet", group=g, k_octets=k)
+    pp = spgemm_plan_packed(A, B, layout="octet", group=g, k_octets=k,
+                            trim_group=trim)
     pack_s = time.time() - t0
     pk = pp.p_packed
     groups = pk.pos.shape[0]
+    if pk.rem is not None:
+        groups = (groups, pk.rem.pos.shape[0])
     # end-to-end csc
     f = jax.jit(lambda q, bd: spgemm_apply_packed_csc(q, bd).data)
     got = np.asarray(f(pp, B.data))

@@ -75,10 +75,16 @@ class Octet:
     nnz: int = dataclasses.field(metadata={"static": True})
     splits: Tuple[int, ...] = dataclasses.field(
         default=(), metadata={"static": True})
+    # optional trim section: the remainder slabs of every superblock run
+    # grouped at a finer granularity (its own Octet, rem=None) — cuts
+    # the per-run group padding (pack_octet trim_group)
+    rem: object = None
 
     @property
     def fill_rate(self) -> float:
-        return self.nnz / max(self.vals.size, 1)
+        sz = self.vals.size + (self.rem.vals.size
+                               if self.rem is not None else 0)
+        return self.nnz / max(sz, 1)
 
 
 def _assign_native(ow, u, chunk, pos, lane):
@@ -189,12 +195,19 @@ def _assign_slots(ow, d, u, chunk, pos, lane, n_rounds=200):
 
 
 def pack_octet(csr: CSR, group: int = 8, k_octets: int = 32,
-               dtype=None) -> Octet:
+               dtype=None, trim_group: int | None = None) -> Octet:
     """Pack a CSR for the octet kernel.
 
     Right for LOW row degrees (≲ 2-3 per window): each additional entry
     of a row within one window costs a full slab depth — use
-    ``pack_dualgather`` for dense rows."""
+    ``pack_dualgather`` for dense rows.
+
+    ``trim_group``: when set (< group), the remainder slabs of each
+    superblock run — the per-run padding to a multiple of ``group``,
+    ~13 % of streamed plane bytes at group 32 on the XL pair program —
+    are regrouped at this finer granularity in a second section
+    (``Octet.rem``), run as its own pallas call whose commits are
+    summed with the main section's."""
     sp = csr.to_scipy().tocsr()
     sp.sum_duplicates()
     sp.sort_indices()
@@ -265,83 +278,125 @@ def pack_octet(csr: CSR, group: int = 8, k_octets: int = 32,
     s_oct = (uslab // dmax) // n_win
     s_win = (uslab // dmax) % n_win
     s_super = s_oct // k_octets
-    # group slabs; pad each SUPERBLOCK's run to a multiple of `group`
-    n_groups = 0
-    slot_of_slab = np.zeros(n_slabs, np.int64)
-    g_super, g_win, g_oloc = [], [], []
-    i = 0
-    while i < n_slabs:
-        j = i
-        while j < n_slabs and s_super[j] == s_super[i]:
-            j += 1
-        for t in range(i, j):
-            slot_of_slab[t] = (n_groups + (t - i) // group) * group \
-                + (t - i) % group
-        for gg in range(-(-(j - i) // group)):
-            lo = i + gg * group
-            hi = min(lo + group, j)
-            g_super.append(int(s_super[i]))
-            wrow = np.zeros(group, np.int64)
-            orow = np.zeros(group, np.int64)
-            wrow[: hi - lo] = s_win[lo:hi]
-            orow[: hi - lo] = s_oct[lo:hi] % k_octets
-            if hi - lo < group:  # padding slabs repeat the last
-                wrow[hi - lo:] = s_win[hi - 1]
-                orow[hi - lo:] = s_oct[hi - 1] % k_octets
-            g_win.append(wrow)
-            g_oloc.append(orow)
-            n_groups += 1
-        i = j
-    group_super = np.asarray(g_super, np.int64)
-    commit = np.zeros(n_groups, np.int64)
-    commit[np.concatenate([group_super[1:] != group_super[:-1],
-                           [True]])] = 1
 
-    posP = np.zeros((n_groups, group * 8, _LANES), np.int8)
-    chkP = np.zeros((n_groups, group * 8, _LANES), np.int8)
-    rteP = np.zeros((n_groups, group * 8, _LANES), np.int8)
-    vals = np.zeros((n_groups, group * 8, _LANES), vnp)
-    slot = slot_of_slab[slab_of]
-    gi, bi = slot // group, slot % group
-    posP[gi, bi * 8 + chunk, m] = pos.astype(np.int8)
-    chkP[gi, bi * 8 + u, m] = chunk.astype(np.int8)
-    rteP[gi, bi * 8 + u, lane] = m.astype(np.int8)
-    vals[gi, bi * 8 + u, lane] = v.astype(vnp)
+    # trim: each superblock run pads to a multiple of `group` — at
+    # group 32 that is ~13 % of the streamed plane bytes on the XL pair
+    # program (DESIGN.md r5 floor accounting).  With `trim_group` set,
+    # the remainder slabs of every run move to a SECOND section grouped
+    # at the finer granularity (a separate pallas call whose commit
+    # flags are its own last-group-of-super — the forward sums the two
+    # partial commits per superblock).
+    section = np.zeros(n_slabs, np.int8)
+    if trim_group and trim_group < group:
+        i = 0
+        while i < n_slabs:
+            j = i
+            while j < n_slabs and s_super[j] == s_super[i]:
+                j += 1
+            full = ((j - i) // group) * group
+            section[i + full:j] = 1
+            i = j
+        if not section.any() or not (section == 0).any():
+            section[:] = 0  # nothing to trim / no full group anywhere
 
-    slab_win = np.stack(g_win)
-    slab_oloc = np.stack(g_oloc)
+    def _group_section(sel, grp):
+        """Group the selected slabs (ascending ids) at granularity
+        ``grp``, padding each superblock run to a multiple of ``grp``;
+        returns the per-slab slot plus the group-level arrays."""
+        idxs = np.flatnonzero(sel)
+        n_sel = len(idxs)
+        slot_of = np.full(n_slabs, -1, np.int64)
+        n_g = 0
+        g_super, g_win, g_oloc = [], [], []
+        i = 0
+        while i < n_sel:
+            j = i
+            while j < n_sel and s_super[idxs[j]] == s_super[idxs[i]]:
+                j += 1
+            for t in range(i, j):
+                slot_of[idxs[t]] = (n_g + (t - i) // grp) * grp \
+                    + (t - i) % grp
+            for gg in range(-(-(j - i) // grp)):
+                lo = i + gg * grp
+                hi = min(lo + grp, j)
+                g_super.append(int(s_super[idxs[i]]))
+                wrow = np.zeros(grp, np.int64)
+                orow = np.zeros(grp, np.int64)
+                wrow[: hi - lo] = s_win[idxs[lo:hi]]
+                orow[: hi - lo] = s_oct[idxs[lo:hi]] % k_octets
+                if hi - lo < grp:  # padding slabs repeat the last
+                    wrow[hi - lo:] = s_win[idxs[hi - 1]]
+                    orow[hi - lo:] = s_oct[idxs[hi - 1]] % k_octets
+                g_win.append(wrow)
+                g_oloc.append(orow)
+                n_g += 1
+            i = j
+        group_super = np.asarray(g_super, np.int64)
+        commit = np.zeros(n_g, np.int64)
+        commit[np.concatenate([group_super[1:] != group_super[:-1],
+                               [True]])] = 1
+        return slot_of, group_super, np.stack(g_win), np.stack(g_oloc), \
+            commit, n_g
 
     from .spmv_dualgather import _SMEM_PREFETCH_BUDGET
 
-    per_group_scalars = 2 * group + 2
-    max_groups = max(1, _SMEM_PREFETCH_BUDGET // (4 * per_group_scalars))
-    splits = []
-    if n_groups > max_groups:
-        start = 0
-        while n_groups - start > max_groups:
-            cut = start + max_groups
-            while cut > start and group_super[cut] == group_super[cut - 1]:
-                cut -= 1
-            if cut == start:
-                # one superblock's groups exceed the prefetch budget: a
-                # mid-superblock cut would strand the accumulator partial
-                # in a call whose commit flag lives in the next call
-                # (mirrors dualgather._sb_splits)
-                raise ValueError(
-                    "octet superblock exceeds the SMEM prefetch budget; "
-                    "use a smaller k_octets (fewer octets per "
-                    "accumulator) so commit boundaries come sooner")
-            splits.append(cut)
-            start = cut
-    return Octet(
-        pos=jnp.asarray(posP), chk=jnp.asarray(chkP),
-        route=jnp.asarray(rteP), vals=jnp.asarray(vals),
-        group_super=jnp.asarray(group_super, jnp.int32),
-        slab_win=jnp.asarray(slab_win, jnp.int32),
-        slab_oloc=jnp.asarray(slab_oloc, jnp.int32),
-        commit=jnp.asarray(commit, jnp.int32),
-        shape=(rows, cols), n_octets=n_octets, n_win=n_win, group=group,
-        k_octets=k_octets, nnz=nnz, splits=tuple(splits))
+    def _build_section(sel, grp, total_nnz, rem):
+        slot_of_slab, group_super, slab_win, slab_oloc, commit, n_g = \
+            _group_section(sel, grp)
+        posP = np.zeros((n_g, grp * 8, _LANES), np.int8)
+        chkP = np.zeros((n_g, grp * 8, _LANES), np.int8)
+        rteP = np.zeros((n_g, grp * 8, _LANES), np.int8)
+        vals = np.zeros((n_g, grp * 8, _LANES), vnp)
+        emask = sel[slab_of]
+        slot = slot_of_slab[slab_of[emask]]
+        gi, bi = slot // grp, slot % grp
+        posP[gi, bi * 8 + chunk[emask], m[emask]] = \
+            pos[emask].astype(np.int8)
+        chkP[gi, bi * 8 + u[emask], m[emask]] = \
+            chunk[emask].astype(np.int8)
+        rteP[gi, bi * 8 + u[emask], lane[emask]] = m[emask].astype(np.int8)
+        vals[gi, bi * 8 + u[emask], lane[emask]] = v[emask].astype(vnp)
+
+        per_group_scalars = 2 * grp + 2
+        max_groups = max(1,
+                         _SMEM_PREFETCH_BUDGET // (4 * per_group_scalars))
+        splits = []
+        if n_g > max_groups:
+            start = 0
+            while n_g - start > max_groups:
+                cut = start + max_groups
+                while cut > start and \
+                        group_super[cut] == group_super[cut - 1]:
+                    cut -= 1
+                if cut == start:
+                    # one superblock's groups exceed the prefetch
+                    # budget: a mid-superblock cut would strand the
+                    # accumulator partial in a call whose commit flag
+                    # lives in the next call (mirrors
+                    # dualgather._sb_splits)
+                    raise ValueError(
+                        "octet superblock exceeds the SMEM prefetch "
+                        "budget; use a smaller k_octets (fewer octets "
+                        "per accumulator) so commit boundaries come "
+                        "sooner")
+                splits.append(cut)
+                start = cut
+        return Octet(
+            pos=jnp.asarray(posP), chk=jnp.asarray(chkP),
+            route=jnp.asarray(rteP), vals=jnp.asarray(vals),
+            group_super=jnp.asarray(group_super, jnp.int32),
+            slab_win=jnp.asarray(slab_win, jnp.int32),
+            slab_oloc=jnp.asarray(slab_oloc, jnp.int32),
+            commit=jnp.asarray(commit, jnp.int32),
+            shape=(rows, cols), n_octets=n_octets, n_win=n_win,
+            group=grp, k_octets=k_octets, nnz=int(total_nnz),
+            splits=tuple(splits), rem=rem)
+
+    if section.any():
+        rem = _build_section(section == 1, trim_group,
+                             int((section[slab_of] == 1).sum()), None)
+        return _build_section(section == 0, group, nnz, rem)
+    return _build_section(section == 0, group, nnz, None)
 
 
 def _octet_kernel(super_ref, win_ref, oloc_ref, commit_ref, pos_ref,
@@ -455,7 +510,10 @@ def _octet_forward(packed: Octet, x):
         )
         out = out.reshape(n_super, packed.k_octets * _ROWS_PER_OCTET)
         y = y + jnp.where(touched[:, None], out, 0)
-    return y.reshape(-1)[:rows]
+    y = y.reshape(-1)[:rows]
+    if packed.rem is not None:
+        y = y + _octet_forward(packed.rem, x)
+    return y
 
 
 @jax.custom_vjp
@@ -493,6 +551,10 @@ def _oct_bwd(res, g):
     dpacked = jax.tree_util.tree_map(ct_zero, packed)
     dpacked = dataclasses.replace(
         dpacked, vals=dvals.reshape(packed.vals.shape))
+    if packed.rem is not None:
+        dprem, gx_rem = _oct_bwd((packed.rem, x), g)
+        gx = gx + gx_rem
+        dpacked = dataclasses.replace(dpacked, rem=dprem)
     return dpacked, gx
 
 
@@ -627,7 +689,10 @@ def _octet_mm_forward(packed: Octet, X):
         out = out.transpose(1, 0, 2, 3).reshape(n_super, k_pad, rows_blk)
         y = y + out
     y = y.transpose(0, 2, 1).reshape(n_super * rows_blk, k_pad)
-    return y[:rows, :k]
+    y = y[:rows, :k]
+    if packed.rem is not None:
+        y = y + _octet_mm_forward(packed.rem, X)
+    return y
 
 
 def _oct_mm_fwd(packed, X):
@@ -660,6 +725,10 @@ def _oct_mm_bwd(res, G):
     dpacked = jax.tree_util.tree_map(ct_zero, packed)
     dpacked = dataclasses.replace(
         dpacked, vals=dvals.reshape(packed.vals.shape))
+    if packed.rem is not None:
+        dprem, gX_rem = _oct_mm_bwd((packed.rem, X), G)
+        gX = gX + gX_rem
+        dpacked = dataclasses.replace(dpacked, rem=dprem)
     return dpacked, gX
 
 

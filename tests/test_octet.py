@@ -221,3 +221,88 @@ def test_spmm_octet_vjp(rng):
     assert (gv[np.asarray(pk.vals) == 0] == 0).all()
     # nonzero cells carry X^T-weighted cotangents
     assert np.abs(gv).max() > 0
+
+
+# ---------------------------------------------------------------------------
+# round-5 late: trim_group — remainder slabs of each superblock run move
+# to a finer-grained second section (Octet.rem), its commits summed with
+# the main section's (the per-run group padding was ~13 % of streamed
+# plane bytes at the XL pair point)
+
+
+@pytest.mark.parametrize("shape,density,trim", [
+    ((16384, 16384), 2 / 16384, 8),
+    ((3000, 5000), 0.0005, 8),
+    ((5000, 3000), 0.01, 16),
+])
+def test_octet_trim_matches_plain(rng, shape, density, trim):
+    from sparsematrix_tpu.kernels.spmv_octet import spmm_octet
+
+    n, m = shape
+    sp = sps.random(n, m, density=density, random_state=2, format="csr",
+                    dtype=np.float32)
+    sp.data = rng.uniform(-10, 10, sp.nnz).astype(np.float32)
+    A = CSR.from_scipy(sp)
+    pk0 = pack_octet(A, group=32, k_octets=4)
+    pk1 = pack_octet(A, group=32, k_octets=4, trim_group=trim)
+    x = rng.uniform(-1, 1, m).astype(np.float32)
+    y0 = np.asarray(spmv_octet(pk0, jnp.asarray(x)))
+    y1 = np.asarray(spmv_octet(pk1, jnp.asarray(x)))
+    want = sp.astype(np.float64) @ x
+    np.testing.assert_allclose(y0, want, rtol=2e-3, atol=0.5)
+    np.testing.assert_allclose(y1, want, rtol=2e-3, atol=0.5)
+    # same entries stored overall; the trim never stores MORE slab bytes
+    sz0 = pk0.vals.size
+    sz1 = pk1.vals.size + (pk1.rem.vals.size if pk1.rem is not None
+                           else 0)
+    assert sz1 <= sz0
+    X = rng.uniform(-1, 1, (m, 4)).astype(np.float32)
+    Y1 = np.asarray(spmm_octet(pk1, jnp.asarray(X)))
+    np.testing.assert_allclose(Y1, sp.astype(np.float64) @ X, rtol=2e-3,
+                               atol=0.5)
+
+
+def test_octet_trim_vjp(rng):
+    from sparsematrix_tpu.kernels.spmv_octet import spmm_octet
+
+    n = 8192
+    rows_ = np.repeat(np.arange(n), 2)
+    cols_ = rng.integers(0, n, rows_.size)
+    data_ = rng.uniform(-2, 2, rows_.size).astype(np.float32)
+    sp = sps.coo_matrix((data_, (rows_, cols_)), shape=(n, n)).tocsr()
+    sp.sum_duplicates()
+    pk = pack_octet(CSR.from_scipy(sp), group=32, k_octets=4,
+                    trim_group=8)
+    assert pk.rem is not None
+    x = jnp.asarray(rng.uniform(-1, 1, n).astype(np.float32))
+    w = jnp.asarray(rng.uniform(-1, 1, n).astype(np.float32))
+    gx = jax.grad(lambda xx: (spmv_octet(pk, xx) * w).sum())(x)
+    want = sp.T.astype(np.float64) @ np.asarray(w)
+    np.testing.assert_allclose(np.asarray(gx), want, rtol=2e-3, atol=0.5)
+    X = jnp.asarray(rng.uniform(-1, 1, (n, 3)).astype(np.float32))
+    W = jnp.asarray(rng.uniform(-1, 1, (n, 3)).astype(np.float32))
+    gX = jax.grad(lambda xx: (spmm_octet(pk, xx) * W).sum())(X)
+    wantG = sp.T.astype(np.float64) @ np.asarray(W)
+    np.testing.assert_allclose(np.asarray(gX), wantG, rtol=2e-3, atol=0.5)
+
+
+def test_spgemm_octet_trim_matches(rng):
+    """The packed SpGEMM path accepts trim_group and stays oracle-exact."""
+    from sparsematrix_tpu.ops.spgemm import (spgemm_apply_packed_csc,
+                                             spgemm_plan_packed)
+
+    n = 2048
+    sa = sps.random(n, n, density=0.004, random_state=3, format="csr",
+                    dtype=np.float32)
+    sb = sps.random(n, n, density=0.004, random_state=4, format="csr",
+                    dtype=np.float32)
+    sa.data = rng.uniform(-10, 10, sa.nnz).astype(np.float32)
+    sb.data = rng.uniform(-10, 10, sb.nnz).astype(np.float32)
+    A, B = CSR.from_scipy(sa), CSR.from_scipy(sb)
+    pp = spgemm_plan_packed(A, B, layout="octet", group=32, k_octets=16,
+                            trim_group=8)
+    got = np.asarray(spgemm_apply_packed_csc(pp, B.data).data)
+    want = (sa.astype(np.float64) @ sb.astype(np.float64)).T.tocsr()
+    want.sort_indices()
+    np.testing.assert_allclose(got[: pp.c_nnz], want.data, rtol=2e-3,
+                               atol=1e-3)
